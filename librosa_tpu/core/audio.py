@@ -1,0 +1,812 @@
+"""Audio I/O, resampling, and signal synthesis (L2).
+
+Decode happens on host (``librosa_tpu.io``, native C++ decoders); everything
+numerical is JAX.  The TPU-native resampler expresses polyphase FIR
+resampling as a single dilated/strided convolution (exact
+``scipy.signal.resample_poly`` semantics), which XLA maps onto the MXU.
+soxr_* modes bind the system libsoxr on host for reference parity
+(``librosa/core/audio.py:1158-1168``).
+
+Parity citations refer to ``librosa/core/audio.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+from typing import Any, Callable, Generator, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import io as audio_io
+from ..util import utils as util
+from ..util.exceptions import ParameterError
+from .convert import frames_to_samples, time_to_samples
+
+__all__ = [
+    "load",
+    "loadx",
+    "stream",
+    "to_mono",
+    "to_stereo",
+    "to_multi",
+    "resample",
+    "get_duration",
+    "get_samplerate",
+    "autocorrelate",
+    "lpc",
+    "zero_crossings",
+    "clicks",
+    "tone",
+    "chirp",
+    "mu_compress",
+    "mu_expand",
+]
+
+
+# ---------------------------------------------------------------------------
+# Loading (reference core/audio.py:59)
+# ---------------------------------------------------------------------------
+
+
+def load(
+    path: Any,
+    *,
+    sr: Optional[float] = 22050,
+    mono: bool = True,
+    offset: float = 0.0,
+    duration: Optional[float] = None,
+    dtype: Any = np.float32,
+    res_type: str = "soxr_hq",
+) -> Tuple[np.ndarray, Union[int, float]]:
+    """Load an audio file as a floating point time series.
+
+    Parity: core/audio.py:59 — decode, optional mono mixdown, resample to
+    ``sr`` (default 22050).
+    """
+    y, sr_native = audio_io.read_audio(
+        path, offset=offset, duration=duration, dtype=dtype
+    )
+    if mono:
+        y = np.asarray(to_mono(y))
+    if sr is not None:
+        y = np.asarray(resample(y, orig_sr=sr_native, target_sr=sr, res_type=res_type))
+    else:
+        sr = sr_native
+    return np.asarray(y, dtype=dtype), sr
+
+
+def loadx(
+    name: str,
+    *,
+    hq: bool = False,
+    **kwargs: Any,
+) -> Tuple[np.ndarray, Union[int, float]]:
+    """Load an example recording by name. Parity: core/audio.py:535 (loadx)."""
+    from ..util.files import example
+
+    return load(example(name, hq=hq), **kwargs)
+
+
+def stream(
+    path: Any,
+    *,
+    block_length: int,
+    frame_length: int,
+    hop_length: int,
+    sr: Optional[float] = None,
+    mono: bool = True,
+    offset: float = 0.0,
+    duration: Optional[float] = None,
+    fill_value: Optional[float] = None,
+    res_type: str = "soxr_hq",
+    dtype: Any = np.float32,
+) -> Generator[np.ndarray, None, None]:
+    """Stream audio in fixed-length overlapping blocks.
+
+    Parity: core/audio.py:223 — yields blocks of
+    ``(block_length-1)*hop_length + frame_length`` samples advancing by
+    ``block_length*hop_length``; the ``frame_length - hop_length`` overlap is
+    carried between blocks so framewise analyses (``center=False``) tile
+    seamlessly.  This is also the legality model for the time-sharded device
+    path (``librosa_tpu.parallel``).
+    """
+    if not util.is_positive_int(block_length):
+        raise ParameterError(f"block_length={block_length} must be a positive integer")
+    if not util.is_positive_int(frame_length):
+        raise ParameterError(f"frame_length={frame_length} must be a positive integer")
+    if not util.is_positive_int(hop_length):
+        raise ParameterError(f"hop_length={hop_length} must be a positive integer")
+
+    # Decode fully on host, then emit overlapping views.  (The reference
+    # streams via libsndfile blocks; decoding here is host-side either way,
+    # and views avoid copies.)
+    y, sr_native = audio_io.read_audio(
+        path, offset=offset, duration=duration, dtype=dtype
+    )
+    if mono:
+        y = np.asarray(to_mono(y), dtype=dtype)
+    if sr is not None and sr != sr_native:
+        if not str(res_type).startswith("soxr"):
+            raise ParameterError(
+                f"res_type={res_type} is not a valid soxr resampling mode for streaming"
+            )
+        y = np.asarray(
+            resample(y, orig_sr=sr_native, target_sr=sr, res_type=res_type),
+            dtype=dtype,
+        )
+
+    n = y.shape[-1]
+    yield_size = (block_length - 1) * hop_length + frame_length
+    advance = block_length * hop_length
+
+    start = 0
+    while start < n:
+        block = y[..., start : start + yield_size]
+        if fill_value is not None and block.shape[-1] < yield_size:
+            pad = [(0, 0)] * block.ndim
+            pad[-1] = (0, yield_size - block.shape[-1])
+            block = np.pad(block, pad, constant_values=fill_value)
+        yield block
+        start += advance
+
+
+def get_samplerate(path: Any) -> int:
+    """Get the sampling rate for a given file. Parity: core/audio.py:1289."""
+    return audio_io.get_samplerate(path)
+
+
+def get_duration(
+    *,
+    y: Optional[Any] = None,
+    sr: float = 22050,
+    S: Optional[Any] = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    center: bool = True,
+    path: Optional[str] = None,
+) -> float:
+    """Compute duration (in seconds). Parity: core/audio.py:1182."""
+    if path is not None:
+        sr_f, _, n_frames = audio_io.get_info(path)
+        return float(n_frames) / sr_f
+
+    if y is None:
+        if S is None:
+            raise ParameterError(
+                "At least one of (y, sr), S, or path must be provided"
+            )
+        n_frames = np.shape(S)[-1]
+        n_samples = n_fft + hop_length * (n_frames - 1)
+        if center:
+            n_samples = n_samples - 2 * int(n_fft // 2)
+    else:
+        n_samples = np.shape(y)[-1]
+    return float(n_samples) / sr
+
+
+# ---------------------------------------------------------------------------
+# Channel mixing (reference core/audio.py:628-1000)
+# ---------------------------------------------------------------------------
+
+
+def to_mono(
+    *signals: Any, pad: bool = True, norm: bool = True, out: Any = None
+) -> jax.Array:
+    """Mix one or more signals down to mono. Parity: core/audio.py:628."""
+    if not signals:
+        raise ParameterError("At least one signal must be provided to `to_mono`.")
+    arrs = [jnp.asarray(y) for y in signals]
+    n_min = min(a.shape[-1] for a in arrs)
+    n_max = max(a.shape[-1] for a in arrs)
+    size = n_max if pad else n_min
+
+    combine = jnp.mean if norm else jnp.sum
+    total = None
+    for a in arrs:
+        mixed = combine(a, axis=tuple(range(a.ndim - 1))) if a.ndim > 1 else a
+        mixed = util.fix_length(mixed, size=size, axis=-1)
+        total = mixed if total is None else total + mixed
+    if norm:
+        total = total / len(arrs)
+    return total
+
+
+def to_stereo(
+    *,
+    left: Optional[Any] = None,
+    right: Optional[Any] = None,
+    downmix: bool = True,
+    pad: bool = True,
+    norm: bool = True,
+    out: Any = None,
+) -> jax.Array:
+    """Combine signals into a stereo pair. Parity: core/audio.py:743."""
+    onesided = True
+    if left is None and right is None:
+        raise ParameterError("At least one of 'left' or 'right' must be provided")
+    elif left is None:
+        left = jnp.zeros_like(jnp.asarray(right))
+    elif right is None:
+        right = jnp.zeros_like(jnp.asarray(left))
+    else:
+        onesided = False
+
+    left = jnp.asarray(left)
+    right = jnp.asarray(right)
+    size = (
+        max(left.shape[-1], right.shape[-1])
+        if pad
+        else min(left.shape[-1], right.shape[-1])
+    )
+    left = util.fix_length(left, size=size, axis=-1)
+    right = util.fix_length(right, size=size, axis=-1)
+
+    if downmix:
+        return jnp.stack([to_mono(left, norm=norm), to_mono(right, norm=norm)])
+
+    def chan(x: jax.Array, idx: int) -> jax.Array:
+        if x.ndim == 1:
+            base = jnp.zeros((2, size), dtype=x.dtype)
+            return base.at[idx].set(x)
+        elif x.ndim == 2 and x.shape[0] == 2:
+            return x
+        raise ParameterError(
+            f"input has unsupported shape {x.shape} for downmix=False"
+        )
+
+    output = chan(left, 0) + chan(right, 1)
+    if norm and not onesided:
+        output = output / 2
+    return output
+
+
+def to_multi(
+    *signals: Any,
+    downmix: bool = True,
+    pad: bool = True,
+    norm: bool = True,
+    out: Any = None,
+) -> jax.Array:
+    """Combine signals into a multichannel array. Parity: core/audio.py:885."""
+    if not signals:
+        raise ParameterError("At least one signal must be provided.")
+    arrs = [jnp.asarray(y) for y in signals]
+    n_min = min(a.shape[-1] for a in arrs)
+    n_max = max(a.shape[-1] for a in arrs)
+    size = n_max if pad else n_min
+
+    if downmix:
+        rows = [
+            util.fix_length(to_mono(a, norm=norm), size=size, axis=-1) for a in arrs
+        ]
+        return jnp.stack(rows, axis=0)
+
+    layout = arrs[0].shape[:-1]
+    for a in arrs:
+        if a.shape[:-1] != layout:
+            raise ParameterError(
+                f"Cannot combine signals with different channel layouts "
+                f"{a.shape[:-1]} when downmix=False"
+            )
+    total = None
+    for a in arrs:
+        fixed = util.fix_length(a, size=size, axis=-1)
+        total = fixed if total is None else total + fixed
+    if norm:
+        total = total / len(arrs)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Resampling (reference core/audio.py:1002) — MXU polyphase FIR
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _poly_filter(up: int, down: int, window_beta: float = 5.0) -> np.ndarray:
+    """Kaiser-windowed sinc lowpass for polyphase resampling.
+
+    Matches scipy.signal.resample_poly's default filter design:
+    ``firwin(2*10*max(up,down)+1, 1/max(up,down), window=('kaiser', 5.0))``.
+    """
+    import scipy.signal
+
+    max_rate = max(up, down)
+    f_c = 1.0 / max_rate
+    half_len = 10 * max_rate
+    h = scipy.signal.firwin(
+        2 * half_len + 1, f_c, window=("kaiser", window_beta)
+    )
+    return (h * up).astype(np.float64)
+
+
+def _upfirdn_len(len_h: int, n_in: int, up: int, down: int) -> int:
+    return ((n_in - 1) * up + len_h - 1) // down + 1
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down", "n_pre_remove", "n_out"))
+def _upfirdn_conv(
+    x: jax.Array, h: jax.Array, *, up: int, down: int, n_pre_remove: int, n_out: int
+) -> jax.Array:
+    """Polyphase resampling as one dilated, strided convolution.
+
+    ``upfirdn(h, x, up, down)`` ≡ cross-correlation of the up-dilated input
+    with the flipped filter at stride ``down`` and full padding — exactly
+    what ``lax.conv_general_dilated`` computes, and exactly what the MXU
+    likes: a big strided FIR.
+    """
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    xb = x.reshape((-1, 1, n))  # (batch, channel=1, time)
+    len_h = h.shape[0]
+    kern = h[::-1].reshape((1, 1, len_h)).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        xb,
+        kern,
+        window_strides=(down,),
+        padding=[(len_h - 1, len_h - 1)],
+        lhs_dilation=(up,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    y = y.reshape(*lead, y.shape[-1])
+    return y[..., n_pre_remove : n_pre_remove + n_out]
+
+
+def resample_poly(
+    x: Any, up: int, down: int, *, axis: int = -1, dtype: Any = None
+) -> jax.Array:
+    """TPU-native equivalent of ``scipy.signal.resample_poly`` (kaiser, 5.0).
+
+    Exact output-alignment semantics: zero-padded filter centering and
+    length ``ceil(n*up/down)``.
+    """
+    x = jnp.asarray(x)
+    if axis != -1:
+        x = jnp.moveaxis(x, axis, -1)
+    n_in = x.shape[-1]
+    g = int(np.gcd(up, down))
+    up, down = up // g, down // g
+    if up == down == 1:
+        out = x
+    else:
+        h = _poly_filter(up, down)
+        n_out = n_in * up // down + (1 if (n_in * up) % down else 0)
+        half_len = (len(h) - 1) // 2
+        n_pre_pad = down - half_len % down
+        n_post_pad = 0
+        n_pre_remove = (half_len + n_pre_pad) // down
+        while (
+            _upfirdn_len(len(h) + n_pre_pad + n_post_pad, n_in, up, down)
+            < n_out + n_pre_remove
+        ):
+            n_post_pad += 1
+        h_padded = np.concatenate(
+            [np.zeros(n_pre_pad), h, np.zeros(n_post_pad)]
+        )
+        out = _upfirdn_conv(
+            x,
+            jnp.asarray(h_padded, dtype=x.dtype),
+            up=up,
+            down=down,
+            n_pre_remove=n_pre_remove,
+            n_out=n_out,
+        )
+    if axis != -1:
+        out = jnp.moveaxis(out, -1, axis)
+    if dtype is not None:
+        out = out.astype(dtype)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num",))
+def _resample_fft(x: jax.Array, *, num: int) -> jax.Array:
+    """Fourier resampling along the last axis (scipy.signal.resample parity)."""
+    n = x.shape[-1]
+    X = jnp.fft.rfft(x, axis=-1)
+    n_bins_out = num // 2 + 1
+    n_min = min(num, n)
+    nyq = n_min // 2 + 1
+
+    Y = jnp.zeros(x.shape[:-1] + (n_bins_out,), dtype=X.dtype)
+    Y = Y.at[..., :nyq].set(X[..., :nyq])
+    if n_min % 2 == 0:
+        if num < n:  # downsampling: fold the Nyquist bin
+            Y = Y.at[..., n_min // 2].multiply(2.0)
+        elif num > n:  # upsampling: split the Nyquist bin
+            Y = Y.at[..., n // 2].multiply(0.5)
+    y = jnp.fft.irfft(Y, n=num, axis=-1)
+    return y * (float(num) / float(n))
+
+
+def resample(
+    y: Any,
+    *,
+    orig_sr: float,
+    target_sr: float,
+    res_type: str = "soxr_hq",
+    fix: bool = True,
+    scale: bool = False,
+    axis: int = -1,
+    **kwargs: Any,
+) -> jax.Array:
+    """Resample a time series from orig_sr to target_sr.
+
+    Parity: core/audio.py:1002.  Modes:
+
+    - ``'polyphase'`` — TPU-native strided FIR conv (scipy resample_poly parity)
+    - ``'fft'``/``'scipy'`` — device Fourier resampling
+    - ``'soxr_*'`` — host libsoxr (reference default; SNR-bounded parity);
+      falls back to the device polyphase resampler when libsoxr is absent
+      *and* the rates are rational
+    - ``'kaiser_best'``/``'kaiser_fast'`` — device windowed-sinc polyphase
+      approximations of resampy's modes
+    """
+    y = jnp.asarray(y)
+    if not jnp.issubdtype(y.dtype, jnp.floating):
+        raise ParameterError("Audio data must be floating-point")
+
+    if orig_sr == target_sr:
+        return y
+
+    ratio = float(target_sr) / orig_sr
+    n_samples = int(np.ceil(y.shape[axis] * ratio))
+
+    if res_type in ("scipy", "fft"):
+        if axis != -1:
+            y_hat = jnp.moveaxis(
+                _resample_fft(jnp.moveaxis(y, axis, -1), num=n_samples), -1, axis
+            )
+        else:
+            y_hat = _resample_fft(y, num=n_samples)
+    elif res_type in ("polyphase", "kaiser_best", "kaiser_fast"):
+        if int(orig_sr) != orig_sr or int(target_sr) != target_sr:
+            raise ParameterError(
+                "polyphase resampling is only supported for integer-valued "
+                "sampling rates."
+            )
+        gcd = int(np.gcd(int(orig_sr), int(target_sr)))
+        y_hat = resample_poly(
+            y, int(target_sr) // gcd, int(orig_sr) // gcd, axis=axis
+        )
+    elif res_type.startswith("soxr"):
+        from ..io import _soxr
+
+        if _soxr.available():
+            y_np = np.asarray(y)
+            y_hat = jnp.asarray(
+                np.apply_along_axis(
+                    _soxr.resample,
+                    axis,
+                    y_np,
+                    in_rate=orig_sr,
+                    out_rate=target_sr,
+                    quality=res_type,
+                )
+            )
+        else:
+            if int(orig_sr) != orig_sr or int(target_sr) != target_sr:
+                raise ParameterError(
+                    f"res_type={res_type} requires libsoxr for non-integer rates"
+                )
+            warnings.warn(
+                f"libsoxr unavailable; substituting device polyphase for {res_type}",
+                stacklevel=2,
+            )
+            gcd = int(np.gcd(int(orig_sr), int(target_sr)))
+            y_hat = resample_poly(
+                y, int(target_sr) // gcd, int(orig_sr) // gcd, axis=axis
+            )
+    else:
+        raise ParameterError(f"Unsupported resampling mode: {res_type}")
+
+    if fix:
+        y_hat = util.fix_length(y_hat, size=n_samples, axis=axis, **kwargs)
+    if scale:
+        y_hat = y_hat / np.sqrt(ratio)
+    return y_hat.astype(y.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation / LPC (reference core/audio.py:1320,1397)
+# ---------------------------------------------------------------------------
+
+
+def _next_fast_len(n: int) -> int:
+    import scipy.fft
+
+    return scipy.fft.next_fast_len(n, real=True)
+
+
+def autocorrelate(
+    y: Any, *, max_size: Optional[int] = None, axis: int = -1
+) -> jax.Array:
+    """Bounded-lag auto-correlation via rFFT. Parity: core/audio.py:1320."""
+    y = jnp.asarray(y)
+    if max_size is None:
+        max_size = y.shape[axis]
+    max_size = int(min(max_size, y.shape[axis]))
+
+    n_pad = _next_fast_len(2 * y.shape[axis] - 1)
+
+    if jnp.issubdtype(y.dtype, jnp.complexfloating):
+        powspec = util.abs2(jnp.fft.fft(y, n=n_pad, axis=axis))
+        autocorr = jnp.fft.ifft(powspec, n=n_pad, axis=axis)
+    else:
+        powspec = util.abs2(jnp.fft.rfft(y, n=n_pad, axis=axis))
+        autocorr = jnp.fft.irfft(powspec, n=n_pad, axis=axis)
+
+    subslice = [slice(None)] * autocorr.ndim
+    subslice[axis] = slice(max_size)
+    return autocorr[tuple(subslice)]
+
+
+@functools.partial(jax.jit, static_argnames=("order",))
+def _lpc_burg(y: jax.Array, *, order: int) -> jax.Array:
+    """Burg-method LPC over the leading axis, batched on trailing dims.
+
+    Sequential over ``order`` (small), vectorized over everything else —
+    ``lax.fori_loop`` replaces the reference numba kernel
+    (core/audio.py:1494 __lpc).  Error-buffer shrinking is emulated with
+    masks to keep shapes static under jit.
+    """
+    n = y.shape[0]
+    dtype = y.dtype
+    epsilon = util.tiny(y)
+
+    fwd = y[1:]  # f_{M-1, k+1}
+    bwd = y[:-1]  # b_{M-1, k}
+    m = n - 1  # active window length
+
+    batch_shape = y.shape[1:]
+    ar = jnp.zeros((order + 1,) + batch_shape, dtype=dtype).at[0].set(1.0)
+    den = jnp.sum(fwd**2 + bwd**2, axis=0)
+
+    # index grid for masking the shrinking valid window
+    idx = jnp.arange(m).reshape((m,) + (1,) * len(batch_shape))
+
+    def body(i, state):
+        ar, fwd, bwd, den, valid = state
+        mask = idx < valid
+        reflect = -2.0 * jnp.sum(jnp.where(mask, bwd * fwd, 0.0), axis=0) / (
+            den + epsilon
+        )
+
+        # Levinson-Durbin update: a_j += k * a_{i-j+1}
+        ar_rev = jnp.flip(ar, axis=0)
+        # shift so that ar_rev aligns a_{i - j + 1} with position j:
+        # a_new[j] = a[j] + k * a[i + 1 - j], for j in 1..i+1
+        rolled = jnp.roll(ar_rev, shift=i + 2, axis=0)
+        j_idx = jnp.arange(order + 1).reshape((order + 1,) + (1,) * len(batch_shape))
+        upd = jnp.where(
+            (j_idx >= 1) & (j_idx <= i + 1), reflect[None] * rolled, 0.0
+        )
+        ar = ar + upd
+
+        fwd_new = fwd + reflect[None] * bwd
+        bwd_new = bwd + reflect[None] * fwd
+        fwd_new = jnp.where(mask, fwd_new, 0.0)
+        bwd_new = jnp.where(mask, bwd_new, 0.0)
+
+        q = 1.0 - reflect**2
+        # b_{M}[last valid] and f_{M}[first]
+        last_b = jnp.take_along_axis(
+            bwd_new, jnp.maximum(valid - 1, 0)[None].astype(int), axis=0
+        )[0]
+        den = q * den - last_b**2 - fwd_new[0] ** 2
+
+        # Shift forward error up by one; shrink window
+        fwd_shift = jnp.roll(fwd_new, shift=-1, axis=0)
+        valid_new = valid - 1
+        mask_new = idx < valid_new
+        fwd_shift = jnp.where(mask_new, fwd_shift, 0.0)
+        bwd_new = jnp.where(mask_new, bwd_new, 0.0)
+        return ar, fwd_shift, bwd_new, den, valid_new
+
+    valid0 = jnp.full(batch_shape, m, dtype=jnp.int32)
+    ar, *_ = jax.lax.fori_loop(0, order, body, (ar, fwd, bwd, den, valid0))
+    return ar
+
+
+def lpc(y: Any, *, order: int, axis: int = -1) -> jax.Array:
+    """Linear prediction coefficients via Burg's method. Parity: core/audio.py:1397."""
+    if not util.is_positive_int(order):
+        raise ParameterError(f"order={order} must be an integer > 0")
+    y = jnp.asarray(y)
+    if not jnp.issubdtype(y.dtype, jnp.floating):
+        raise ParameterError("Audio data must be floating-point")
+    y = jnp.swapaxes(y, axis, 0)
+    out = _lpc_burg(y, order=order)
+    return jnp.swapaxes(out, 0, axis)
+
+
+# ---------------------------------------------------------------------------
+# Zero crossings (reference core/audio.py:1589-1728)
+# ---------------------------------------------------------------------------
+
+
+def zero_crossings(
+    y: Any,
+    *,
+    threshold: float = 1e-10,
+    ref_magnitude: Optional[Union[float, Callable]] = None,
+    pad: bool = True,
+    zero_pos: bool = True,
+    axis: int = -1,
+) -> jax.Array:
+    """Find zero crossings of a signal. Parity: core/audio.py:1621.
+
+    Shift-compare formulation of the reference's 1-pt lookback stencil.
+    """
+    y = jnp.asarray(y)
+    if threshold is None:
+        threshold = 0.0
+    if callable(ref_magnitude):
+        threshold = threshold * float(ref_magnitude(jnp.abs(y)))
+    elif ref_magnitude is not None:
+        threshold = threshold * ref_magnitude
+
+    yi = jnp.swapaxes(y, -1, axis)
+    if threshold > 0:
+        yi = jnp.where(jnp.abs(yi) <= threshold, 0.0, yi)
+
+    if zero_pos:
+        sign = jnp.signbit(yi)
+    else:
+        sign = jnp.sign(yi)
+
+    cross = sign[..., 1:] != sign[..., :-1]
+    first = jnp.full_like(cross[..., :1], pad)
+    out = jnp.concatenate([first, cross], axis=-1)
+    return jnp.swapaxes(out, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# Signal synthesis (reference core/audio.py:1731-2052)
+# ---------------------------------------------------------------------------
+
+
+def clicks(
+    *,
+    times: Optional[Any] = None,
+    frames: Optional[Any] = None,
+    sr: float = 22050,
+    hop_length: int = 512,
+    click_freq: float = 1000.0,
+    click_duration: float = 0.1,
+    click: Optional[np.ndarray] = None,
+    length: Optional[int] = None,
+) -> np.ndarray:
+    """Construct a click track (host synthesis). Parity: core/audio.py:1731."""
+    if times is None:
+        if frames is None:
+            raise ParameterError('either "times" or "frames" must be provided')
+        positions = frames_to_samples(frames, hop_length=hop_length)
+    else:
+        positions = time_to_samples(times, sr=sr)
+
+    if click is not None:
+        click = np.asarray(click)
+        if not np.issubdtype(click.dtype, np.floating):
+            raise ParameterError("click must be floating-point")
+    else:
+        if click_duration <= 0:
+            raise ParameterError("click_duration must be strictly positive")
+        if click_freq <= 0:
+            raise ParameterError("click_freq must be strictly positive")
+        angular_freq = 2 * np.pi * click_freq / float(sr)
+        click = np.logspace(0, -10, num=int(sr * click_duration), base=2.0)
+        click *= np.sin(angular_freq * np.arange(len(click)))
+
+    if length is None:
+        length = positions.max() + click.shape[-1]
+    else:
+        if length < 1:
+            raise ParameterError("length must be a positive integer")
+        positions = positions[positions < length]
+
+    shape = list(click.shape)
+    shape[-1] = length
+    click_signal = np.zeros(shape, dtype=np.float32)
+    for start in positions:
+        end = start + click.shape[-1]
+        if end >= length:
+            click_signal[..., start:] += click[..., : length - start]
+        else:
+            click_signal[..., start:end] += click
+    return click_signal
+
+
+def tone(
+    frequency: float,
+    *,
+    sr: float = 22050,
+    length: Optional[int] = None,
+    duration: Optional[float] = None,
+    phi: Optional[float] = None,
+) -> np.ndarray:
+    """Construct a pure tone. Parity: core/audio.py:1868."""
+    if frequency is None:
+        raise ParameterError('"frequency" must be provided')
+    if length is None:
+        if duration is None:
+            raise ParameterError('either "length" or "duration" must be provided')
+        length = int(duration * sr)
+    if phi is None:
+        phi = -np.pi * 0.5
+    return np.cos(2 * np.pi * frequency * np.arange(length) / sr + phi)
+
+
+def chirp(
+    *,
+    fmin: float,
+    fmax: float,
+    sr: float = 22050,
+    length: Optional[int] = None,
+    duration: Optional[float] = None,
+    linear: bool = False,
+    phi: Optional[float] = None,
+) -> np.ndarray:
+    """Construct a chirp (sine sweep). Parity: core/audio.py:1940."""
+    import scipy.signal
+
+    if fmin is None or fmax is None:
+        raise ParameterError('both "fmin" and "fmax" must be provided')
+    period = 1.0 / sr
+    if length is None:
+        if duration is None:
+            raise ParameterError('either "length" or "duration" must be provided')
+    else:
+        duration = period * length
+    if phi is None:
+        phi = -np.pi * 0.5
+    method = "linear" if linear else "logarithmic"
+    return scipy.signal.chirp(
+        np.arange(int(duration * sr)) / sr,
+        fmin,
+        duration,
+        fmax,
+        method=method,
+        phi=phi / np.pi * 180,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mu-law (reference core/audio.py:2055-2238)
+# ---------------------------------------------------------------------------
+
+
+def mu_compress(x: Any, *, mu: float = 255, quantize: bool = True) -> jax.Array:
+    """mu-law compression. Parity: core/audio.py:2055."""
+    if mu <= 0:
+        raise ParameterError(
+            f"mu-law compression parameter mu={mu} must be strictly positive."
+        )
+    x = jnp.asarray(x)
+    if bool(jnp.any(x < -1)) or bool(jnp.any(x > 1)):
+        raise ParameterError("mu-law input x must be in the range [-1, +1].")
+
+    x_comp = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / np.log1p(mu)
+
+    if quantize:
+        bins = jnp.linspace(-1, 1, num=int(1 + mu), endpoint=True)
+        return (
+            jnp.digitize(x_comp, bins, right=True) - int(mu + 1) // 2
+        )
+    return x_comp
+
+
+def mu_expand(x: Any, *, mu: float = 255, quantize: bool = True) -> jax.Array:
+    """mu-law expansion (inverse of mu_compress). Parity: core/audio.py:2151."""
+    if mu <= 0:
+        raise ParameterError(
+            f"Inverse mu-law compression parameter mu={mu} must be strictly positive."
+        )
+    x = jnp.asarray(x)
+    if quantize:
+        x = x * 2.0 / (1 + mu)
+    if bool(jnp.any(x < -1)) or bool(jnp.any(x > 1)):
+        raise ParameterError("Inverse mu-law input x must be in the range [-1, +1].")
+    return jnp.sign(x) / mu * (jnp.power(1 + mu, jnp.abs(x)) - 1)

@@ -1,0 +1,464 @@
+"""Pitch estimation and tuning (L2).
+
+Fully batched TPU implementations: YIN's cumulative mean normalized
+difference runs as FFT autocorrelation + cumulative sums over frames (one
+fused program, no per-frame Python), parabolic interpolation is a
+shift-compare stencil.  Parity citations: ``librosa/core/pitch.py``.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..util import utils as util
+from ..util.exceptions import ParameterError
+from . import audio, convert
+from .spectrum import _spectrogram
+
+__all__ = [
+    "estimate_tuning",
+    "pitch_tuning",
+    "piptrack",
+    "yin",
+    "pyin",
+]
+
+
+def _parabolic_interpolation(x: jax.Array, *, axis: int = -2) -> jax.Array:
+    """Parabolic-optimum shift per bin; 0 where the shift would exceed ±1 bin.
+
+    Parity: core/pitch.py:421 (_pi_stencil) — boundaries are 0.
+    """
+    xi = jnp.swapaxes(x, -1, axis)
+    a = xi[..., 2:] + xi[..., :-2] - 2 * xi[..., 1:-1]
+    b = (xi[..., 2:] - xi[..., :-2]) / 2
+    shift = jnp.where(jnp.abs(b) >= jnp.abs(a), 0.0, -b / jnp.where(a == 0, 1.0, a))
+    zero = jnp.zeros_like(xi[..., :1])
+    out = jnp.concatenate([zero, shift, zero], axis=-1)
+    return jnp.swapaxes(out, -1, axis)
+
+
+def piptrack(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    n_fft: Optional[int] = 2048,
+    hop_length: Optional[int] = None,
+    fmin: float = 150.0,
+    fmax: float = 4000.0,
+    threshold: float = 0.1,
+    win_length: Optional[int] = None,
+    window: Any = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    ref: Optional[Union[float, Callable]] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pitch tracking on thresholded parabolically-interpolated STFT peaks.
+
+    Parity: core/pitch.py:182.
+    """
+    S, n_fft = _spectrogram(
+        y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window=window, center=center, pad_mode=pad_mode,
+    )
+    if jnp.issubdtype(S.dtype, jnp.complexfloating):
+        S = jnp.abs(S)
+    else:
+        S = jnp.where(S < 0, jnp.abs(S), S)
+
+    fmin = max(fmin, 0)
+    fmax = min(fmax, float(sr) / 2)
+
+    fft_freqs = convert.fft_frequencies(sr=sr, n_fft=n_fft)
+
+    avg = jnp.gradient(S, axis=-2)
+    shift = _parabolic_interpolation(S, axis=-2)
+    dskew = 0.5 * avg * shift
+
+    freq_mask = (fmin <= fft_freqs) & (fft_freqs < fmax)
+    freq_mask = util.expand_to(jnp.asarray(freq_mask), ndim=S.ndim, axes=-2)
+
+    if ref is None:
+        ref = jnp.max
+    if callable(ref):
+        ref_value = threshold * ref(S, axis=-2)
+        ref_value = jnp.expand_dims(ref_value, -2)
+    else:
+        ref_value = jnp.abs(jnp.asarray(ref))
+
+    peaks = freq_mask & util.localmax(S * (S > ref_value), axis=-2)
+
+    bin_idx = util.expand_to(
+        jnp.arange(S.shape[-2], dtype=S.dtype), ndim=S.ndim, axes=-2
+    )
+    pitches = jnp.where(peaks, (bin_idx + shift) * float(sr) / n_fft, 0.0)
+    mags = jnp.where(peaks, S + dskew, 0.0)
+    return pitches, mags
+
+
+def pitch_tuning(
+    frequencies: Any, *, resolution: float = 0.01, bins_per_octave: int = 12
+) -> float:
+    """Tuning estimate from frequencies via residual histogram.
+
+    Parity: core/pitch.py:112.  Histogramming is host-side (tiny data).
+    """
+    frequencies = np.atleast_1d(np.asarray(frequencies))
+    frequencies = frequencies[frequencies > 0]
+    if not np.any(frequencies):
+        warnings.warn(
+            "Trying to estimate tuning from empty frequency set.", stacklevel=2
+        )
+        return 0.0
+
+    residual = np.mod(bins_per_octave * convert.hz_to_octs(frequencies), 1.0)
+    residual[residual >= 0.5] -= 1.0
+    bins = np.linspace(-0.5, 0.5, int(np.ceil(1.0 / resolution)) + 1)
+    counts, tuning = np.histogram(residual, bins)
+    return float(tuning[np.argmax(counts)])
+
+
+def estimate_tuning(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    n_fft: Optional[int] = 2048,
+    resolution: float = 0.01,
+    bins_per_octave: int = 12,
+    **kwargs: Any,
+) -> float:
+    """Estimate tuning deviation (fractional bins) from piptrack peaks.
+
+    Parity: core/pitch.py:28.
+    """
+    pitch, mag = piptrack(y=y, sr=sr, S=S, n_fft=n_fft, **kwargs)
+    pitch = np.asarray(pitch)
+    mag = np.asarray(mag)
+
+    pitch_mask = pitch > 0
+    if pitch_mask.any():
+        threshold = np.median(mag[pitch_mask])
+    else:
+        threshold = 0.0
+    return pitch_tuning(
+        pitch[(mag >= threshold) & pitch_mask],
+        resolution=resolution,
+        bins_per_octave=bins_per_octave,
+    )
+
+
+def _cumulative_mean_normalized_difference(
+    y_frames: jax.Array, min_period: int, max_period: int
+) -> jax.Array:
+    """CMND function (YIN eq. 8). Parity: core/pitch.py:369.
+
+    Frames arrive as (..., frame_length, n_frames); all math batches over
+    frames — FFT autocorrelation + cumsums, one fused device program.
+    """
+    acf_frames = audio.autocorrelate(y_frames, max_size=max_period + 1, axis=-2)
+
+    energy = jnp.cumsum(jnp.square(y_frames), axis=-2)
+
+    # d(k) = 2*(ACF(0) - ACF(k)) - sum_{m<k} y(m)^2   for k in 1..max_period
+    k = slice(1, max_period + 1)
+    d = (
+        2 * (acf_frames[..., 0:1, :] - acf_frames[..., k, :])
+        - energy[..., : max_period, :]
+    )
+
+    yin_numerator = d[..., min_period - 1 : max_period, :]
+    k_range = util.expand_to(
+        jnp.arange(1, max_period + 1, dtype=d.dtype), ndim=d.ndim, axes=-2
+    )
+    cumulative_mean = jnp.cumsum(d, axis=-2) / k_range
+    yin_denominator = cumulative_mean[..., min_period - 1 : max_period, :]
+    return yin_numerator / (yin_denominator + util.tiny(yin_denominator))
+
+
+def _check_yin_params(
+    *, sr: float, fmax: float, fmin: float, frame_length: int, win_length: Optional[int] = None
+) -> None:
+    """Validate yin/pyin parameters. Parity: core/pitch.py (__check_yin_params)."""
+    if fmin is None or fmax is None:
+        raise ParameterError('both "fmin" and "fmax" must be provided')
+    if fmin <= 0:
+        raise ParameterError(f"fmin={fmin} must be strictly positive")
+    if fmax <= fmin:
+        raise ParameterError(f"fmax={fmax} must be greater than fmin={fmin}")
+    if fmax > sr / 2:
+        raise ParameterError(f"fmax={fmax} cannot exceed Nyquist frequency {sr/2}")
+    if frame_length < 1:
+        raise ParameterError(f"frame_length={frame_length} must be a positive integer")
+    if win_length is not None and win_length >= frame_length:
+        raise ParameterError(
+            f"win_length={win_length} must be less than frame_length={frame_length}"
+        )
+    # frames must be long enough to cover at least one full period of fmin
+    if sr / fmin >= frame_length:
+        raise ParameterError(
+            f"frame_length={frame_length} is too small for fmin={fmin} at sr={sr}"
+        )
+
+
+def yin(
+    y: Any,
+    *,
+    fmin: float,
+    fmax: float,
+    sr: float = 22050,
+    frame_length: int = 2048,
+    win_length: Optional[int] = None,
+    hop_length: Optional[int] = None,
+    trough_threshold: float = 0.1,
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> jax.Array:
+    """Fundamental frequency estimation via YIN. Parity: core/pitch.py:480."""
+    _check_yin_params(
+        sr=sr, fmax=fmax, fmin=fmin, frame_length=frame_length, win_length=win_length
+    )
+
+    if hop_length is None:
+        hop_length = frame_length // 4
+
+    y = jnp.asarray(y)
+    if center:
+        padding = [(0, 0)] * y.ndim
+        padding[-1] = (frame_length // 2, frame_length // 2)
+        y = jnp.pad(y, padding, mode=pad_mode)
+
+    y_frames = util.frame(y, frame_length=frame_length, hop_length=hop_length)
+
+    min_period = int(np.floor(sr / fmax))
+    max_period = min(int(np.ceil(sr / fmin)), frame_length - 1)
+
+    yin_frames = _cumulative_mean_normalized_difference(
+        y_frames, min_period, max_period
+    )
+    parabolic_shifts = _parabolic_interpolation(yin_frames)
+
+    is_trough = util.localmin(yin_frames, axis=-2)
+    is_trough = is_trough.at[..., 0, :].set(
+        yin_frames[..., 0, :] < yin_frames[..., 1, :]
+    )
+    is_threshold_trough = jnp.logical_and(is_trough, yin_frames < trough_threshold)
+
+    global_min = jnp.argmin(yin_frames, axis=-2, keepdims=True)
+    yin_period = jnp.argmax(is_threshold_trough, axis=-2, keepdims=True)
+    no_trough = jnp.all(~is_threshold_trough, axis=-2, keepdims=True)
+    yin_period = jnp.where(no_trough, global_min, yin_period)
+
+    shifts = jnp.take_along_axis(parabolic_shifts, yin_period, axis=-2)
+    period = (min_period + yin_period + shifts)[..., 0, :]
+    return sr / period
+
+
+def pyin(
+    y: Any,
+    *,
+    fmin: float,
+    fmax: float,
+    sr: float = 22050,
+    frame_length: int = 2048,
+    win_length: Optional[int] = None,
+    hop_length: Optional[int] = None,
+    n_thresholds: int = 100,
+    beta_parameters: Tuple[float, float] = (2, 18),
+    boltzmann_parameter: float = 2,
+    resolution: float = 0.1,
+    max_transition_rate: float = 35.92,
+    switch_prob: float = 0.01,
+    no_trough_prob: float = 0.01,
+    fill_na: Optional[float] = np.nan,
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Probabilistic YIN (pYIN). Parity: core/pitch.py:631.
+
+    Fully batched: the per-frame trough-probability computation of the
+    reference's Python loop (core/pitch.py:870) is replaced with masked
+    tensor ops; decoding is a max-plus Viterbi scan.
+
+    Returns (f0, voiced_flag, voiced_prob).
+    """
+    from ..sequence import transition_local, transition_loop, viterbi
+
+    _check_yin_params(
+        sr=sr, fmax=fmax, fmin=fmin, frame_length=frame_length, win_length=win_length
+    )
+    if hop_length is None:
+        hop_length = frame_length // 4
+
+    y = jnp.asarray(y)
+    if center:
+        padding = [(0, 0)] * y.ndim
+        padding[-1] = (frame_length // 2, frame_length // 2)
+        y = jnp.pad(y, padding, mode=pad_mode)
+
+    y_frames = util.frame(y, frame_length=frame_length, hop_length=hop_length)
+
+    min_period = int(np.floor(sr / fmax))
+    max_period = min(int(np.ceil(sr / fmin)), frame_length - 1)
+
+    yin_frames = _cumulative_mean_normalized_difference(
+        y_frames, min_period, max_period
+    )
+    parabolic_shifts = _parabolic_interpolation(yin_frames)
+
+    # ------------------------------------------------------------------
+    # Trough prior over thresholds (reference __pyin_helper, vectorized)
+    # ------------------------------------------------------------------
+    import scipy.stats
+
+    thresholds = np.linspace(0, 1, n_thresholds + 1)
+    beta_cdf = scipy.stats.beta.cdf(thresholds, beta_parameters[0], beta_parameters[1])
+    beta_probs = np.diff(beta_cdf)  # (n_thresholds,)
+
+    n_bins_per_semitone = int(np.ceil(1.0 / resolution))
+    n_pitch_bins = int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
+
+    is_trough = util.localmin(yin_frames, axis=-2)
+    is_trough = is_trough.at[..., 0, :].set(
+        yin_frames[..., 0, :] < yin_frames[..., 1, :]
+    )
+
+    # trough_index grid: (..., n_periods, n_frames)
+    yin_probs = _pyin_trough_probs(
+        yin_frames,
+        is_trough,
+        jnp.asarray(thresholds),
+        jnp.asarray(beta_probs),
+        boltzmann_parameter,
+        no_trough_prob,
+    )
+
+    yin_period = jnp.arange(min_period, max_period + 1)
+    # Refined periods per bin (only where yin_probs > 0 matters)
+    period_cands = (
+        yin_period.reshape((-1, 1)).astype(yin_frames.dtype) + parabolic_shifts
+    )
+    f0_cands = sr / period_cands  # (..., n_periods, n_frames)
+
+    # Map candidate frequencies to pitch bins
+    bin_index = 12 * n_bins_per_semitone * jnp.log2(f0_cands / fmin)
+    bin_index = jnp.clip(jnp.round(bin_index), 0, n_pitch_bins - 1).astype(jnp.int32)
+
+    # Scatter-add probabilities into pitch-bin observation matrix
+    # (..., n_pitch_bins, n_frames)
+    def scatter_obs(probs, bins):
+        # probs, bins: (n_periods, n_frames)
+        out = jnp.zeros((n_pitch_bins, probs.shape[-1]), dtype=probs.dtype)
+        return out.at[bins, jnp.arange(probs.shape[-1])[None, :]].add(probs)
+
+    lead_shape = yin_probs.shape[:-2]
+    flatp = yin_probs.reshape((-1,) + yin_probs.shape[-2:])
+    flatb = jnp.broadcast_to(bin_index, yin_probs.shape).reshape(
+        (-1,) + yin_probs.shape[-2:]
+    )
+    observation_probs = jax.vmap(scatter_obs)(flatp, flatb)
+    observation_probs = observation_probs.reshape(
+        lead_shape + (n_pitch_bins, flatp.shape[-1])
+    )
+
+    voiced_prob = jnp.clip(
+        jnp.sum(observation_probs, axis=-2, keepdims=True), 0, 1
+    )
+    # Unvoiced states share the remaining mass uniformly
+    unvoiced = (1 - voiced_prob) / n_pitch_bins
+    obs_full = jnp.concatenate(
+        [observation_probs, jnp.broadcast_to(unvoiced, observation_probs.shape)],
+        axis=-2,
+    )
+
+    # Transition matrix: local pitch transitions ⊗ voicing switch
+    max_semitones_per_frame = round(max_transition_rate * 12 * hop_length / sr)
+    transition_width = max_semitones_per_frame * n_bins_per_semitone + 1
+    transition = transition_local(
+        n_pitch_bins, transition_width, window="triangle", wrap=False
+    )
+    t_switch = transition_loop(2, 1 - switch_prob)
+    transition = np.kron(t_switch, np.asarray(transition))
+
+    p_init = np.zeros(2 * n_pitch_bins)
+    p_init[n_pitch_bins:] = 1 / n_pitch_bins
+
+    states = viterbi(obs_full, jnp.asarray(transition), p_init=jnp.asarray(p_init))
+
+    # Decode: state < n_pitch_bins → voiced at that bin
+    freqs = fmin * 2 ** (jnp.arange(n_pitch_bins) / (12 * n_bins_per_semitone))
+    f0 = freqs[states % n_pitch_bins]
+    voiced_flag = states < n_pitch_bins
+
+    if fill_na is not None:
+        f0 = jnp.where(voiced_flag, f0, fill_na)
+
+    return f0, voiced_flag, voiced_prob[..., 0, :]
+
+
+def _pyin_trough_probs(
+    yin_frames: jax.Array,
+    is_trough: jax.Array,
+    thresholds: jax.Array,
+    beta_probs: jax.Array,
+    boltzmann_parameter: float,
+    no_trough_prob: float,
+) -> jax.Array:
+    """Batched pYIN trough probabilities (replaces the per-frame loop at
+    core/pitch.py:870).
+
+    For each threshold t: troughs below t get Boltzmann-weighted prior mass
+    (by trough order), scaled by beta prior; if no trough is below t, the
+    global-minimum trough receives ``no_trough_prob`` of the mass.
+    """
+    # (..., P, T) — P period candidates, T frames
+    P = yin_frames.shape[-2]
+    n_thresh = thresholds.shape[0] - 1
+
+    # trough order index among troughs (cumulative count along period axis)
+    trough_rank = jnp.cumsum(is_trough, axis=-2) - 1  # rank of each trough
+
+    # For each threshold k (1..n_thresh), mask of troughs below thresholds[k]
+    # shapes: thresholds (n_thresh+1,), broadcast to (n_thresh, ..., P, T)
+    yin_e = yin_frames[None, ...]
+    trough_e = is_trough[None, ...]
+    thr = thresholds[1:].reshape((n_thresh,) + (1,) * yin_frames.ndim)
+
+    below = trough_e & (yin_e < thr)  # (n_thresh, ..., P, T)
+
+    # Boltzmann pmf over the *rank among troughs below threshold*
+    rank_below = jnp.cumsum(below, axis=-2) - 1
+    n_below = jnp.sum(below, axis=-2, keepdims=True)  # (n_thresh, ..., 1, T)
+
+    a = boltzmann_parameter
+    # boltzmann.pmf(k, a, N) = exp(-a k) (1 - exp(-a)) / (1 - exp(-a N))
+    pmf = (
+        jnp.exp(-a * rank_below)
+        * (1 - np.exp(-a))
+        / (1 - jnp.exp(-a * jnp.maximum(n_below, 1)))
+    )
+    probs_k = jnp.where(below, pmf, 0.0)
+
+    beta_w = beta_probs.reshape((n_thresh,) + (1,) * yin_frames.ndim)
+    weighted = probs_k * beta_w
+
+    yin_probs = jnp.sum(weighted, axis=0)  # (..., P, T)
+
+    # Thresholds with no troughs below: add no_trough_prob * beta mass to the
+    # global minimum trough
+    global_min = jnp.argmin(yin_frames, axis=-2, keepdims=True)  # (..., 1, T)
+    empty = (n_below[..., 0:1, :] == 0)  # (n_thresh, ..., 1, T)
+    empty_mass = jnp.sum(
+        jnp.where(empty, beta_w, 0.0), axis=0
+    )  # (..., 1, T)
+    onehot = jax.nn.one_hot(
+        global_min[..., 0, :], P, axis=-2, dtype=yin_frames.dtype
+    )
+    yin_probs = yin_probs + no_trough_prob * empty_mass * onehot
+    return yin_probs

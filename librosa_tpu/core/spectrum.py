@@ -1,0 +1,714 @@
+"""STFT engine and spectral transforms (L2).
+
+TPU-first design: framing is a static gather fused by XLA into the
+window-multiply and FFT; the inverse uses a shift-accumulate overlap-add
+(no scatter).  All shape arithmetic (frame counts, padding) happens at trace
+time; everything here jit-compiles cleanly with static configuration.
+
+Behavioral parity with reference ``librosa/core/spectrum.py`` (cited inline).
+Output layout matches the reference: frequency at axis -2, time at axis -1.
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import filters
+from ..ops.framing import frame_signal, overlap_add
+from ..util import utils as util
+from ..util.exceptions import ParameterError
+
+__all__ = [
+    "stft",
+    "istft",
+    "magphase",
+    "phase_vocoder",
+    "power_to_db",
+    "db_to_power",
+    "amplitude_to_db",
+    "db_to_amplitude",
+    "perceptual_weighting",
+    "pcen",
+    "griffinlim",
+    "_spectrogram",
+]
+
+_WindowSpec = Any
+
+
+def _win_device(
+    window: _WindowSpec, win_length: int, n_fft: int, dtype: Any
+) -> jax.Array:
+    """Host-construct a window, center-pad to n_fft, move to device."""
+    fft_window = filters.get_window(window, win_length, fftbins=True)
+    if len(fft_window) < n_fft:
+        lpad = (n_fft - len(fft_window)) // 2
+        fft_window = np.pad(
+            fft_window, (lpad, n_fft - len(fft_window) - lpad), mode="constant"
+        )
+    return jnp.asarray(fft_window, dtype=dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "center", "pad_mode")
+)
+def _stft_core(
+    y: jax.Array,
+    window: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+) -> jax.Array:
+    """Framed windowed rFFT.  Returns (..., 1 + n_fft//2, n_frames).
+
+    Equivalent to reference core/spectrum.py:58 (stft): centered pad,
+    stride-trick framing, blocked rFFT — expressed as pad + gather + batched
+    rfft that XLA fuses and tiles.
+    """
+    if center:
+        pad = [(0, 0)] * y.ndim
+        pad[-1] = (n_fft // 2, n_fft // 2)
+        y = jnp.pad(y, pad, mode=pad_mode)
+    frames = frame_signal(y, frame_length=n_fft, hop_length=hop_length)
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    # (..., n_frames, n_bins) → (..., n_bins, n_frames)
+    return jnp.swapaxes(spec, -2, -1)
+
+
+def stft(
+    y: Any,
+    *,
+    n_fft: int = 2048,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    dtype: Any = None,
+    pad_mode: str = "constant",
+    out: Any = None,
+) -> jax.Array:
+    """Short-time Fourier transform.
+
+    Parity: reference ``core/spectrum.py:58`` — hann window padded to n_fft,
+    centered pad (default ``constant``), output ``(..., 1 + n_fft//2, t)``.
+    ``out=`` is accepted for API compatibility and ignored (JAX is functional).
+    """
+    if win_length is None:
+        win_length = n_fft
+    if hop_length is None:
+        hop_length = int(win_length // 4)
+    if hop_length <= 0:
+        raise ParameterError(f"hop_length={hop_length} must be a positive integer")
+
+    y = jnp.asarray(y)
+    if not jnp.issubdtype(y.dtype, jnp.floating):
+        raise ParameterError("Audio data must be floating-point")
+    if y.ndim == 0:
+        raise ParameterError("Audio data must be at least one-dimensional")
+
+    if center:
+        if n_fft > y.shape[-1]:
+            warnings.warn(
+                f"n_fft={n_fft} is too large for input signal of length={y.shape[-1]}",
+                stacklevel=2,
+            )
+    elif n_fft > y.shape[-1]:
+        raise ParameterError(
+            f"n_fft={n_fft} is too large for uncentered analysis of input "
+            f"signal of length={y.shape[-1]}"
+        )
+
+    real_dtype = y.dtype if y.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    window_dev = _win_device(window, win_length, n_fft, real_dtype)
+
+    S = _stft_core(
+        y,
+        window_dev,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        center=center,
+        pad_mode=pad_mode,
+    )
+    if dtype is not None:
+        S = S.astype(dtype)
+    return S
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "n_frames", "start", "out_len"),
+)
+def _istft_core(
+    S: jax.Array,
+    window: jax.Array,
+    wss: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    n_frames: int,
+    start: int,
+    out_len: int,
+) -> jax.Array:
+    """Windowed irfft + overlap-add + window-sumsquare normalization.
+
+    Equivalent to reference core/spectrum.py:395 (istft), with the head-block
+    special case folded into a single full overlap-add followed by slicing.
+    """
+    S = S[..., :n_frames]
+    # (..., n_bins, T) → (..., T, n_bins) → irfft → (..., T, n_fft)
+    frames = jnp.fft.irfft(jnp.swapaxes(S, -2, -1), n=n_fft, axis=-1)
+    frames = frames * window
+    y_full = overlap_add(frames, hop_length=hop_length)
+
+    avail = y_full.shape[-1] - start
+    take = min(avail, out_len)
+    y = y_full[..., start : start + take]
+    if take < out_len:
+        pad = [(0, 0)] * y.ndim
+        pad[-1] = (0, out_len - take)
+        y = jnp.pad(y, pad)
+
+    # Normalize where the window envelope is non-degenerate
+    denom = wss
+    good = denom > util.tiny(denom)
+    return jnp.where(good, y / jnp.where(good, denom, 1.0), y)
+
+
+def istft(
+    stft_matrix: Any,
+    *,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    n_fft: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    dtype: Any = None,
+    length: Optional[int] = None,
+    out: Any = None,
+) -> jax.Array:
+    """Inverse STFT via windowed overlap-add (Griffin-Lim LSE reconstruction).
+
+    Parity: reference ``core/spectrum.py:395``.
+    """
+    S = jnp.asarray(stft_matrix)
+    if n_fft is None:
+        n_fft = 2 * (S.shape[-2] - 1)
+    if win_length is None:
+        win_length = n_fft
+    if hop_length is None:
+        hop_length = int(win_length // 4)
+
+    if length:
+        padded_length = length + 2 * (n_fft // 2) if center else length
+        n_frames = min(S.shape[-1], int(np.ceil(padded_length / hop_length)))
+    else:
+        n_frames = S.shape[-1]
+
+    if dtype is None:
+        dtype = util.dtype_c2r(S.dtype)
+
+    expected_signal_len = n_fft + hop_length * (n_frames - 1)
+    if length:
+        expected_signal_len = int(length)
+    elif center:
+        expected_signal_len -= 2 * (n_fft // 2)
+
+    start = n_fft // 2 if center else 0
+
+    window_dev = _win_device(window, win_length, n_fft, np.dtype(dtype))
+
+    # Host-computed normalization envelope (pure function of config)
+    wss = filters.window_sumsquare(
+        window=window,
+        n_frames=n_frames,
+        win_length=win_length,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        dtype=np.dtype(dtype),
+    )
+    wss = wss[start:]
+    if wss.shape[-1] > expected_signal_len:
+        wss = wss[:expected_signal_len]
+    elif wss.shape[-1] < expected_signal_len:
+        wss = np.pad(wss, (0, expected_signal_len - wss.shape[-1]))
+
+    y = _istft_core(
+        S,
+        window_dev,
+        jnp.asarray(wss),
+        n_fft=n_fft,
+        hop_length=hop_length,
+        n_frames=n_frames,
+        start=start,
+        out_len=expected_signal_len,
+    )
+    return y.astype(dtype)
+
+
+def magphase(D: Any, *, power: float = 1) -> Tuple[jax.Array, jax.Array]:
+    """Separate a spectrogram into magnitude**power and phase components.
+
+    Parity: core/spectrum.py:1296.
+    """
+    D = jnp.asarray(D)
+    mag = jnp.abs(D)
+    # Prevent NaNs from zero-division; zero bins get unit phase (matches
+    # np.exp(1j*angle(0)) == 1+0j).
+    denom = jnp.where(mag == 0, 1.0, mag)
+    phase = jnp.where(mag == 0, jnp.ones_like(D), D / denom)
+    return mag**power, phase
+
+
+def phase_vocoder(
+    D: Any,
+    *,
+    rate: Optional[float] = None,
+    t_out: Optional[np.ndarray] = None,
+    kind: str = "linear",
+) -> jax.Array:
+    """Interpolation-based phase vocoder (time stretch by ``rate``).
+
+    Parity: reference ``core/spectrum.py:1364`` — cumulative phase from
+    frame-pair differences, interpolated magnitudes, arbitrary ``t_out``.
+    """
+    D = jnp.asarray(D)
+    n_frames = D.shape[-1]
+
+    if (rate is None) == (t_out is None):
+        raise ParameterError("Must specify exactly one of `rate` or `t_out`")
+    if (rate is not None) and (rate <= 0):
+        raise ParameterError(f"rate={rate} must be a positive number")
+    if t_out is None:
+        t_out = np.arange(0.0, n_frames, rate)
+    t_out = np.asarray(t_out, dtype=float)
+    if np.any(t_out < 0) or np.any(t_out >= n_frames):
+        raise ParameterError("t_out values must be in the range [0, D.shape[-1])")
+    if np.any(np.diff(t_out) < 0):
+        warnings.warn(
+            "t_out is not monotonic; phase estimation may be unstable",
+            stacklevel=2,
+        )
+
+    i0 = np.floor(t_out).astype(int)
+    i1 = np.minimum(i0 + 1, n_frames - 1)
+    frac = jnp.asarray(t_out - i0, dtype=jnp.result_type(D.real.dtype, jnp.float32))
+
+    ph = jnp.angle(D)
+    diff = ph[..., jnp.asarray(i1)] - ph[..., jnp.asarray(i0)]
+
+    # phase[..., 0] = angle(D[..., i0[0]]); phase[..., k>0] = diff[..., k-1]
+    first = ph[..., i0[0]][..., None]
+    phase = jnp.concatenate([first, diff[..., :-1]], axis=-1)
+    phase = jnp.cumsum(phase, axis=-1)
+
+    mag = jnp.abs(D)
+    if kind == "linear":
+        m0 = mag[..., jnp.asarray(i0)]
+        m1 = mag[..., jnp.asarray(i1)]
+        mag_out = m0 * (1 - frac) + m1 * frac
+    elif kind == "nearest":
+        inear = np.where(t_out - i0 < 0.5, i0, i1)
+        mag_out = mag[..., jnp.asarray(inear)]
+    else:
+        # Exotic interpolation kinds are delegated to scipy on host
+        import scipy.interpolate
+
+        interp = scipy.interpolate.interp1d(
+            np.arange(n_frames),
+            np.asarray(mag),
+            kind=kind,
+            axis=-1,
+            fill_value="extrapolate",
+            assume_sorted=True,
+            copy=False,
+        )
+        mag_out = jnp.asarray(interp(t_out))
+
+    return util.phasor(phase, mag=mag_out)
+
+
+# ---------------------------------------------------------------------------
+# dB scaling (reference core/spectrum.py:1735-2150)
+# ---------------------------------------------------------------------------
+
+
+def power_to_db(
+    S: Any,
+    *,
+    ref: Union[float, Callable] = 1.0,
+    amin: float = 1e-10,
+    top_db: Optional[float] = 80.0,
+) -> jax.Array:
+    """Convert a power spectrogram to dB. Parity: core/spectrum.py:1735."""
+    S = jnp.asarray(S)
+    if amin <= 0:
+        raise ParameterError("amin must be strictly positive")
+    if jnp.issubdtype(S.dtype, jnp.complexfloating):
+        warnings.warn(
+            "power_to_db was called on complex input so phase "
+            "information will be discarded. To suppress this warning, "
+            "call power_to_db(np.abs(D)**2) instead.",
+            stacklevel=2,
+        )
+        magnitude = jnp.abs(S)
+    else:
+        magnitude = S
+
+    if callable(ref):
+        ref_value = ref(magnitude)
+    else:
+        ref_value = jnp.abs(jnp.asarray(ref, dtype=magnitude.dtype))
+
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, magnitude))
+    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, ref_value))
+
+    if top_db is not None:
+        if top_db < 0:
+            raise ParameterError("top_db must be non-negative")
+        log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - top_db)
+    return log_spec
+
+
+def db_to_power(S_db: Any, *, ref: float = 1.0) -> jax.Array:
+    """Invert dB scaling to power. Parity: core/spectrum.py:1887."""
+    return ref * jnp.power(10.0, 0.1 * jnp.asarray(S_db))
+
+
+def amplitude_to_db(
+    S: Any,
+    *,
+    ref: Union[float, Callable] = 1.0,
+    amin: float = 1e-5,
+    top_db: Optional[float] = 80.0,
+) -> jax.Array:
+    """Convert an amplitude spectrogram to dB. Parity: core/spectrum.py:1946."""
+    S = jnp.asarray(S)
+    if jnp.issubdtype(S.dtype, jnp.complexfloating):
+        warnings.warn(
+            "amplitude_to_db was called on complex input so phase "
+            "information will be discarded. To suppress this warning, "
+            "call amplitude_to_db(np.abs(S)) instead.",
+            stacklevel=2,
+        )
+    magnitude = jnp.abs(S)
+    if callable(ref):
+        ref_value = ref(magnitude)
+    else:
+        ref_value = jnp.abs(jnp.asarray(ref))
+    power = jnp.square(magnitude)
+    db: jax.Array = power_to_db(
+        power, ref=ref_value**2, amin=amin**2, top_db=top_db
+    )
+    return db
+
+
+def db_to_amplitude(S_db: Any, *, ref: float = 1.0) -> jax.Array:
+    """Invert dB scaling to amplitude. Parity: core/spectrum.py:2054."""
+    return db_to_power(S_db, ref=ref**2) ** 0.5
+
+
+def perceptual_weighting(
+    S: Any, frequencies: np.ndarray, *, kind: str = "A", **kwargs: Any
+) -> jax.Array:
+    """Perceptual weighting of a power spectrogram. Parity: core/spectrum.py:2083."""
+    from .convert import frequency_weighting
+
+    offset = frequency_weighting(frequencies, kind=kind).reshape((-1, 1))
+    result: jax.Array = jnp.asarray(offset) + power_to_db(S, **kwargs)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# PCEN (reference core/spectrum.py:2396) — IIR smoother as associative scan
+# ---------------------------------------------------------------------------
+
+
+def _exp_filter_scan(x: jax.Array, b: float, zi: jax.Array, axis: int):
+    """First-order IIR  y[n] = b*x[n] + (1-b)*y[n-1]  along ``axis``.
+
+    Linear first-order recurrences compose associatively, so this runs as a
+    parallel (log-depth) ``lax.associative_scan`` on TPU instead of the
+    reference's sequential ``scipy.signal.lfilter`` (core/spectrum.py:2648).
+    ``zi`` is the scipy-convention initial delay state: y[0] = b*x[0] + zi.
+    """
+    x = jnp.moveaxis(x, axis, -1)
+    # incorporate zi into the first element
+    x0 = x[..., 0] + zi / b if b != 0 else x[..., 0]
+    xs = jnp.concatenate([b * x0[..., None], b * x[..., 1:]], axis=-1)
+
+    a = jnp.full(x.shape, 1.0 - b, dtype=x.dtype)
+
+    def combine(l, r):
+        a_l, b_l = l
+        a_r, b_r = r
+        return a_l * a_r, b_r + a_r * b_l
+
+    _, y = jax.lax.associative_scan(combine, (a, xs), axis=-1)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def pcen(
+    S: Any,
+    *,
+    sr: float = 22050,
+    hop_length: int = 512,
+    gain: float = 0.98,
+    bias: float = 2,
+    power: float = 0.5,
+    time_constant: float = 0.400,
+    eps: float = 1e-6,
+    b: Optional[float] = None,
+    max_size: int = 1,
+    ref: Optional[Any] = None,
+    axis: int = -1,
+    max_axis: Optional[int] = None,
+    zi: Optional[Any] = None,
+    return_zf: bool = False,
+):
+    """Per-channel energy normalization (PCEN). Parity: core/spectrum.py:2396.
+
+    The temporal IIR smoother runs as a parallel associative scan; the
+    optional frequency max-filter is an XLA ``reduce_window``.
+    """
+    if power < 0:
+        raise ParameterError(f"power={power} must be nonnegative")
+    if gain < 0:
+        raise ParameterError(f"gain={gain} must be non-negative")
+    if bias < 0:
+        raise ParameterError(f"bias={bias} must be non-negative")
+    if eps <= 0:
+        raise ParameterError(f"eps={eps} must be strictly positive")
+    if time_constant <= 0:
+        raise ParameterError(
+            f"time_constant={time_constant} must be strictly positive"
+        )
+    if not util.is_positive_int(max_size):
+        raise ParameterError(f"max_size={max_size} must be a positive integer")
+
+    if b is None:
+        t_frames = time_constant * sr / float(hop_length)
+        b = (np.sqrt(1 + 4 * t_frames**2) - 1) / (2 * t_frames**2)
+    if not 0 <= b <= 1:
+        raise ParameterError(f"b={b} must be between 0 and 1")
+
+    S = jnp.asarray(S)
+    if jnp.issubdtype(S.dtype, jnp.complexfloating):
+        warnings.warn(
+            "pcen was called on complex input so phase "
+            "information will be discarded. To suppress this warning, "
+            "call pcen(np.abs(D)) instead.",
+            stacklevel=2,
+        )
+        S = jnp.abs(S)
+
+    if ref is None:
+        if max_size == 1:
+            ref_arr = S
+        elif S.ndim == 1:
+            raise ParameterError(
+                "Max-filtering cannot be applied to 1-dimensional input"
+            )
+        else:
+            if max_axis is None:
+                if S.ndim != 2:
+                    raise ParameterError(
+                        f"Max-filtering a {S.ndim:d}-dimensional spectrogram "
+                        "requires you to specify max_axis"
+                    )
+                max_axis = int(np.mod(1 - axis, 2))
+            # centered 1-D max filter (scipy.ndimage.maximum_filter1d parity)
+            lpad = max_size // 2
+            rpad = max_size - 1 - lpad
+            pads = [(0, 0)] * S.ndim
+            pads[max_axis] = (lpad, rpad)
+            window_dims = [1] * S.ndim
+            window_dims[max_axis] = max_size
+            ref_arr = jax.lax.reduce_window(
+                jnp.pad(S, pads, mode="edge"),
+                -jnp.inf,
+                jax.lax.max,
+                tuple(window_dims),
+                (1,) * S.ndim,
+                "valid",
+            )
+    else:
+        ref_arr = jnp.asarray(ref)
+
+    if zi is None:
+        # scipy.signal.lfilter_zi([b], [1, b-1]) == 1 - b (steady state)
+        zi_val = jnp.asarray(1.0 - b, dtype=ref_arr.dtype)
+    else:
+        zi_val = jnp.asarray(zi, dtype=ref_arr.dtype)
+        zi_val = jnp.moveaxis(zi_val, axis, -1)[..., 0]
+
+    S_smooth = _exp_filter_scan(ref_arr, float(b), zi_val, axis)
+
+    # Adaptive gain control, stabilized in log space
+    smooth = jnp.exp(-gain * (np.log(eps) + jnp.log1p(S_smooth / eps)))
+
+    if power == 0:
+        S_out = jnp.log1p(S * smooth)
+    elif bias == 0:
+        S_out = jnp.exp(power * (jnp.log(S) + jnp.log(smooth)))
+    else:
+        S_out = (bias**power) * jnp.expm1(power * jnp.log1p(S * smooth / bias))
+
+    if return_zf:
+        # scipy zf convention for this filter: zf = (1-b) * y[-1]
+        y_last = jnp.moveaxis(S_smooth, axis, -1)[..., -1:]
+        zf = jnp.moveaxis((1.0 - b) * y_last, -1, axis)
+        return S_out, zf
+    return S_out
+
+
+# ---------------------------------------------------------------------------
+# Griffin-Lim (reference core/spectrum.py:2669) — jitted momentum iteration
+# ---------------------------------------------------------------------------
+
+
+def griffinlim(
+    S: Any,
+    *,
+    n_iter: int = 32,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    n_fft: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    dtype: Any = None,
+    length: Optional[int] = None,
+    pad_mode: str = "constant",
+    momentum: float = 0.99,
+    init: Optional[str] = "random",
+    random_state: Optional[Any] = None,
+) -> jax.Array:
+    """Griffin-Lim phase recovery with momentum (fast GL).
+
+    Parity: core/spectrum.py:2669.
+    """
+    if momentum > 1:
+        warnings.warn(
+            f"Griffin-Lim with momentum={momentum} > 1 can be unstable. "
+            "Proceed with caution!",
+            stacklevel=2,
+        )
+    elif momentum < 0:
+        raise ParameterError(f"griffinlim() called with momentum={momentum} < 0")
+
+    S = jnp.asarray(S)
+    if n_fft is None:
+        n_fft = 2 * (S.shape[-2] - 1)
+    if win_length is None:
+        win_length = n_fft
+    if hop_length is None:
+        hop_length = int(win_length // 4)
+
+    if random_state is None:
+        seed = 0
+    elif isinstance(random_state, int):
+        seed = random_state
+    else:
+        seed = int(np.asarray(random_state.randint(2**31)))
+
+    ang_dtype = util.dtype_r2c(S.dtype)
+    if init == "random":
+        key = jax.random.PRNGKey(seed)
+        angles = util.phasor(
+            2 * np.pi * jax.random.uniform(key, S.shape, dtype=jnp.float32)
+        ).astype(ang_dtype)
+    elif init is None:
+        angles = jnp.ones(S.shape, dtype=ang_dtype)
+    else:
+        raise ParameterError(f"init={init} must either None or 'random'")
+
+    eps = util.tiny(jnp.zeros((), dtype=ang_dtype))
+    rebuilt = jnp.zeros_like(angles)
+
+    for _ in range(n_iter):
+        tprev = rebuilt
+        inverse = istft(
+            S * angles,
+            hop_length=hop_length,
+            win_length=win_length,
+            n_fft=n_fft,
+            window=window,
+            center=center,
+            dtype=dtype,
+            length=length,
+        )
+        rebuilt = stft(
+            inverse,
+            n_fft=n_fft,
+            hop_length=hop_length,
+            win_length=win_length,
+            window=window,
+            center=center,
+            pad_mode=pad_mode,
+        )
+        angles = rebuilt - (momentum / (1 + momentum)) * tprev
+        angles = angles / (jnp.abs(angles) + eps)
+
+    return istft(
+        S * angles,
+        hop_length=hop_length,
+        win_length=win_length,
+        n_fft=n_fft,
+        window=window,
+        center=center,
+        dtype=dtype,
+        length=length,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The y-or-S polymorphic helper (reference core/spectrum.py:2920)
+# ---------------------------------------------------------------------------
+
+
+def _spectrogram(
+    *,
+    y: Any = None,
+    S: Any = None,
+    n_fft: Optional[int] = 2048,
+    hop_length: Optional[int] = 512,
+    power: float = 1,
+    win_length: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> Tuple[jax.Array, int]:
+    """Retrieve a magnitude spectrogram: pass-through S or compute from y."""
+    if S is not None:
+        S = jnp.asarray(S)
+        if n_fft is None or n_fft // 2 + 1 != S.shape[-2]:
+            n_fft = 2 * (S.shape[-2] - 1)
+    else:
+        if n_fft is None:
+            raise ParameterError(f"Unable to compute spectrogram with n_fft={n_fft}")
+        if y is None:
+            raise ParameterError(
+                "Input signal must be provided to compute a spectrogram"
+            )
+        S = (
+            jnp.abs(
+                stft(
+                    y,
+                    n_fft=n_fft,
+                    hop_length=hop_length,
+                    win_length=win_length,
+                    center=center,
+                    window=window,
+                    pad_mode=pad_mode,
+                )
+            )
+            ** power
+        )
+    return S, n_fft

@@ -1,0 +1,717 @@
+"""Frame-level spectral descriptors (L4).
+
+All functions follow the reference's y-or-S polymorphism via
+``core.spectrum._spectrogram`` and the multichannel contract (leading axes
+broadcast).  Filterbank applications are MXU matmuls (einsum); reductions are
+XLA-fused.  Parity citations refer to ``librosa/feature/spectral.py``.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import filters
+from ..core.convert import fft_frequencies, mel_frequencies
+from ..core.spectrum import _spectrogram, power_to_db, stft
+from ..ops.transforms import dct_matrix
+from ..util import utils as util
+from ..util.exceptions import ParameterError
+
+__all__ = [
+    "spectral_centroid",
+    "spectral_bandwidth",
+    "spectral_contrast",
+    "spectral_rolloff",
+    "spectral_flatness",
+    "poly_features",
+    "rms",
+    "zero_crossing_rate",
+    "chroma_stft",
+    "chroma_cqt",
+    "chroma_cens",
+    "chroma_vqt",
+    "melspectrogram",
+    "mfcc",
+    "tonnetz",
+]
+
+_WindowSpec = Any
+
+
+def _check_nonneg_real(S: jax.Array, name: str) -> None:
+    if jnp.issubdtype(S.dtype, jnp.complexfloating):
+        raise ParameterError(f"{name} is only defined with real-valued input")
+    if bool(jnp.any(S < 0)):
+        raise ParameterError(f"{name} is only defined with non-negative energies")
+
+
+def spectral_centroid(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    freq: Optional[np.ndarray] = None,
+    win_length: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> jax.Array:
+    """Spectral centroid (frequency-weighted mean). Parity: feature/spectral.py:46."""
+    S, n_fft = _spectrogram(
+        y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window=window, center=center, pad_mode=pad_mode,
+    )
+    _check_nonneg_real(S, "Spectral centroid")
+
+    if freq is None:
+        freq = fft_frequencies(sr=sr, n_fft=n_fft)
+    freq = jnp.asarray(freq)
+    if freq.ndim == 1:
+        freq = util.expand_to(freq, ndim=S.ndim, axes=-2)
+
+    return jnp.sum(
+        freq * util.normalize(S, norm=1, axis=-2), axis=-2, keepdims=True
+    )
+
+
+def spectral_bandwidth(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    freq: Optional[np.ndarray] = None,
+    centroid: Optional[Any] = None,
+    norm: bool = True,
+    p: float = 2,
+) -> jax.Array:
+    """p-th moment spectral bandwidth. Parity: feature/spectral.py:194."""
+    S, n_fft = _spectrogram(
+        y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window=window, center=center, pad_mode=pad_mode,
+    )
+    _check_nonneg_real(S, "Spectral bandwidth")
+
+    if centroid is None:
+        centroid = spectral_centroid(
+            y=y, sr=sr, S=S, n_fft=n_fft, hop_length=hop_length, freq=freq
+        )
+    centroid = jnp.asarray(centroid)
+
+    if freq is None:
+        freq = fft_frequencies(sr=sr, n_fft=n_fft)
+    freq = jnp.asarray(freq)
+
+    if freq.ndim == 1:
+        deviation = jnp.abs(freq[:, None] - centroid[..., 0:1, :])
+    else:
+        deviation = jnp.abs(freq - centroid)
+
+    if norm:
+        S = util.normalize(S, norm=1, axis=-2)
+
+    return jnp.sum(S * deviation**p, axis=-2, keepdims=True) ** (1.0 / p)
+
+
+def spectral_contrast(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    freq: Optional[np.ndarray] = None,
+    fmin: float = 200.0,
+    n_bands: int = 6,
+    quantile: float = 0.02,
+    linear: bool = False,
+) -> jax.Array:
+    """Octave-band spectral contrast (peak − valley). Parity: feature/spectral.py:355.
+
+    Band membership is static (host), so the per-band sort + quantile means
+    compile to fixed-shape device ops.
+    """
+    S, n_fft = _spectrogram(
+        y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window=window, center=center, pad_mode=pad_mode,
+    )
+
+    if freq is None:
+        freq = fft_frequencies(sr=sr, n_fft=n_fft)
+    freq = np.atleast_1d(np.asarray(freq))
+    if freq.ndim != 1 or len(freq) != S.shape[-2]:
+        raise ParameterError(f"freq.shape mismatch: expected ({S.shape[-2]:d},)")
+    if n_bands < 1 or not isinstance(n_bands, (int, np.integer)):
+        raise ParameterError("n_bands must be a positive integer")
+    if not 0.0 < quantile < 1.0:
+        raise ParameterError("quantile must lie in the range (0, 1)")
+    if fmin <= 0:
+        raise ParameterError("fmin must be a positive number")
+
+    octa = np.zeros(n_bands + 2)
+    octa[1:] = fmin * (2.0 ** np.arange(0, n_bands + 1))
+    if np.any(octa[:-1] >= 0.5 * sr):
+        raise ParameterError(
+            "Frequency band exceeds Nyquist. Reduce either fmin or n_bands."
+        )
+
+    valleys = []
+    peaks = []
+    for k, (f_low, f_high) in enumerate(itertools.pairwise(octa)):
+        current_band = np.logical_and(freq >= f_low, freq <= f_high)
+        idx = np.flatnonzero(current_band)
+        if k > 0:
+            current_band[idx[0] - 1] = True
+        if k == n_bands:
+            current_band[idx[-1] + 1 :] = True
+
+        band_idx = np.flatnonzero(current_band)
+        sub_band = S[..., jnp.asarray(band_idx), :]
+        if k < n_bands:
+            sub_band = sub_band[..., :-1, :]
+
+        n_take = int(np.maximum(np.rint(quantile * np.sum(current_band)), 1))
+        sortedr = jnp.sort(sub_band, axis=-2)
+        valleys.append(jnp.mean(sortedr[..., :n_take, :], axis=-2))
+        peaks.append(jnp.mean(sortedr[..., -n_take:, :], axis=-2))
+
+    valley = jnp.stack(valleys, axis=-2)
+    peak = jnp.stack(peaks, axis=-2)
+
+    if linear:
+        return peak - valley
+    return power_to_db(peak) - power_to_db(valley)
+
+
+def spectral_rolloff(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    freq: Optional[np.ndarray] = None,
+    roll_percent: float = 0.85,
+) -> jax.Array:
+    """Roll-off frequency (cumulative-energy threshold). Parity: feature/spectral.py:535."""
+    if not 0.0 < roll_percent < 1.0:
+        raise ParameterError("roll_percent must lie in the range (0, 1)")
+
+    S, n_fft = _spectrogram(
+        y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window=window, center=center, pad_mode=pad_mode,
+    )
+    _check_nonneg_real(S, "Spectral rolloff")
+
+    if freq is None:
+        freq = fft_frequencies(sr=sr, n_fft=n_fft)
+    freq = jnp.asarray(freq)
+    if freq.ndim == 1:
+        freq = util.expand_to(freq, ndim=S.ndim, axes=-2)
+
+    total_energy = jnp.cumsum(S, axis=-2)
+    threshold = roll_percent * total_energy[..., -1, :]
+    threshold = jnp.expand_dims(threshold, axis=-2)
+    ind = jnp.where(total_energy < threshold, jnp.nan, 1.0)
+    return jnp.nanmin(ind * freq, axis=-2, keepdims=True)
+
+
+def spectral_flatness(
+    *,
+    y: Any = None,
+    S: Any = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    amin: float = 1e-10,
+    power: float = 2.0,
+) -> jax.Array:
+    """Spectral flatness (geometric/arithmetic mean ratio). Parity: feature/spectral.py:687."""
+    if amin <= 0:
+        raise ParameterError("amin must be strictly positive")
+
+    S, n_fft = _spectrogram(
+        y=y, S=S, n_fft=n_fft, hop_length=hop_length, power=1.0,
+        win_length=win_length, window=window, center=center, pad_mode=pad_mode,
+    )
+    _check_nonneg_real(S, "Spectral flatness")
+
+    S_thresh = jnp.maximum(amin, S**power)
+    gmean = jnp.exp(jnp.mean(jnp.log(S_thresh), axis=-2, keepdims=True))
+    amean = jnp.mean(S_thresh, axis=-2, keepdims=True)
+    return gmean / amean
+
+
+def poly_features(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    order: int = 1,
+    freq: Optional[np.ndarray] = None,
+) -> jax.Array:
+    """Polynomial fit coefficients over frequency. Parity: feature/spectral.py:919.
+
+    For static frequency grids the fit is a single precomputed pseudo-inverse
+    matmul (MXU); variable grids use a vmapped least-squares.
+    """
+    S, n_fft = _spectrogram(
+        y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window=window, center=center, pad_mode=pad_mode,
+    )
+
+    if freq is None:
+        freq = fft_frequencies(sr=sr, n_fft=n_fft)
+
+    freq_np = np.asarray(freq)
+    if freq_np.ndim == 1:
+        # Vandermonde in np.polyfit's order (highest degree first)
+        V = np.vander(freq_np, order + 1)
+        pinv = np.linalg.pinv(V)  # (order+1, n_freq)
+        return jnp.einsum(
+            "df,...ft->...dt", jnp.asarray(pinv, dtype=S.dtype), S,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    # Variable frequencies: batched lstsq over channels/frames
+    freq_j = jnp.asarray(freq_np)
+
+    def fit(fr: jax.Array, col: jax.Array) -> jax.Array:
+        V = jnp.vander(fr, order + 1)
+        sol, *_ = jnp.linalg.lstsq(V, col)
+        return sol
+
+    flatS = jnp.swapaxes(S, -2, -1)  # (..., t, f)
+    flatF = jnp.swapaxes(freq_j, -2, -1)
+    bshape = jnp.broadcast_shapes(flatS.shape[:-1], flatF.shape[:-1])
+    flatS = jnp.broadcast_to(flatS, bshape + flatS.shape[-1:]).reshape(
+        -1, flatS.shape[-1]
+    )
+    flatF = jnp.broadcast_to(flatF, bshape + flatF.shape[-1:]).reshape(
+        -1, flatF.shape[-1]
+    )
+    out = jax.vmap(fit)(flatF, flatS)
+    out = out.reshape(*bshape, order + 1)
+    return jnp.swapaxes(out, -2, -1)
+
+
+def rms(
+    *,
+    y: Any = None,
+    S: Any = None,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+    center: bool = True,
+    pad_mode: str = "constant",
+    dtype: Any = np.float32,
+) -> jax.Array:
+    """Root-mean-square energy per frame. Parity: feature/spectral.py:806."""
+    if y is not None:
+        y = jnp.asarray(y)
+        if center:
+            padding = [(0, 0)] * y.ndim
+            padding[-1] = (int(frame_length // 2), int(frame_length // 2))
+            y = jnp.pad(y, padding, mode=pad_mode)
+        x = util.frame(y, frame_length=frame_length, hop_length=hop_length)
+        power = jnp.mean(util.abs2(x, dtype=dtype), axis=-2, keepdims=True)
+    elif S is not None:
+        S = jnp.asarray(S)
+        if S.shape[-2] != frame_length // 2 + 1:
+            raise ParameterError(
+                f"Since S.shape[-2] is {S.shape[-2]}, "
+                f"frame_length is expected to be {S.shape[-2] * 2 - 2} or "
+                f"{S.shape[-2] * 2 - 1}; found {frame_length}"
+            )
+        x = util.abs2(S, dtype=dtype)
+        # Parseval correction for one-sided spectrum: halve DC and Nyquist
+        scale = np.ones(x.shape[-2], dtype=np.float32)
+        scale[0] = 0.5
+        if frame_length % 2 == 0:
+            scale[-1] = 0.5
+        x = x * util.expand_to(jnp.asarray(scale), ndim=x.ndim, axes=-2)
+        power = 2 * jnp.sum(x, axis=-2, keepdims=True) / frame_length**2
+    else:
+        raise ParameterError("Either `y` or `S` must be input.")
+    return jnp.sqrt(power)
+
+
+def zero_crossing_rate(
+    y: Any,
+    *,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+    center: bool = True,
+    **kwargs: Any,
+) -> jax.Array:
+    """Zero-crossing rate per frame. Parity: feature/spectral.py:1062."""
+    from ..core.audio import zero_crossings
+
+    y = jnp.asarray(y)
+    if center:
+        padding = [(0, 0)] * y.ndim
+        padding[-1] = (int(frame_length // 2), int(frame_length // 2))
+        y = jnp.pad(y, padding, mode="edge")
+
+    y_framed = util.frame(y, frame_length=frame_length, hop_length=hop_length)
+    kwargs["axis"] = -2
+    kwargs.setdefault("pad", False)
+    crossings = zero_crossings(y_framed, **kwargs)
+    return jnp.mean(crossings, axis=-2, keepdims=True)
+
+
+def chroma_stft(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    norm: Optional[float] = np.inf,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    tuning: Optional[float] = None,
+    n_chroma: int = 12,
+    **kwargs: Any,
+) -> jax.Array:
+    """Chromagram from a power STFT. Parity: feature/spectral.py:1137."""
+    S, n_fft = _spectrogram(
+        y=y, S=S, n_fft=n_fft, hop_length=hop_length, power=2,
+        win_length=win_length, window=window, center=center, pad_mode=pad_mode,
+    )
+
+    if tuning is None:
+        from ..core.pitch import estimate_tuning
+
+        tuning = float(estimate_tuning(S=S, sr=sr, bins_per_octave=n_chroma))
+
+    chromafb = filters.chroma(
+        sr=sr, n_fft=n_fft, tuning=tuning, n_chroma=n_chroma, **kwargs
+    )
+    raw_chroma = jnp.einsum(
+        "cf,...ft->...ct", jnp.asarray(chromafb, dtype=S.dtype), S,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return util.normalize(raw_chroma, norm=norm, axis=-2)
+
+
+def chroma_cqt(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    C: Any = None,
+    hop_length: int = 512,
+    fmin: Optional[float] = None,
+    norm: Optional[float] = np.inf,
+    threshold: float = 0.0,
+    tuning: Optional[float] = None,
+    n_chroma: int = 12,
+    n_octaves: int = 7,
+    window: Optional[np.ndarray] = None,
+    bins_per_octave: int = 36,
+    cqt_mode: str = "full",
+) -> jax.Array:
+    """Constant-Q chromagram. Parity: feature/spectral.py:1296."""
+    from ..core import constantq
+    from ..core.convert import note_to_hz
+
+    cqt_func = {"full": constantq.cqt, "hybrid": constantq.hybrid_cqt}
+
+    if bins_per_octave is None:
+        bins_per_octave = n_chroma
+    elif np.remainder(bins_per_octave, n_chroma) != 0:
+        raise ParameterError(
+            f"bins_per_octave={bins_per_octave} must be an integer "
+            f"multiple of n_chroma={n_chroma}"
+        )
+
+    if fmin is None:
+        fmin = note_to_hz("C1")
+
+    if C is None:
+        if cqt_mode not in cqt_func:
+            raise ParameterError(f"Invalid cqt_mode: {cqt_mode}")
+        C = jnp.abs(
+            cqt_func[cqt_mode](
+                y,
+                sr=sr,
+                hop_length=hop_length,
+                fmin=fmin,
+                n_bins=n_octaves * bins_per_octave,
+                bins_per_octave=bins_per_octave,
+                tuning=tuning,
+            )
+        )
+    else:
+        C = jnp.asarray(C)
+
+    cq_to_chr = filters.cq_to_chroma(
+        C.shape[-2],
+        bins_per_octave=bins_per_octave,
+        n_chroma=n_chroma,
+        fmin=fmin,
+        window=window,
+    )
+    chroma = jnp.einsum(
+        "cj,...jt->...ct", jnp.asarray(cq_to_chr, dtype=C.dtype), C,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    if threshold is not None:
+        chroma = jnp.where(chroma < threshold, 0.0, chroma)
+    if norm is not None:
+        chroma = util.normalize(chroma, norm=norm, axis=-2)
+    return chroma
+
+
+def chroma_cens(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    C: Any = None,
+    hop_length: int = 512,
+    fmin: Optional[float] = None,
+    tuning: Optional[float] = None,
+    n_chroma: int = 12,
+    n_octaves: int = 7,
+    bins_per_octave: int = 36,
+    cqt_mode: str = "full",
+    window: Optional[np.ndarray] = None,
+    norm: Optional[float] = 2,
+    win_len_smooth: Optional[int] = 41,
+    smoothing_window: _WindowSpec = "hann",
+) -> jax.Array:
+    """CENS chroma (quantize → smooth → normalize). Parity: feature/spectral.py:1426."""
+    if win_len_smooth is not None and (
+        not isinstance(win_len_smooth, (int, np.integer)) or win_len_smooth <= 0
+    ):
+        raise ParameterError(
+            f"win_len_smooth={win_len_smooth} must be a positive integer or None"
+        )
+
+    chroma = chroma_cqt(
+        y=y, C=C, sr=sr, hop_length=hop_length, fmin=fmin,
+        bins_per_octave=bins_per_octave, tuning=tuning, norm=None,
+        n_chroma=n_chroma, n_octaves=n_octaves, cqt_mode=cqt_mode, window=window,
+    )
+
+    # L1-normalize
+    chroma = util.normalize(chroma, norm=1, axis=-2)
+
+    # Quantize amplitudes
+    QUANT_STEPS = [0.4, 0.2, 0.1, 0.05]
+    QUANT_WEIGHTS = [0.25, 0.25, 0.25, 0.25]
+
+    chroma_quant = jnp.zeros_like(chroma)
+    for cur_quant_step_idx, cur_quant_step in enumerate(QUANT_STEPS):
+        chroma_quant = chroma_quant + (chroma > cur_quant_step) * QUANT_WEIGHTS[
+            cur_quant_step_idx
+        ]
+
+    if win_len_smooth:
+        # Temporal smoothing by convolution with a window
+        win = filters.get_window(smoothing_window, win_len_smooth + 2, fftbins=False)
+        win /= np.sum(win)
+        kernel = jnp.asarray(win, dtype=chroma_quant.dtype)
+        # convolve along time axis, 'same' mode
+        pad = (len(win) - 1) // 2
+        pads = [(0, 0)] * chroma_quant.ndim
+        pads[-1] = (pad, len(win) - 1 - pad)
+        padded = jnp.pad(chroma_quant, pads)
+        cens = jax.vmap(
+            lambda row: jnp.convolve(row, kernel, mode="valid"),
+        )(padded.reshape(-1, padded.shape[-1])).reshape(
+            *chroma_quant.shape[:-1], -1
+        )
+    else:
+        cens = chroma_quant
+
+    return util.normalize(cens, norm=norm, axis=-2)
+
+
+def chroma_vqt(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    V: Any = None,
+    hop_length: int = 512,
+    fmin: Optional[float] = None,
+    intervals: Any = None,
+    norm: Optional[float] = np.inf,
+    threshold: float = 0.0,
+    gamma: Optional[float] = None,
+    bins_per_octave: int = 12,
+) -> jax.Array:
+    """Variable-Q chromagram. Parity: feature/spectral.py:1576."""
+    from ..core import constantq
+    from ..core.convert import note_to_hz
+
+    if fmin is None:
+        fmin = note_to_hz("C1")
+
+    if V is None:
+        if intervals is None:
+            raise ParameterError("intervals must be provided to compute VQT chroma")
+        V = jnp.abs(
+            constantq.vqt(
+                y,
+                sr=sr,
+                hop_length=hop_length,
+                fmin=fmin,
+                intervals=intervals,
+                gamma=gamma,
+                n_bins=int(np.ceil(bins_per_octave * np.log2((sr / 2) / fmin))),
+                bins_per_octave=bins_per_octave,
+            )
+        )
+    else:
+        V = jnp.asarray(V)
+
+    cq_to_chr = filters.cq_to_chroma(
+        V.shape[-2],
+        bins_per_octave=bins_per_octave,
+        n_chroma=bins_per_octave,
+        fmin=fmin,
+    )
+    chroma = jnp.einsum(
+        "cj,...jt->...ct", jnp.asarray(cq_to_chr, dtype=V.dtype), V,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    if threshold is not None:
+        chroma = jnp.where(chroma < threshold, 0.0, chroma)
+    if norm is not None:
+        chroma = util.normalize(chroma, norm=norm, axis=-2)
+    return chroma
+
+
+def tonnetz(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    chroma: Any = None,
+    **kwargs: Any,
+) -> jax.Array:
+    """Tonal centroid features (tonnetz). Parity: feature/spectral.py:1709."""
+    if y is None and chroma is None:
+        raise ParameterError(
+            "Either the audio samples or the chromagram must be "
+            "passed as an argument."
+        )
+    if chroma is None:
+        chroma = chroma_cqt(y=y, sr=sr, **kwargs)
+    chroma = jnp.asarray(chroma)
+
+    dim_map = np.linspace(0, 12, num=chroma.shape[-2], endpoint=False)
+    scale = np.asarray([7.0 / 6, 7.0 / 6, 3.0 / 2, 3.0 / 2, 2.0 / 3, 2.0 / 3])
+    V = np.multiply.outer(scale, dim_map)
+    V[::2] -= 0.5
+    R = np.array([1, 1, 1, 1, 0.5, 0.5])
+    phi = R[:, np.newaxis] * np.cos(np.pi * V)
+
+    return jnp.einsum(
+        "pc,...ci->...pi",
+        jnp.asarray(phi, dtype=chroma.dtype),
+        util.normalize(chroma, norm=1, axis=-2),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def melspectrogram(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: Optional[int] = None,
+    window: _WindowSpec = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    power: float = 2.0,
+    **kwargs: Any,
+) -> jax.Array:
+    """Mel-scaled spectrogram ``(..., n_mels, t)``. Parity: feature/spectral.py:2022.
+
+    The mel projection is an MXU matmul; XLA fuses it with the preceding
+    |STFT|**power elementwise stage.
+    """
+    S, n_fft = _spectrogram(
+        y=y, S=S, n_fft=n_fft, hop_length=hop_length, power=power,
+        win_length=win_length, window=window, center=center, pad_mode=pad_mode,
+    )
+    mel_basis = filters.mel(sr=sr, n_fft=n_fft, **kwargs)
+    return jnp.einsum(
+        "...ft,mf->...mt", S, jnp.asarray(mel_basis, dtype=S.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def mfcc(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    n_mfcc: int = 20,
+    dct_type: int = 2,
+    norm: Optional[str] = "ortho",
+    lifter: float = 0,
+    mel_norm: Union[str, float, None] = "slaney",
+    **kwargs: Any,
+) -> jax.Array:
+    """Mel-frequency cepstral coefficients. Parity: feature/spectral.py:1843.
+
+    The DCT over the mel axis is a matmul against a host-precomputed DCT
+    matrix (``ops.transforms.dct_matrix``) — MXU-native, bit-matching
+    ``scipy.fft.dct``.
+    """
+    if S is None:
+        S = power_to_db(melspectrogram(y=y, sr=sr, norm=mel_norm, **kwargs))
+    else:
+        S = jnp.asarray(S)
+
+    n_mels = S.shape[-2]
+    C = dct_matrix(n_mels, dct_type=dct_type, norm=norm)[:n_mfcc]
+    M = jnp.einsum(
+        "km,...mt->...kt", jnp.asarray(C, dtype=S.dtype), S,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    if lifter > 0:
+        LI = jnp.sin(jnp.pi * jnp.arange(1, 1 + n_mfcc, dtype=M.dtype) / lifter)
+        LI = util.expand_to(LI, ndim=S.ndim, axes=-2)
+        return M * (1 + (lifter / 2) * LI)
+    elif lifter == 0:
+        return M
+    else:
+        raise ParameterError(f"MFCC lifter={lifter} must be a non-negative number")

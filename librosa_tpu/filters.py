@@ -1,0 +1,660 @@
+"""Filterbank construction (L3).
+
+Basis matrices (mel, chroma, wavelet, cq→chroma, multirate IIR) are built
+host-side in float64 NumPy at plan time and baked into jitted device programs
+as constants — on TPU the filterbank *application* is an MXU matmul, so
+construction cost is irrelevant and full float64 parity with the reference
+(``librosa/filters.py``) is free.
+
+All constructors are memoized with ``functools.lru_cache`` (the analogue of
+the reference's joblib ``@cache(level=10)``).
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+from typing import Any, Callable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import scipy.signal
+
+from .core.convert import (
+    fft_frequencies,
+    hz_to_midi,
+    hz_to_octs,
+    mel_frequencies,
+    midi_to_hz,
+    note_to_hz,
+)
+from .util.exceptions import ParameterError
+
+__all__ = [
+    "mel",
+    "chroma",
+    "wavelet",
+    "wavelet_lengths",
+    "cq_to_chroma",
+    "get_window",
+    "window_bandwidth",
+    "window_sumsquare",
+    "semitone_filterbank",
+    "mr_frequencies",
+    "diagonal_filter",
+]
+
+_WindowSpec = Any
+
+
+# ---------------------------------------------------------------------------
+# Host-side normalize (float64; same semantics as util.normalize /
+# reference util/utils.py:797)
+# ---------------------------------------------------------------------------
+
+
+def _np_normalize(
+    S: np.ndarray,
+    *,
+    norm: Optional[float] = np.inf,
+    axis: Optional[int] = 0,
+    threshold: Optional[float] = None,
+    fill: Optional[bool] = None,
+) -> np.ndarray:
+    if threshold is None:
+        if np.issubdtype(S.dtype, np.floating) or np.issubdtype(
+            S.dtype, np.complexfloating
+        ):
+            threshold = float(np.finfo(S.dtype).tiny)
+        else:
+            threshold = float(np.finfo(np.float32).tiny)
+    mag = np.abs(S).astype(float)
+    fill_norm = 1.0
+    if norm is None:
+        return S
+    elif norm == np.inf:
+        length = np.max(mag, axis=axis, keepdims=True)
+    elif norm == -np.inf:
+        length = np.min(mag, axis=axis, keepdims=True)
+    elif norm == 0:
+        if fill is True:
+            raise ParameterError("Cannot normalize with norm=0 and fill=True")
+        length = np.sum(mag > 0, axis=axis, keepdims=True, dtype=mag.dtype)
+    elif np.issubdtype(type(norm), np.number) and norm > 0:
+        length = np.sum(mag**norm, axis=axis, keepdims=True) ** (1.0 / norm)
+        if axis is None:
+            fill_norm = mag.size ** (-1.0 / norm)
+        else:
+            fill_norm = mag.shape[axis] ** (-1.0 / norm)
+    else:
+        raise ParameterError(f"Unsupported norm: {repr(norm)}")
+
+    small_idx = length < threshold
+    Snorm = np.empty_like(S, dtype=np.result_type(S.dtype, np.float64)
+                          if not np.issubdtype(S.dtype, np.complexfloating)
+                          else S.dtype)
+    if fill is None:
+        length[small_idx] = 1.0
+        Snorm[:] = S / length
+    elif fill:
+        length[small_idx] = np.nan
+        Snorm[:] = S / length
+        Snorm[np.isnan(Snorm)] = fill_norm
+    else:
+        length[small_idx] = np.inf
+        Snorm[:] = S / length
+    return Snorm
+
+
+def _np_pad_center(data: np.ndarray, *, size: int, axis: int = -1, **kwargs: Any) -> np.ndarray:
+    kwargs.setdefault("mode", "constant")
+    n = data.shape[axis]
+    lpad = int((size - n) // 2)
+    lengths = [(0, 0)] * data.ndim
+    lengths[axis] = (lpad, int(size - n - lpad))
+    if lpad < 0:
+        raise ParameterError(f"Target size ({size:d}) must be at least input size ({n:d})")
+    return np.pad(data, lengths, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+def get_window(window: _WindowSpec, Nx: int, *, fftbins: bool = True) -> np.ndarray:
+    """Compute a window function (host, float64).
+
+    Parity: reference ``filters.py:915`` — str/tuple/scalar specs dispatch to
+    ``scipy.signal.get_window``; callables and precomputed arrays pass through.
+    """
+    if callable(window):
+        return window(Nx)
+    elif isinstance(window, (str, tuple)) or np.isscalar(window):
+        win: np.ndarray = scipy.signal.get_window(window, Nx, fftbins=fftbins)
+        return win
+    elif isinstance(window, (np.ndarray, list)):
+        if len(window) == Nx:
+            return np.asarray(window)
+        raise ParameterError(f"Window size mismatch: {len(window):d} != {Nx:d}")
+    else:
+        raise ParameterError(f"Invalid window specification: {window!r}")
+
+
+# Equivalent-noise-bandwidth lookup (standard ENBW constants; reference
+# filters.py WINDOW_BANDWIDTHS table — values are mathematical properties of
+# the named windows at n=1000).
+WINDOW_BANDWIDTHS: dict = {
+    "bart": 1.3334961334912805,
+    "barthann": 1.4560255965133932,
+    "bartlett": 1.3334961334912805,
+    "bkh": 2.0045975283585014,
+    "black": 1.7269681554262326,
+    "blackharr": 2.0045975283585014,
+    "blackman": 1.7269681554262326,
+    "blackmanharris": 2.0045975283585014,
+    "blk": 1.7269681554262326,
+    "bman": 1.7859588613860062,
+    "bmn": 1.7859588613860062,
+    "bohman": 1.7859588613860062,
+    "box": 1.0,
+    "boxcar": 1.0,
+    "brt": 1.3334961334912805,
+    "brthan": 1.4560255965133932,
+    "bth": 1.4560255965133932,
+    "cosine": 1.2337005350199792,
+    "flat": 2.7762255046484143,
+    "flattop": 2.7762255046484143,
+    "flt": 2.7762255046484143,
+    "halfcosine": 1.2337005350199792,
+    "ham": 1.3629455320350348,
+    "hamm": 1.3629455320350348,
+    "hamming": 1.3629455320350348,
+    "han": 1.50018310546875,
+    "hann": 1.50018310546875,
+    "nut": 1.9763500280946082,
+    "nutl": 1.9763500280946082,
+    "nuttall": 1.9763500280946082,
+    "ones": 1.0,
+    "par": 1.9174603174603191,
+    "parz": 1.9174603174603191,
+    "parzen": 1.9174603174603191,
+    "rect": 1.0,
+    "rectangular": 1.0,
+    "tri": 1.3331706523555851,
+    "triang": 1.3331706523555851,
+    "triangle": 1.3331706523555851,
+}
+
+
+def window_bandwidth(window: _WindowSpec, n: int = 1000) -> float:
+    """Equivalent noise bandwidth (in FFT bins) of a window function.
+
+    Parity: filters.py:865 — ``enbw = n * sum(w**2) / sum(w)**2``.
+    """
+    if hasattr(window, "__name__"):
+        key = window.__name__
+    else:
+        key = window
+    if key not in WINDOW_BANDWIDTHS:
+        win = get_window(window, n)
+        WINDOW_BANDWIDTHS[key] = n * np.sum(win**2) / (
+            np.sum(win) ** 2 + np.finfo(win.dtype).tiny
+        )
+    return WINDOW_BANDWIDTHS[key]
+
+
+def _float_window(window_spec: _WindowSpec) -> Callable[..., np.ndarray]:
+    """Window function supporting fractional lengths.
+
+    Guarantees length ``ceil(x)`` with values from ``floor(x)`` zeroed.
+    Parity: filters.py (__float_window).
+    """
+
+    def _wrap(n: float, *args: Any, **kwargs: Any) -> np.ndarray:
+        n_min, n_max = int(np.floor(n)), int(np.ceil(n))
+        window = get_window(window_spec, n_min)
+        if len(window) < n_max:
+            window = np.pad(window, [(0, n_max - len(window))], mode="constant")
+        window[n_min:] = 0.0
+        return window
+
+    return _wrap
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=128)
+def _mel_cached(
+    sr: float,
+    n_fft: int,
+    n_mels: int,
+    fmin: float,
+    fmax: float,
+    htk: bool,
+    norm: Any,
+    dtype_str: str,
+) -> np.ndarray:
+    n_mels = int(n_mels)
+    weights = np.zeros((n_mels, int(1 + n_fft // 2)), dtype=np.float64)
+
+    fftfreqs = fft_frequencies(sr=sr, n_fft=n_fft)
+    mel_f = mel_frequencies(n_mels + 2, fmin=fmin, fmax=fmax, htk=htk)
+
+    fdiff = np.diff(mel_f)
+    ramps = np.subtract.outer(mel_f, fftfreqs)
+
+    for i in range(n_mels):
+        lower = -ramps[i] / fdiff[i]
+        upper = ramps[i + 2] / fdiff[i + 1]
+        weights[i] = np.maximum(0, np.minimum(lower, upper))
+
+    if isinstance(norm, str):
+        if norm == "slaney":
+            # Slaney-style mel: approximately constant energy per channel
+            enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+            weights *= enorm[:, np.newaxis]
+        else:
+            raise ParameterError(f"Unsupported norm={norm}")
+    else:
+        weights = _np_normalize(weights, norm=norm, axis=-1)
+
+    if not np.all((mel_f[:-2] == 0) | (weights.max(axis=1) > 0)):
+        warnings.warn(
+            "Empty filters detected in mel frequency basis. "
+            "Some channels will produce empty responses. "
+            "Try increasing your sampling rate (and fmax) or "
+            "reducing n_mels.",
+            stacklevel=2,
+        )
+    return weights.astype(np.dtype(dtype_str))
+
+
+def mel(
+    *,
+    sr: float,
+    n_fft: int,
+    n_mels: int = 128,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+    norm: Union[str, float, None] = "slaney",
+    dtype: Any = np.float32,
+) -> np.ndarray:
+    """Create a Mel filterbank matrix ``(n_mels, 1 + n_fft//2)``.
+
+    Parity: reference ``filters.py:117`` — triangle overlap of mel-frequency
+    ramps with optional Slaney area normalization.
+    """
+    if fmax is None:
+        fmax = float(sr) / 2
+    return _mel_cached(
+        float(sr), int(n_fft), int(n_mels), float(fmin), float(fmax), bool(htk),
+        norm, np.dtype(dtype).str,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chroma filterbank
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=128)
+def _chroma_cached(
+    sr: float,
+    n_fft: int,
+    n_chroma: int,
+    tuning: float,
+    ctroct: float,
+    octwidth: Optional[float],
+    norm: Optional[float],
+    base_c: bool,
+    dtype_str: str,
+) -> np.ndarray:
+    wts = np.zeros((n_chroma, n_fft))
+    frequencies = np.linspace(0, sr, n_fft, endpoint=False)[1:]
+    frqbins = n_chroma * hz_to_octs(
+        frequencies, tuning=tuning, bins_per_octave=n_chroma
+    )
+    # 0 Hz bin placed 1.5 octaves below bin 1 (broad, 50%-rotated chroma)
+    frqbins = np.concatenate(([frqbins[0] - 1.5 * n_chroma], frqbins))
+    binwidthbins = np.concatenate(
+        (np.maximum(frqbins[1:] - frqbins[:-1], 1.0), [1])
+    )
+    D = np.subtract.outer(frqbins, np.arange(0, n_chroma, dtype="d")).T
+    n_chroma2 = np.round(float(n_chroma) / 2)
+    D = np.remainder(D + n_chroma2 + 10 * n_chroma, n_chroma) - n_chroma2
+    wts = np.exp(-0.5 * (2 * D / np.tile(binwidthbins, (n_chroma, 1))) ** 2)
+    wts = _np_normalize(wts, norm=norm, axis=0)
+    if octwidth is not None:
+        wts *= np.exp(
+            -0.5 * (((frqbins / n_chroma - ctroct) / octwidth) ** 2)
+        )[np.newaxis, :]
+    if base_c:
+        wts = np.roll(wts, -3 * (n_chroma // 12), axis=0)
+    return np.ascontiguousarray(
+        wts[:, : int(1 + n_fft / 2)], dtype=np.dtype(dtype_str)
+    )
+
+
+def chroma(
+    *,
+    sr: float,
+    n_fft: int,
+    n_chroma: int = 12,
+    tuning: float = 0.0,
+    ctroct: float = 5.0,
+    octwidth: Optional[float] = 2,
+    norm: Optional[float] = 2,
+    base_c: bool = True,
+    dtype: Any = np.float32,
+) -> np.ndarray:
+    """Create a chroma filterbank ``(n_chroma, 1 + n_fft//2)``.
+
+    Parity: reference ``filters.py:255`` — Gaussian pitch-class bins with
+    octave-dominance weighting.
+    """
+    return _chroma_cached(
+        float(sr), int(n_fft), int(n_chroma), float(tuning), float(ctroct),
+        None if octwidth is None else float(octwidth), norm, bool(base_c),
+        np.dtype(dtype).str,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wavelet (CQT/VQT) basis
+# ---------------------------------------------------------------------------
+
+
+def _relative_bandwidth(*, freqs: np.ndarray) -> np.ndarray:
+    """Relative bandwidth alpha[k] per frequency. Parity: filters.py:555."""
+    if len(freqs) <= 1:
+        raise ParameterError(
+            f"2 or more frequencies are required to compute bandwidths. Given freqs={freqs}"
+        )
+    bpo = np.empty_like(freqs)
+    logf = np.log2(freqs)
+    bpo[0] = 1 / (logf[1] - logf[0])
+    bpo[-1] = 1 / (logf[-1] - logf[-2])
+    bpo[1:-1] = 2 / (logf[2:] - logf[:-2])
+    alpha: np.ndarray = (2.0 ** (2 / bpo) - 1) / (2.0 ** (2 / bpo) + 1)
+    return alpha
+
+
+def wavelet_lengths(
+    *,
+    freqs: Any,
+    sr: float = 22050,
+    window: _WindowSpec = "hann",
+    filter_scale: float = 1,
+    gamma: Optional[float] = 0,
+    alpha: Optional[Any] = None,
+) -> Tuple[np.ndarray, float]:
+    """Length of each filter in a wavelet basis, and the global f_cutoff.
+
+    Parity: reference ``filters.py:424`` — Q = filter_scale/alpha, lengths
+    ``Q*sr/(f + gamma/alpha)``, cutoff from window bandwidth.
+    """
+    freqs = np.asarray(freqs)
+    if filter_scale <= 0:
+        raise ParameterError(f"filter_scale={filter_scale} must be positive")
+    if gamma is not None and gamma < 0:
+        raise ParameterError(f"gamma={gamma} must be non-negative")
+    if np.any(freqs <= 0):
+        raise ParameterError("frequencies must be strictly positive")
+    if len(freqs) > 1 and np.any(freqs[:-1] > freqs[1:]):
+        raise ParameterError(
+            f"Frequency array={freqs} must be in strictly ascending order"
+        )
+
+    if alpha is None:
+        alpha = _relative_bandwidth(freqs=freqs)
+    else:
+        alpha = np.asarray(alpha)
+
+    if gamma is None:
+        gamma_ = alpha * 24.7 / 0.108
+    else:
+        gamma_ = gamma
+
+    Q = float(filter_scale) / alpha
+    f_cutoff = float(
+        np.max(freqs * (1 + 0.5 * window_bandwidth(window) / Q) + 0.5 * gamma_)
+    )
+    lengths = Q * sr / (freqs + gamma_ / alpha)
+    return lengths, f_cutoff
+
+
+def wavelet(
+    *,
+    freqs: np.ndarray,
+    sr: float = 22050,
+    window: _WindowSpec = "hann",
+    filter_scale: float = 1,
+    pad_fft: bool = True,
+    norm: Optional[float] = 1,
+    dtype: Any = np.complex64,
+    gamma: float = 0,
+    alpha: Optional[float] = None,
+    **kwargs: Any,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Construct a wavelet basis of windowed complex sinusoids.
+
+    Parity: reference ``filters.py:589``.  Returns ``(filters, lengths)``;
+    filters are center-padded to a power of 2 when ``pad_fft``.
+    """
+    lengths, _ = wavelet_lengths(
+        freqs=freqs, sr=sr, window=window, filter_scale=filter_scale,
+        gamma=gamma, alpha=alpha,
+    )
+
+    filters: List[np.ndarray] = []
+    for ilen, freq in zip(lengths, freqs):
+        t = np.arange(-ilen // 2, ilen // 2, dtype=float) * 2 * np.pi * freq / sr
+        sig = np.cos(t) + 1j * np.sin(t)
+        sig = sig * _float_window(window)(len(sig))
+        sig = _np_normalize(sig, norm=norm)
+        filters.append(sig)
+
+    max_len = max(lengths)
+    if pad_fft:
+        max_len = int(2.0 ** (np.ceil(np.log2(max_len))))
+    else:
+        max_len = int(np.ceil(max_len))
+
+    out = np.asarray(
+        [_np_pad_center(filt, size=max_len, **kwargs) for filt in filters],
+        dtype=dtype,
+    )
+    return out, lengths
+
+
+# ---------------------------------------------------------------------------
+# CQ → chroma map
+# ---------------------------------------------------------------------------
+
+
+def cq_to_chroma(
+    n_input: int,
+    *,
+    bins_per_octave: int = 12,
+    n_chroma: int = 12,
+    fmin: Optional[float] = None,
+    window: Optional[np.ndarray] = None,
+    base_c: bool = True,
+    dtype: Any = np.float32,
+) -> np.ndarray:
+    """Map Constant-Q bins onto chroma bins. Parity: filters.py:737."""
+    n_merge = float(bins_per_octave) / n_chroma
+    if fmin is None:
+        fmin_ = note_to_hz("C1")
+    else:
+        fmin_ = fmin
+    if np.mod(n_merge, 1) != 0:
+        raise ParameterError(
+            "Incompatible CQ merge: input bins must be an integer multiple of output bins."
+        )
+
+    cq_to_ch = np.repeat(np.eye(n_chroma), int(n_merge), axis=1)
+    cq_to_ch = np.roll(cq_to_ch, -int(n_merge // 2), axis=1)
+    n_octaves = np.ceil(float(n_input) / bins_per_octave)
+    cq_to_ch = np.tile(cq_to_ch, int(n_octaves))[:, :n_input]
+
+    midi_0 = np.mod(hz_to_midi(fmin_), 12)
+    roll = midi_0 if base_c else midi_0 - 9
+    roll = int(np.round(roll * (n_chroma / 12.0)))
+    cq_to_ch = np.roll(cq_to_ch, roll, axis=0).astype(dtype)
+
+    if window is not None:
+        cq_to_ch = scipy.signal.convolve(
+            cq_to_ch, np.atleast_2d(window), mode="same"
+        )
+    return cq_to_ch
+
+
+# ---------------------------------------------------------------------------
+# Multirate IIR filterbank (for iirt)
+# ---------------------------------------------------------------------------
+
+
+def _multirate_fb(
+    center_freqs: Optional[np.ndarray] = None,
+    sample_rates: Optional[np.ndarray] = None,
+    Q: float = 25.0,
+    passband_ripple: float = 1,
+    stopband_attenuation: float = 50,
+    ftype: str = "ellip",
+    flayout: str = "sos",
+) -> Tuple[List[Any], np.ndarray]:
+    """Multirate band-pass IIR bank via iirdesign. Parity: filters.py:981."""
+    if center_freqs is None:
+        raise ParameterError("center_freqs must be provided.")
+    if sample_rates is None:
+        raise ParameterError("sample_rates must be provided.")
+    if center_freqs.shape != sample_rates.shape:
+        raise ParameterError(
+            "Number of provided center_freqs and sample_rates must be equal."
+        )
+
+    nyquist = 0.5 * sample_rates
+    filter_bandwidths = center_freqs / float(Q)
+    filterbank = []
+    for cur_center_freq, cur_nyquist, cur_bw in zip(
+        center_freqs, nyquist, filter_bandwidths
+    ):
+        passband_freqs = [
+            cur_center_freq - 0.5 * cur_bw,
+            cur_center_freq + 0.5 * cur_bw,
+        ] / cur_nyquist
+        stopband_freqs = [
+            cur_center_freq - cur_bw,
+            cur_center_freq + cur_bw,
+        ] / cur_nyquist
+        filterbank.append(
+            scipy.signal.iirdesign(
+                passband_freqs,
+                stopband_freqs,
+                passband_ripple,
+                stopband_attenuation,
+                analog=False,
+                ftype=ftype,
+                output=flayout,
+            )
+        )
+    return filterbank, sample_rates
+
+
+def mr_frequencies(tuning: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Center frequency / sample-rate pairs for the semitone filterbank.
+
+    Parity: filters.py:1103 (Müller pitch filterbank layout, starting at C0).
+    """
+    center_freqs = midi_to_hz(np.arange(24 + tuning, 109 + tuning))
+    sample_rates = np.asarray(36 * [882.0] + 34 * [4410.0] + 15 * [22050.0])
+    return center_freqs, sample_rates
+
+
+def semitone_filterbank(
+    *,
+    center_freqs: Optional[np.ndarray] = None,
+    tuning: float = 0.0,
+    sample_rates: Optional[np.ndarray] = None,
+    flayout: str = "ba",
+    **kwargs: Any,
+) -> Tuple[List[Any], np.ndarray]:
+    """Multi-rate IIR band-pass bank at semitone centers. Parity: filters.py:1156."""
+    if (center_freqs is None) and (sample_rates is None):
+        center_freqs, sample_rates = mr_frequencies(tuning)
+    return _multirate_fb(
+        center_freqs=center_freqs, sample_rates=sample_rates, flayout=flayout,
+        **kwargs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window sum-square envelope (host; device variant in ops.overlap_add)
+# ---------------------------------------------------------------------------
+
+
+def window_sumsquare(
+    *,
+    window: _WindowSpec,
+    n_frames: int,
+    hop_length: int = 512,
+    win_length: Optional[int] = None,
+    n_fft: int = 2048,
+    dtype: Any = np.float32,
+    norm: Optional[float] = None,
+) -> np.ndarray:
+    """Sum-square envelope of a window at a given hop. Parity: filters.py:1268.
+
+    Vectorized overlap-add (np.add.at) replaces the reference's numba fill.
+    """
+    if win_length is None:
+        win_length = n_fft
+
+    n = n_fft + hop_length * (n_frames - 1)
+    x = np.zeros(n, dtype=np.float64)
+
+    win_sq = get_window(window, win_length).astype(np.float64)
+    win_sq = _np_normalize(win_sq, norm=norm) ** 2
+    win_sq = _np_pad_center(win_sq, size=n_fft)
+
+    # Scatter-add each frame's squared window at its hop offset
+    starts = hop_length * np.arange(n_frames)
+    idx = starts[:, None] + np.arange(n_fft)[None, :]
+    valid = idx < n
+    np.add.at(x, idx[valid], np.broadcast_to(win_sq, idx.shape)[valid])
+    return x.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Diagonal smoothing filter (for segment.path_enhance)
+# ---------------------------------------------------------------------------
+
+
+def diagonal_filter(
+    window: _WindowSpec,
+    n: int,
+    *,
+    slope: float = 1.0,
+    angle: Optional[float] = None,
+    zero_mean: bool = False,
+) -> np.ndarray:
+    """Build a two-dimensional diagonal smoothing filter. Parity: filters.py:1343."""
+    if angle is None:
+        angle = np.arctan(slope)
+    win: np.ndarray = np.diag(get_window(window, n, fftbins=False))
+    if not np.isclose(angle, np.pi / 4):
+        import scipy.ndimage
+
+        win = scipy.ndimage.rotate(
+            win, 45 - angle * 180 / np.pi, order=5, prefilter=False
+        )
+    np.clip(win, 0, None, out=win)
+    win /= win.sum()
+    if zero_mean:
+        win -= win.mean()
+    return win

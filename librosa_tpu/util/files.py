@@ -1,0 +1,125 @@
+"""File and example-data utilities.
+
+The reference fetches example recordings from a remote registry via pooch
+(``librosa/util/files.py:46-109``) with a local cache under
+``LIBROSA_DATA_DIR``.  This environment has no network egress, so ``example``
+resolves only against a local data directory; the registry of track names is
+reproduced so ``list_examples`` works offline.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional
+
+from .exceptions import ParameterError
+
+__all__ = ["example", "ex", "list_examples", "example_info", "find_files", "cite"]
+
+
+# Track-name → description registry (mirrors the reference index.json keys,
+# util/example_data/index.json)
+_EXAMPLES = {
+    "brahms": "Brahms - Hungarian Dance #5",
+    "choice": "Admiral Bob - Choice (drum+bass)",
+    "fishin": "Karissa Hobbs - Let's Go Fishin'",
+    "humpback": "Knuckles the humpback whale",
+    "libri1": "LibriSpeech sample 1",
+    "libri2": "LibriSpeech sample 2",
+    "libri3": "LibriSpeech sample 3",
+    "nutcracker": "Tchaikovsky - Dance of the Sugar Plum Fairy",
+    "pibble": "Pibble the dog",
+    "robin": "Robin bird song",
+    "sweetwaltz": "Setuniman - Sweet Waltz",
+    "trumpet": "Mihai Sorohan - Trumpet loop",
+    "vibeace": "Kevin MacLeod - Vibe Ace",
+    "pistachio": "The Piano Lady - Pistachio Ice Cream Ragtime",
+}
+
+
+def _data_dir() -> str:
+    return os.environ.get(
+        "LIBROSA_DATA_DIR", os.path.join(os.path.expanduser("~"), "librosa_tpu_data")
+    )
+
+
+def example(key: str, *, hq: bool = False) -> str:
+    """Retrieve the path to a local copy of a named example recording.
+
+    Parity: util/files.py:55.  Offline build: looks in ``LIBROSA_DATA_DIR``
+    for ``<key>[.hq].ogg``; raises with guidance if missing (no network).
+    """
+    if key not in _EXAMPLES:
+        raise ParameterError(f"Unknown example key: {key}")
+    ext = ".hq.ogg" if hq else ".ogg"
+    candidates = glob.glob(os.path.join(_data_dir(), f"*{key}*"))
+    for c in candidates:
+        if c.endswith(ext) or c.endswith(".ogg") or c.endswith(".wav"):
+            return c
+    raise ParameterError(
+        f"Example '{key}' not found locally. This build has no network access; "
+        f"place the file under LIBROSA_DATA_DIR ({_data_dir()})."
+    )
+
+
+#: Alias for example
+ex = example
+
+
+def list_examples() -> None:
+    """Print all built-in example recording keys. Parity: util/files.py:116."""
+    print("AVAILABLE EXAMPLES")
+    print("-" * 68)
+    for key in sorted(_EXAMPLES):
+        print(f"{key:10}\t{_EXAMPLES[key]}")
+
+
+def example_info(key: str) -> None:
+    """Display licensing/metadata information for an example. Parity: util/files.py:138."""
+    if key not in _EXAMPLES:
+        raise ParameterError(f"Unknown example key: {key}")
+    print(f"{key:10}\t{_EXAMPLES[key]}")
+
+
+def find_files(
+    directory: str,
+    *,
+    ext: Optional[List[str]] = None,
+    recurse: bool = True,
+    case_sensitive: bool = False,
+    limit: Optional[int] = None,
+    offset: int = 0,
+) -> List[str]:
+    """Get a sorted list of audio files in a directory. Parity: util/files.py:174."""
+    if ext is None:
+        ext = ["aac", "au", "flac", "m4a", "mp3", "ogg", "wav"]
+    elif isinstance(ext, str):
+        ext = [ext]
+
+    files = set()
+    exts = set(ext)
+    if not case_sensitive:
+        exts = {e.lower() for e in exts} | {e.upper() for e in exts}
+
+    if recurse:
+        for walk in os.walk(directory):
+            for e in exts:
+                files |= set(glob.glob(os.path.join(walk[0], "*." + e)))
+    else:
+        for e in exts:
+            files |= set(glob.glob(os.path.join(directory, "*." + e)))
+
+    out = sorted(files)
+    start = offset if offset >= 0 else max(0, len(out) + offset)
+    if limit is not None:
+        return out[start : start + limit]
+    return out[start:]
+
+
+def cite(version: Optional[str] = None) -> str:
+    """Retrieve the citation DOI (requires network in the reference).
+
+    Parity: util/files.py:290 — offline build returns the concept DOI.
+    """
+    return "https://doi.org/10.5281/zenodo.591533"

@@ -1,0 +1,902 @@
+"""Array utilities — the substrate layer (L0).
+
+TPU-first re-design of the reference utility layer (``librosa/util/utils.py``).
+Array math is implemented with JAX (``jnp``) so every utility is jit-able and
+TPU-resident; inherently-sparse / event-style helpers (peak picking output,
+frame fixing) run on host NumPy where the reference used numba.
+
+Reference parity notes cite ``/root/reference/librosa/util/utils.py`` lines.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse
+
+from .exceptions import ParameterError
+
+__all__ = [
+    "MAX_MEM_BLOCK",
+    "frame",
+    "valid_audio",
+    "valid_int",
+    "valid_intervals",
+    "is_positive_int",
+    "pad_center",
+    "expand_to",
+    "fix_length",
+    "fix_frames",
+    "axis_sort",
+    "normalize",
+    "localmax",
+    "localmin",
+    "peak_pick",
+    "sparsify_rows",
+    "buf_to_float",
+    "index_to_slice",
+    "sync",
+    "softmask",
+    "tiny",
+    "fill_off_diagonal",
+    "cyclic_gradient",
+    "shear",
+    "stack",
+    "dtype_r2c",
+    "dtype_c2r",
+    "count_unique",
+    "is_unique",
+    "abs2",
+    "phasor",
+]
+
+# Kept for API parity with the reference (util/utils.py:41); XLA/Pallas tiling
+# replaces explicit column blocking in this framework.
+MAX_MEM_BLOCK = 2**8 * 2**10
+
+_ArrayLike = Union[np.ndarray, jax.Array]
+
+
+def _asjax(x: Any, dtype: Any = None) -> jax.Array:
+    return jnp.asarray(x, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Framing
+# ---------------------------------------------------------------------------
+
+
+def frame(
+    x: _ArrayLike,
+    *,
+    frame_length: int,
+    hop_length: int,
+    axis: int = -1,
+    writeable: bool = False,
+    subok: bool = False,
+) -> jax.Array:
+    """Slice a data array into (overlapping) frames.
+
+    Parity: reference ``util/utils.py:79`` (``frame``).  The reference uses
+    ``as_strided`` views; on TPU we express framing as a static gather so XLA
+    can fuse it into downstream kernels (windowing / FFT / matmul).
+
+    For ``axis=-1``, output shape is ``(..., frame_length, n_frames)``;
+    for ``axis=0``, ``(n_frames, frame_length, ...)``.
+    """
+    x = jnp.asarray(x)
+    if x.shape[axis] < frame_length:
+        raise ParameterError(
+            f"Input is too short (n={x.shape[axis]:d}) for frame_length={frame_length:d}"
+        )
+    if hop_length < 1:
+        raise ParameterError(f"Invalid hop_length: {hop_length:d}")
+
+    n_frames = 1 + (x.shape[axis] - frame_length) // hop_length
+
+    # Index matrix idx[f, t] = t * hop + f  (shape (frame_length, n_frames)).
+    # Layout convention matches the reference (util/utils.py:207-242): for
+    # negative axis the frame axis precedes the (new) frame-index axis,
+    # (..., frame_length, n_frames); for non-negative axis it's
+    # (n_frames, frame_length, ...) — discriminated on the sign of the
+    # user-provided axis, exactly as the reference's moveaxis target.
+    idx = (
+        np.arange(frame_length)[:, None] + hop_length * np.arange(n_frames)[None, :]
+    )
+    if axis < 0:
+        out = jnp.take(x, jnp.asarray(idx), axis=axis)
+        if axis != -1:
+            # take inserted (frame_length, n_frames) at position axis;
+            # result is already in the right place
+            pass
+        return out
+    else:
+        out = jnp.take(x, jnp.asarray(idx.T), axis=axis)
+        # (..., n_frames, frame_length, ...) with the pair at position axis
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Validation
+# ---------------------------------------------------------------------------
+
+
+def valid_audio(y: _ArrayLike, *, mono: bool = False) -> bool:
+    """Validate an audio buffer (float dtype, finite). Parity: util/utils.py:246."""
+    if isinstance(y, jax.Array):
+        if not jnp.issubdtype(y.dtype, jnp.floating):
+            raise ParameterError("Audio data must be floating-point")
+        if y.ndim == 0:
+            raise ParameterError(
+                f"Audio data must be at least one-dimensional, given y.shape={y.shape}"
+            )
+        # Finite-ness check forces a sync; keep it cheap but faithful.
+        if not bool(jnp.all(jnp.isfinite(y))):
+            raise ParameterError("Audio buffer is not finite everywhere")
+        return True
+
+    y = np.asarray(y)
+    if not isinstance(y, np.ndarray):
+        raise ParameterError("Audio data must be of type numpy.ndarray")
+    if not np.issubdtype(y.dtype, np.floating):
+        raise ParameterError("Audio data must be floating-point")
+    if y.ndim == 0:
+        raise ParameterError(
+            f"Audio data must be at least one-dimensional, given y.shape={y.shape}"
+        )
+    if mono and y.ndim != 1:
+        raise ParameterError(f"Invalid shape for monophonic audio: ndim={y.ndim}")
+    if not np.isfinite(y).all():
+        raise ParameterError("Audio buffer is not finite everywhere")
+    return True
+
+
+def valid_int(x: float, *, cast: Optional[Callable[[float], float]] = None) -> int:
+    """Ensure that an input value is integer-typed. Parity: util/utils.py (valid_int)."""
+    if cast is None:
+        cast = np.floor
+    if not callable(cast):
+        raise ParameterError("cast parameter must be callable")
+    return int(cast(x))
+
+
+def is_positive_int(x: float) -> bool:
+    """Check that x is a positive integer."""
+    return isinstance(x, (int, np.integer)) and (x > 0)
+
+
+def valid_intervals(intervals: np.ndarray) -> bool:
+    """Ensure that an array is a valid representation of time intervals."""
+    intervals = np.asarray(intervals)
+    if intervals.ndim != 2 or intervals.shape[-1] != 2:
+        raise ParameterError("intervals must have shape (n, 2)")
+    if np.any(intervals[:, 0] > intervals[:, 1]):
+        raise ParameterError("intervals cannot have negative duration")
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Padding / reshaping
+# ---------------------------------------------------------------------------
+
+
+def pad_center(
+    data: _ArrayLike, *, size: int, axis: int = -1, **kwargs: Any
+) -> jax.Array:
+    """Pad an array to a target size, centered. Parity: util/utils.py:387."""
+    data = jnp.asarray(data)
+    kwargs.setdefault("mode", "constant")
+    n = data.shape[axis]
+    lpad = int((size - n) // 2)
+    lengths = [(0, 0)] * data.ndim
+    lengths[axis] = (lpad, int(size - n - lpad))
+    if lpad < 0:
+        raise ParameterError(
+            f"Target size ({size:d}) must be at least input size ({n:d})"
+        )
+    return jnp.pad(data, lengths, **kwargs)
+
+
+def expand_to(
+    x: _ArrayLike, *, ndim: int, axes: Union[int, Sequence[int]]
+) -> jax.Array:
+    """Expand x to the given dimension, placing its axes at ``axes``.
+
+    Parity: util/utils.py:461.
+    """
+    x = jnp.asarray(x)
+    try:
+        axes_t = tuple(axes)  # type: ignore[arg-type]
+    except TypeError:
+        axes_t = (axes,)  # type: ignore[assignment]
+    if len(axes_t) != x.ndim:
+        raise ParameterError(
+            f"Shape mismatch between axes={axes_t} and input x.shape={x.shape}"
+        )
+    if ndim < x.ndim:
+        raise ParameterError(
+            f"Cannot expand x.shape={x.shape} to fewer dimensions ndim={ndim}"
+        )
+    shape = [1] * ndim
+    for i, axi in enumerate(axes_t):
+        shape[axi] = x.shape[i]
+    return x.reshape(shape)
+
+
+def fix_length(data: _ArrayLike, *, size: int, axis: int = -1, **kwargs: Any) -> jax.Array:
+    """Fix the length of an array to exactly ``size`` along ``axis``.
+
+    Parity: util/utils.py:532.
+    """
+    data = jnp.asarray(data)
+    kwargs.setdefault("mode", "constant")
+    n = data.shape[axis]
+    if n > size:
+        slices = [slice(None)] * data.ndim
+        slices[axis] = slice(0, size)
+        return data[tuple(slices)]
+    elif n < size:
+        lengths = [(0, 0)] * data.ndim
+        lengths[axis] = (0, size - n)
+        return jnp.pad(data, lengths, **kwargs)
+    return data
+
+
+def fix_frames(
+    frames: _ArrayLike,
+    *,
+    x_min: Optional[int] = 0,
+    x_max: Optional[int] = None,
+    pad: bool = True,
+) -> np.ndarray:
+    """Fix a list of frames to lie within [x_min, x_max]. Host-side (index math).
+
+    Parity: util/utils.py:591.
+    """
+    frames = np.asarray(frames)
+    if np.any(frames < 0):
+        raise ParameterError("Negative frame index detected")
+    if pad and (x_min is not None or x_max is not None):
+        frames = np.clip(frames, x_min, x_max)
+    if pad:
+        pad_data = []
+        if x_min is not None:
+            pad_data.append(x_min)
+        if x_max is not None:
+            pad_data.append(x_max)
+        frames = np.concatenate((np.asarray(pad_data), frames))
+    if x_min is not None:
+        frames = frames[frames >= x_min]
+    if x_max is not None:
+        frames = frames[frames <= x_max]
+    unique: np.ndarray = np.unique(frames).astype(int)
+    return unique
+
+
+def axis_sort(
+    S: _ArrayLike,
+    *,
+    axis: int = -1,
+    index: bool = False,
+    value: Optional[Callable] = None,
+):
+    """Sort an array along its rows or columns by peak position.
+
+    Parity: util/utils.py:696.
+    """
+    if value is None:
+        value = jnp.argmax
+    S = jnp.asarray(S)
+    if S.ndim != 2:
+        raise ParameterError("axis_sort is only defined for 2D arrays")
+    bin_idx = value(S, axis=np.mod(1 - axis, S.ndim))
+    idx = jnp.argsort(bin_idx)
+    sort_slice = [slice(None)] * S.ndim
+    sort_slice[axis] = idx  # type: ignore[call-overload]
+    if index:
+        return S[tuple(sort_slice)], idx
+    return S[tuple(sort_slice)]
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+def _dtype_of(x: Any) -> np.dtype:
+    if hasattr(x, "dtype"):
+        return np.dtype(x.dtype)
+    return np.asarray(x).dtype
+
+
+def tiny(x: Any) -> float:
+    """Smallest positive usable number for the dtype of ``x``.
+
+    Parity: util/utils.py:1935.
+    """
+    dtype = _dtype_of(x)
+    if np.issubdtype(dtype, np.floating) or np.issubdtype(dtype, np.complexfloating):
+        return float(np.finfo(dtype).tiny)
+    return float(np.finfo(np.float32).tiny)
+
+
+def normalize(
+    S: _ArrayLike,
+    *,
+    norm: Optional[float] = np.inf,
+    axis: Optional[int] = 0,
+    threshold: Optional[float] = None,
+    fill: Optional[bool] = None,
+) -> jax.Array:
+    """Normalize an array along a chosen axis.
+
+    Parity: util/utils.py:797 — supports l-p norms, +-inf, l0 counting norm,
+    ``threshold`` + ``fill`` small-value semantics.
+    """
+    if threshold is None:
+        threshold = tiny(S)
+    elif threshold <= 0:
+        raise ParameterError(f"threshold={threshold} must be strictly positive")
+    if fill not in [None, False, True]:
+        raise ParameterError(f"fill={fill} must be None or boolean")
+
+    S = jnp.asarray(S)
+    if not (
+        jnp.issubdtype(S.dtype, jnp.floating)
+        or jnp.issubdtype(S.dtype, jnp.complexfloating)
+    ):
+        raise ParameterError("Input must be floating point")
+
+    mag = jnp.abs(S).astype(jnp.result_type(S.real.dtype, jnp.float32))
+
+    fill_norm = 1.0
+    if norm is None:
+        return S
+    elif norm == np.inf:
+        length = jnp.max(mag, axis=axis, keepdims=True)
+    elif norm == -np.inf:
+        length = jnp.min(mag, axis=axis, keepdims=True)
+    elif norm == 0:
+        if fill is True:
+            raise ParameterError("Cannot normalize with norm=0 and fill=True")
+        length = jnp.sum(mag > 0, axis=axis, keepdims=True).astype(mag.dtype)
+    elif np.issubdtype(type(norm), np.number) and norm > 0:
+        length = jnp.sum(mag**norm, axis=axis, keepdims=True) ** (1.0 / norm)
+        if axis is None:
+            fill_norm = mag.size ** (-1.0 / norm)
+        else:
+            fill_norm = mag.shape[axis] ** (-1.0 / norm)
+    else:
+        raise ParameterError(f"Unsupported norm: {repr(norm)}")
+
+    small_idx = length < threshold
+    if fill is None:
+        length = jnp.where(small_idx, 1.0, length)
+        return S / length
+    elif fill:
+        length = jnp.where(small_idx, jnp.nan, length)
+        Snorm = S / length
+        return jnp.where(jnp.isnan(Snorm), fill_norm, Snorm)
+    else:
+        length = jnp.where(small_idx, jnp.inf, length)
+        return S / length
+
+
+# ---------------------------------------------------------------------------
+# Local extrema (shift-compare; reference numba stencils util/utils.py:1028-1056)
+# ---------------------------------------------------------------------------
+
+
+def localmax(x: _ArrayLike, *, axis: int = 0) -> jax.Array:
+    """Local maxima: ``x[i] > x[i-1]`` and ``x[i] >= x[i+1]``.
+
+    Boundary: first element never a max; last uses only the left condition.
+    Parity: util/utils.py:1060.
+    """
+    x = jnp.asarray(x)
+    xi = jnp.swapaxes(x, -1, axis)
+    prev = xi[..., :-1]
+    nxt = xi[..., 1:]
+    gt_prev = jnp.concatenate(
+        [jnp.zeros_like(xi[..., :1], dtype=bool), xi[..., 1:] > prev], axis=-1
+    )
+    ge_next = jnp.concatenate(
+        [xi[..., :-1] >= nxt, jnp.ones_like(xi[..., :1], dtype=bool)], axis=-1
+    )
+    out = gt_prev & ge_next
+    return jnp.swapaxes(out, -1, axis)
+
+
+def localmin(x: _ArrayLike, *, axis: int = 0) -> jax.Array:
+    """Local minima: ``x[i] < x[i-1]`` and ``x[i] <= x[i+1]``.
+
+    Parity: util/utils.py:1121.
+    """
+    x = jnp.asarray(x)
+    xi = jnp.swapaxes(x, -1, axis)
+    prev = xi[..., :-1]
+    nxt = xi[..., 1:]
+    lt_prev = jnp.concatenate(
+        [jnp.zeros_like(xi[..., :1], dtype=bool), xi[..., 1:] < prev], axis=-1
+    )
+    le_next = jnp.concatenate(
+        [xi[..., :-1] <= nxt, jnp.ones_like(xi[..., :1], dtype=bool)], axis=-1
+    )
+    out = lt_prev & le_next
+    return jnp.swapaxes(out, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# Peak picking
+# ---------------------------------------------------------------------------
+
+
+def _peak_pick_greedy_1d(
+    x: np.ndarray,
+    pre_max: int,
+    post_max: int,
+    pre_avg: int,
+    post_avg: int,
+    delta: float,
+    wait: int,
+) -> np.ndarray:
+    """Greedy peak picker over one envelope (host NumPy).
+
+    Behavioral parity with the reference numba kernel util/utils.py:1188.
+    Peak lists are tiny (onset envelopes), so host execution is appropriate;
+    a jit-able lax.scan variant lives in ``librosa_tpu.ops.peaks``.
+    """
+    n_frames = x.shape[0]
+    peaks = np.zeros(n_frames, dtype=bool)
+    if n_frames == 0:
+        return peaks
+    p0 = x[0] >= np.max(x[: min(post_max, n_frames)])
+    p0 &= x[0] >= np.mean(x[: min(post_avg, n_frames)]) + delta
+    peaks[0] = p0
+    n = wait + 1 if p0 else 1
+    while n < n_frames:
+        maxn = np.max(x[max(0, n - pre_max) : min(n + post_max, n_frames)])
+        if x[n] != maxn:
+            n += 1
+            continue
+        avgn = np.mean(x[max(0, n - pre_avg) : min(n + post_avg, n_frames)])
+        if x[n] < avgn + delta:
+            n += 1
+            continue
+        peaks[n] = True
+        n += wait + 1
+    return peaks
+
+
+def _peak_pick_dp_1d(
+    x: np.ndarray,
+    pre_max: int,
+    post_max: int,
+    pre_avg: int,
+    post_avg: int,
+    delta: float,
+    wait: int,
+    count: bool,
+) -> np.ndarray:
+    """Optimal peak picker by DP. Parity: util/utils.py:1225 (__peak_pick_dp)."""
+    n_frames = len(x)
+    values = np.zeros(n_frames + 1)
+    pointers = np.zeros(n_frames + 1, dtype=np.int64)
+    taken = np.zeros(n_frames + 1, dtype=bool)
+    cumulate = np.cumsum(x)
+    values[-1] = 0
+    pointers[-1] = -1
+    for n in range(n_frames - 1, -1, -1):
+        values[n] = values[n + 1]
+        pointers[n] = n + 1
+        maxn = np.max(x[max(0, n - pre_max) : min(n + post_max, n_frames)])
+        if x[n] < maxn:
+            continue
+        idx_prev = max(0, n - pre_avg)
+        idx_post = min(n + post_avg, n_frames)
+        if idx_prev == 0:
+            avgn = cumulate[idx_post - 1] / idx_post
+        else:
+            avgn = (cumulate[idx_post - 1] - cumulate[idx_prev - 1]) / (
+                idx_post - idx_prev
+            )
+        v = 1.0 if count else x[n]
+        next_ptr = min(n_frames, n + wait + 1)
+        if x[n] >= avgn + delta and values[next_ptr] + v > values[n + 1]:
+            values[n] = values[next_ptr] + v
+            pointers[n] = next_ptr
+            taken[n] = True
+    peaks = np.zeros(n_frames, dtype=bool)
+    n = 0
+    while pointers[n] >= 0:
+        peaks[n] = taken[n]
+        n = pointers[n]
+    return peaks
+
+
+def peak_pick(
+    x: _ArrayLike,
+    *,
+    pre_max: int,
+    post_max: int,
+    pre_avg: int,
+    post_avg: int,
+    delta: float,
+    wait: int,
+    sparse: bool = True,
+    method: str = "greedy",
+    axis: int = -1,
+) -> np.ndarray:
+    """Pick peaks in an onset-strength-like envelope.
+
+    Parity: util/utils.py:1326 — greedy and DP (``dp_count`` / ``dp_value``)
+    variants, sparse index or boolean-mask output.
+    """
+    x = np.asarray(x)
+    if sparse and x.ndim != 1:
+        raise ParameterError("sparse=True (default) does not support "
+                             f"input with ndim={x.ndim}. Set sparse=False.")
+    if pre_max < 0:
+        raise ParameterError("pre_max must be non-negative")
+    if pre_avg < 0:
+        raise ParameterError("pre_avg must be non-negative")
+    if delta < 0:
+        raise ParameterError("delta must be non-negative")
+    if wait < 0:
+        raise ParameterError("wait must be non-negative")
+    if post_max <= 0:
+        raise ParameterError("post_max must be positive")
+    if post_avg <= 0:
+        raise ParameterError("post_avg must be positive")
+
+    pre_max = valid_int(pre_max, cast=np.ceil)
+    post_max = valid_int(post_max, cast=np.ceil)
+    pre_avg = valid_int(pre_avg, cast=np.ceil)
+    post_avg = valid_int(post_avg, cast=np.ceil)
+    wait = valid_int(wait, cast=np.ceil)
+
+    xm = np.moveaxis(x, axis, -1)
+    flat = xm.reshape(-1, xm.shape[-1])
+    out = np.zeros_like(flat, dtype=bool)
+    for i in range(flat.shape[0]):
+        if method == "greedy":
+            out[i] = _peak_pick_greedy_1d(
+                flat[i].astype(np.float64), pre_max, post_max, pre_avg, post_avg,
+                delta, wait,
+            )
+        elif method == "dp_count":
+            out[i] = _peak_pick_dp_1d(
+                flat[i].astype(np.float64), pre_max, post_max, pre_avg, post_avg,
+                delta, wait, True,
+            )
+        elif method == "dp_value":
+            out[i] = _peak_pick_dp_1d(
+                flat[i].astype(np.float64), pre_max, post_max, pre_avg, post_avg,
+                delta, wait, False,
+            )
+        else:
+            raise ParameterError(f"Unsupported method: {method}")
+    mask = np.moveaxis(out.reshape(xm.shape), -1, axis)
+    if sparse:
+        return np.flatnonzero(mask)
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Sparsification / aggregation
+# ---------------------------------------------------------------------------
+
+
+def sparsify_rows(
+    x: _ArrayLike, *, quantile: float = 0.01, dtype: Any = None
+) -> scipy.sparse.csr_matrix:
+    """Keep only the top (1-quantile) energy entries of each row, as CSR.
+
+    Parity: util/utils.py:1500.  On TPU the CQT path keeps bases dense; this
+    helper exists for API compatibility and host-side use.
+    """
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x.reshape((1, -1))
+    elif x.ndim > 2:
+        raise ParameterError(
+            f"Input must have 2 or fewer dimensions. Provided x.shape={x.shape}."
+        )
+    if not 0.0 <= quantile < 1:
+        raise ParameterError(f"Invalid quantile {quantile:.2f}")
+    if dtype is None:
+        dtype = x.dtype
+
+    x_sparse = scipy.sparse.lil_matrix(x.shape, dtype=dtype)
+    mags = np.abs(x)
+    norms = np.sum(mags, axis=1, keepdims=True)
+    mag_sort = np.sort(mags, axis=1)
+    cumulative_mag = np.cumsum(mag_sort / norms, axis=1)
+    threshold_idx = np.argmin(cumulative_mag < quantile, axis=1)
+    for i, j in enumerate(threshold_idx):
+        idx = np.where(mags[i] >= mag_sort[i, j])
+        x_sparse[i, idx] = x[i, idx]
+    return x_sparse.tocsr()
+
+
+def index_to_slice(
+    idx: _ArrayLike,
+    *,
+    idx_min: Optional[int] = None,
+    idx_max: Optional[int] = None,
+    step: Optional[int] = None,
+    pad: bool = True,
+) -> list:
+    """Convert an index array into a list of slices. Parity: util/utils.py:1632."""
+    idx_fixed = fix_frames(idx, x_min=idx_min, x_max=idx_max, pad=pad)
+    return [slice(start, end, step) for (start, end) in zip(idx_fixed, idx_fixed[1:])]
+
+
+def sync(
+    data: _ArrayLike,
+    idx: Union[Sequence, np.ndarray],
+    *,
+    aggregate: Optional[Callable] = None,
+    pad: bool = True,
+    axis: int = -1,
+) -> jax.Array:
+    """Aggregate data between boundary indices/slices. Parity: util/utils.py:1691."""
+    if aggregate is None:
+        aggregate = jnp.mean
+    data = jnp.asarray(data)
+    shape = list(data.shape)
+
+    idx_arr = np.asarray(idx, dtype=object) if isinstance(idx, list) else idx
+    if isinstance(idx, (list, np.ndarray)) and len(idx) > 0 and isinstance(
+        (idx[0] if len(idx) else None), slice
+    ):
+        slices = list(idx)
+    else:
+        idx_np = np.asarray(idx)
+        if idx_np.ndim != 1 or not np.issubdtype(idx_np.dtype, np.integer):
+            raise ParameterError(f"Invalid index set: {idx}")
+        slices = index_to_slice(idx_np, idx_min=0, idx_max=shape[axis], pad=pad)
+
+    agg_slices = []
+    full_slice = [slice(None)] * data.ndim
+    for segment in slices:
+        full_slice[axis] = segment
+        agg_slices.append(
+            aggregate(data[tuple(full_slice)], axis=axis, keepdims=True)
+        )
+    return jnp.concatenate(agg_slices, axis=axis)
+
+
+def softmask(
+    X: _ArrayLike, X_ref: _ArrayLike, *, power: float = 1, split_zeros: bool = False
+) -> jax.Array:
+    """Robustly compute a soft-mask operation ``M = X**power / (X**power + X_ref**power)``.
+
+    Parity: util/utils.py:1817 — log-space stabilization, ``power=inf`` hard
+    mask, ``split_zeros`` semantics.
+    """
+    X = jnp.asarray(X)
+    X_ref = jnp.asarray(X_ref)
+    if X.shape != X_ref.shape:
+        raise ParameterError(f"Shape mismatch: {X.shape}!={X_ref.shape}")
+    if bool(jnp.any(X < 0)) or bool(jnp.any(X_ref < 0)):
+        raise ParameterError("X and X_ref must be non-negative")
+    if power <= 0:
+        raise ParameterError("power must be strictly positive")
+
+    dtype = X.dtype
+    if dtype not in (jnp.float16, jnp.float32, jnp.float64, jnp.bfloat16):
+        raise ParameterError("data type error")
+
+    Z = jnp.maximum(X, X_ref).astype(dtype)
+    bad_idx = Z < np.finfo(np.dtype(dtype) if dtype != jnp.bfloat16 else np.float32).tiny
+    Z = jnp.where(bad_idx, 1.0, Z)
+
+    if np.isfinite(power):
+        ref_mask = (X_ref / Z) ** power
+        good_mask = ~bad_idx
+        mask = (X / Z) ** power
+        mask = mask / (mask + ref_mask)
+        fill_value = 0.5 if split_zeros else 0.0
+        mask = jnp.where(good_mask, mask, fill_value)
+    else:
+        mask = (X > X_ref).astype(dtype)
+        if split_zeros:
+            mask = jnp.where(bad_idx, 0.5, mask)
+        else:
+            mask = jnp.where(bad_idx, 0.0, mask)
+    return mask
+
+
+def fill_off_diagonal(
+    x: np.ndarray, *, radius: float, value: float = 0
+) -> None:
+    """Set all cells of a (host NumPy) matrix outside a diagonal band to ``value``.
+
+    In-place, host-side. Parity: util/utils.py:2003.
+    """
+    nx, ny = x.shape[-2:]
+    minval = min(nx, ny)
+    if isinstance(radius, float) and radius < 1:
+        radius = int(radius * minval)
+    radius = int(radius)
+    idx_u = np.triu_indices_from(x[..., :, :].reshape(-1, nx, ny)[0], k=radius)
+    idx_l = np.tril_indices_from(x.reshape(-1, nx, ny)[0], k=-radius)
+    flat = x.reshape(-1, nx, ny)
+    for mat in flat:
+        mat[idx_u] = value
+        mat[idx_l] = value
+    if nx < ny:
+        for mat in flat:
+            mat[:, minval - radius :] = value
+    elif ny < nx:
+        for mat in flat:
+            mat[minval - radius :, :] = value
+
+
+def band_mask(nx: int, ny: int, *, radius: float) -> np.ndarray:
+    """Boolean mask of a Sakoe-Chiba band (True = inside band).
+
+    TPU-native companion to :func:`fill_off_diagonal` — masks stay dense on
+    device instead of mutating matrices in place.
+    """
+    minval = min(nx, ny)
+    if isinstance(radius, float) and radius < 1:
+        radius = int(radius * minval)
+    radius = int(radius)
+    i = np.arange(nx)[:, None]
+    j = np.arange(ny)[None, :]
+    mask = (j - i < radius) & (i - j < radius)
+    if nx < ny:
+        mask[:, minval - radius :] = False
+    elif ny < nx:
+        mask[minval - radius :, :] = False
+    return mask
+
+
+def cyclic_gradient(
+    data: _ArrayLike, *, edge_order: int = 1, axis: int = -1
+) -> jax.Array:
+    """np.gradient with wrap-around boundary. Parity: util/utils.py:2070."""
+    data = jnp.asarray(data)
+    gradient_order = min(data.shape[axis] - 1, edge_order)
+    padding = [(0, 0)] * data.ndim
+    padding[axis] = (gradient_order, gradient_order)
+    data_pad = jnp.pad(data, padding, mode="wrap")
+    grad = jnp.gradient(data_pad, edge_order=gradient_order, axis=axis)
+    slices = [slice(None)] * data.ndim
+    slices[axis] = slice(gradient_order, -gradient_order)
+    return grad[tuple(slices)]
+
+
+def shear(X: _ArrayLike, *, factor: int = 1, axis: int = -1) -> jax.Array:
+    """Shear a matrix by a given factor: ``X_s[i, t] = X[i, t + factor*i]`` (mod n).
+
+    Column-roll formulation of util/utils.py:2206 (dense path).
+    """
+    if not np.issubdtype(type(factor), np.integer):
+        raise ParameterError(f"factor={factor} must be integer-valued")
+    X = jnp.asarray(X)
+    if X.ndim != 2:
+        raise ParameterError("shear is defined only for 2D arrays")
+    # For each column j of the axis being sheared, roll the *other* axis by
+    # factor * j.  Vectorize as a gather.
+    n0, n1 = X.shape
+    if axis == 0:
+        j = np.arange(n1)
+        i = np.arange(n0)[:, None]
+        src = np.mod(i - factor * j[None, :], n0)
+        return X[jnp.asarray(src), jnp.asarray(np.broadcast_to(j, (n0, n1)))]
+    else:
+        i = np.arange(n0)[:, None]
+        j = np.arange(n1)
+        src = np.mod(j[None, :] - factor * i, n1)
+        return X[jnp.asarray(np.broadcast_to(i, (n0, n1))), jnp.asarray(src)]
+
+
+def stack(arrays: Sequence[_ArrayLike], *, axis: int = 0) -> jax.Array:
+    """Stack one or more arrays along a target axis. Parity: util/utils.py:2260."""
+    if not arrays:
+        raise ParameterError("no input arrays provided to stack")
+    shapes = {jnp.asarray(a).shape for a in arrays}
+    if len(shapes) > 1:
+        raise ParameterError("all input arrays must have the same shape")
+    return jnp.stack([jnp.asarray(a) for a in arrays], axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Dtype mapping
+# ---------------------------------------------------------------------------
+
+
+def dtype_r2c(d: Any, *, default: Optional[Any] = np.complex64) -> np.dtype:
+    """Real dtype → complex analogue. Parity: util/utils.py:2362."""
+    mapping = {
+        np.dtype(np.float32): np.complex64,
+        np.dtype(np.float64): np.complex128,
+        np.dtype(float): np.dtype(complex).type,
+    }
+    dt = np.dtype(d)
+    if dt.kind == "c":
+        return dt
+    return np.dtype(mapping.get(dt, default))
+
+
+def dtype_c2r(d: Any, *, default: Optional[Any] = np.float32) -> np.dtype:
+    """Complex dtype → real analogue. Parity: util/utils.py:2419."""
+    mapping = {
+        np.dtype(np.complex64): np.float32,
+        np.dtype(np.complex128): np.float64,
+        np.dtype(complex): np.dtype(float).type,
+    }
+    dt = np.dtype(d)
+    if dt.kind == "f":
+        return dt
+    return np.dtype(mapping.get(dt, default))
+
+
+# ---------------------------------------------------------------------------
+# Unique counting (sort + diff; reference numba util/utils.py:2480-2540)
+# ---------------------------------------------------------------------------
+
+
+def count_unique(data: _ArrayLike, *, axis: int = -1) -> jax.Array:
+    """Count unique values per slice along an axis."""
+    data = jnp.asarray(data)
+    s = jnp.sort(data, axis=axis)
+    d = jnp.diff(s, axis=axis) != 0
+    return jnp.sum(d, axis=axis) + 1
+
+
+def is_unique(data: _ArrayLike, *, axis: int = -1) -> jax.Array:
+    """Determine if the data is all unique per slice along an axis."""
+    data = jnp.asarray(data)
+    return count_unique(data, axis=axis) == data.shape[axis]
+
+
+# ---------------------------------------------------------------------------
+# Elementwise kernels (reference numba vectorize util/utils.py:2583-2646)
+# ---------------------------------------------------------------------------
+
+
+def abs2(x: _ArrayLike, dtype: Any = None) -> jax.Array:
+    """Squared magnitude, avoiding an explicit abs+square round trip.
+
+    Parity: util/utils.py:2592.  XLA fuses re*re + im*im into adjacent ops.
+    """
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        y = jnp.real(x) ** 2 + jnp.imag(x) ** 2
+        if dtype is not None:
+            y = y.astype(dtype)
+        return y
+    y = x**2
+    if dtype is not None:
+        y = y.astype(dtype)
+    return y
+
+
+def phasor(
+    angles: _ArrayLike, *, mag: Optional[_ArrayLike] = None
+) -> jax.Array:
+    """Construct a complex phasor ``exp(1j*angles)``, optionally scaled by mag.
+
+    Parity: util/utils.py:2646.
+    """
+    angles = jnp.asarray(angles)
+    z = jax.lax.complex(jnp.cos(angles), jnp.sin(angles))
+    if mag is not None:
+        z = z * jnp.asarray(mag)
+    return z
+
+
+def buf_to_float(
+    x: np.ndarray, *, n_bytes: int = 2, dtype: Any = np.float32
+) -> np.ndarray:
+    """Convert an integer PCM buffer to floating point. Parity: util/utils.py:1600."""
+    scale = 1.0 / float(1 << ((8 * n_bytes) - 1))
+    fmt = f"<i{n_bytes:d}"
+    return scale * np.frombuffer(x, fmt).astype(dtype)
