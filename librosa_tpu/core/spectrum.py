@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import filters
+from ..ops.fft import dft_mats_device, frames_power_spectrum, frames_rdft
+from ..ops import fft as _fft_ops
 from ..ops.framing import frame_signal, overlap_add
 from ..util import utils as util
 from ..util.exceptions import ParameterError
@@ -42,6 +44,13 @@ __all__ = [
 _WindowSpec = Any
 
 
+def _mats_arg(n_fft: int, dtype: Any):
+    """DFT matrices as jit arguments when the matmul backend is active."""
+    if _fft_ops._resolved_backend() == "matmul":
+        return dft_mats_device(n_fft, dtype)
+    return None
+
+
 def _win_device(
     window: _WindowSpec, win_length: int, n_fft: int, dtype: Any
 ) -> jax.Array:
@@ -61,6 +70,7 @@ def _win_device(
 def _stft_core(
     y: jax.Array,
     window: jax.Array,
+    dft_mats,
     *,
     n_fft: int,
     hop_length: int,
@@ -78,9 +88,82 @@ def _stft_core(
         pad[-1] = (n_fft // 2, n_fft // 2)
         y = jnp.pad(y, pad, mode=pad_mode)
     frames = frame_signal(y, frame_length=n_fft, hop_length=hop_length)
-    spec = jnp.fft.rfft(frames * window, axis=-1)
+    spec = frames_rdft(frames * window, n_fft=n_fft, dft_mats=dft_mats)
     # (..., n_frames, n_bins) → (..., n_bins, n_frames)
     return jnp.swapaxes(spec, -2, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "center", "pad_mode", "power"),
+)
+def _stft_mel_core(
+    y: jax.Array,
+    window: jax.Array,
+    dft_mats,
+    mel_basis: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+    power: float,
+) -> jax.Array:
+    """One fused program: pad → frame → window → DFT-power → mel matmul.
+
+    The full BASELINE config-1 hot path with zero intermediate dispatches:
+    frames never round-trip to HBM between the DFT matmuls and the mel
+    projection; XLA tiles the whole chain onto the MXU.
+    """
+    if center:
+        pad = [(0, 0)] * y.ndim
+        pad[-1] = (n_fft // 2, n_fft // 2)
+        y = jnp.pad(y, pad, mode=pad_mode)
+    frames = frame_signal(y, frame_length=n_fft, hop_length=hop_length)
+    pw = frames_power_spectrum(frames * window, n_fft=n_fft, dft_mats=dft_mats)
+    if power == 1:
+        pw = jnp.sqrt(pw)
+    elif power != 2:
+        pw = pw ** (power / 2)
+    return jnp.einsum(
+        "...tf,mf->...mt", pw, mel_basis, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "center", "pad_mode", "power")
+)
+def _stft_power_core(
+    y: jax.Array,
+    window: jax.Array,
+    dft_mats,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+    power: float,
+) -> jax.Array:
+    """Fused |STFT|**power without complex intermediates.
+
+    The hot path for every magnitude/power feature (mel, mfcc, chroma,
+    spectral descriptors): frame gather → window multiply → real-DFT power
+    via MXU matmuls (``ops.fft.frames_power_spectrum``) → optional
+    power/2 exponent, all in one XLA program.
+    """
+    if center:
+        pad = [(0, 0)] * y.ndim
+        pad[-1] = (n_fft // 2, n_fft // 2)
+        y = jnp.pad(y, pad, mode=pad_mode)
+    frames = frame_signal(y, frame_length=n_fft, hop_length=hop_length)
+    pw = frames_power_spectrum(frames * window, n_fft=n_fft, dft_mats=dft_mats)
+    if power == 2:
+        out = pw
+    elif power == 1:
+        out = jnp.sqrt(pw)
+    else:
+        out = pw ** (power / 2)
+    return jnp.swapaxes(out, -2, -1)
 
 
 def stft(
@@ -132,6 +215,7 @@ def stft(
     S = _stft_core(
         y,
         window_dev,
+        _mats_arg(n_fft, window_dev.dtype),
         n_fft=n_fft,
         hop_length=hop_length,
         center=center,
@@ -697,18 +781,23 @@ def _spectrogram(
             raise ParameterError(
                 "Input signal must be provided to compute a spectrogram"
             )
-        S = (
-            jnp.abs(
-                stft(
-                    y,
-                    n_fft=n_fft,
-                    hop_length=hop_length,
-                    win_length=win_length,
-                    center=center,
-                    window=window,
-                    pad_mode=pad_mode,
-                )
-            )
-            ** power
+        if win_length is None:
+            win_length = n_fft
+        if hop_length is None:
+            hop_length = int(win_length // 4)
+        y = jnp.asarray(y)
+        if not jnp.issubdtype(y.dtype, jnp.floating):
+            raise ParameterError("Audio data must be floating-point")
+        real_dtype = y.dtype if y.dtype in (jnp.float32, jnp.float64) else jnp.float32
+        window_dev = _win_device(window, win_length, n_fft, real_dtype)
+        S = _stft_power_core(
+            y,
+            window_dev,
+            _mats_arg(n_fft, window_dev.dtype),
+            n_fft=n_fft,
+            hop_length=hop_length,
+            center=center,
+            pad_mode=pad_mode,
+            power=float(power),
         )
     return S, n_fft

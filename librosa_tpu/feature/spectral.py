@@ -17,7 +17,14 @@ import numpy as np
 
 from .. import filters
 from ..core.convert import fft_frequencies, mel_frequencies
-from ..core.spectrum import _spectrogram, power_to_db, stft
+from ..core.spectrum import (
+    _mats_arg,
+    _spectrogram,
+    _stft_mel_core,
+    _win_device,
+    power_to_db,
+    stft,
+)
 from ..ops.transforms import dct_matrix
 from ..util import utils as util
 from ..util.exceptions import ParameterError
@@ -666,6 +673,32 @@ def melspectrogram(
     The mel projection is an MXU matmul; XLA fuses it with the preceding
     |STFT|**power elementwise stage.
     """
+    if S is None and y is not None:
+        # Fused single-program hot path: frame → window → DFT power → mel
+        y = jnp.asarray(y)
+        if not jnp.issubdtype(y.dtype, jnp.floating):
+            raise ParameterError("Audio data must be floating-point")
+        if win_length is None:
+            win_length = n_fft
+        if hop_length is None:
+            hop_length = int(win_length // 4)
+        real_dtype = (
+            y.dtype if y.dtype in (jnp.float32, jnp.float64) else jnp.float32
+        )
+        window_dev = _win_device(window, win_length, n_fft, real_dtype)
+        mel_basis = filters.mel(sr=sr, n_fft=n_fft, **kwargs)
+        return _stft_mel_core(
+            y,
+            window_dev,
+            _mats_arg(n_fft, real_dtype),
+            jnp.asarray(mel_basis, dtype=real_dtype),
+            n_fft=n_fft,
+            hop_length=hop_length,
+            center=center,
+            pad_mode=pad_mode,
+            power=float(power),
+        )
+
     S, n_fft = _spectrogram(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, power=power,
         win_length=win_length, window=window, center=center, pad_mode=pad_mode,

@@ -1,0 +1,112 @@
+"""STFT compute backends.
+
+Two device paths for the framed transform:
+
+- **fft**: ``jnp.fft.rfft`` — exact, but XLA's TPU FFT is scalar-unit bound
+  (~GFLOP/s).  Right choice on CPU (pocketfft) and when complex output of
+  very long transforms is needed.
+- **matmul**: the real DFT as two MXU matmuls against host-precomputed
+  cos/sin matrices — ~100× faster on TPU for n_fft ≤ 4096.  The power
+  spectrum needs no complex arithmetic at all:
+  ``|X|² = (F·Cᵀ)² + (F·Sᵀ)²``.
+
+Backend selection is automatic: matmul on TPU, fft elsewhere; override via
+``set_stft_backend``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .transforms import dft_matrices
+
+__all__ = [
+    "set_stft_backend",
+    "get_stft_backend",
+    "dft_mats_device",
+    "frames_power_spectrum",
+    "frames_rdft",
+]
+
+_BACKEND = "auto"  # 'auto' | 'fft' | 'matmul'
+# MXU precision for the DFT matmuls.  HIGHEST ≈ float32-exact (bf16x6
+# decomposition); 'high' (bf16x3) is ~2x faster at ≈f32 accuracy.
+_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_stft_backend(backend: str, *, precision=None) -> None:
+    """Select the framed-transform backend: 'auto', 'fft', or 'matmul'."""
+    global _BACKEND, _MATMUL_PRECISION
+    if backend not in ("auto", "fft", "matmul"):
+        raise ValueError(f"Unknown stft backend: {backend}")
+    _BACKEND = backend
+    if precision is not None:
+        _MATMUL_PRECISION = precision
+
+
+def get_stft_backend() -> str:
+    return _BACKEND
+
+
+def _resolved_backend() -> str:
+    if _BACKEND != "auto":
+        return _BACKEND
+    platform = jax.default_backend()
+    return "matmul" if platform in ("tpu", "axon") else "fft"
+
+
+_DEV_MATS: dict = {}
+
+
+def dft_mats_device(n_fft: int, dtype) -> tuple:
+    """Device-resident (Cᵀ, Sᵀ) DFT matrices, cached per (n_fft, dtype).
+
+    Passed as jit *arguments* (not traced constants) so large matrices are
+    uploaded once and shared across every compiled program.
+    """
+    key = (n_fft, jnp.dtype(dtype).name)
+    if key in _DEV_MATS:
+        return _DEV_MATS[key]
+    C, S = dft_matrices(n_fft)
+    mats = (jnp.asarray(C.T, dtype=dtype), jnp.asarray(S.T, dtype=dtype))
+    # Under an outer jit these are traced constants — do NOT cache them
+    # (they would leak tracers); they embed into that program instead.
+    if not isinstance(mats[0], jax.core.Tracer):
+        _DEV_MATS[key] = mats
+    return mats
+
+
+def frames_power_spectrum(
+    frames: jax.Array, *, n_fft: int, dft_mats=None
+) -> jax.Array:
+    """|rfft(frames)|² over the last axis → (..., T, 1 + n_fft//2).
+
+    ``frames`` are already windowed.  On TPU this is two MXU matmuls and a
+    fused square-add; no complex intermediates touch HBM.  ``dft_mats``
+    should be traced arguments from :func:`dft_mats_device` when calling
+    under jit; if None they become compile-time constants.
+    """
+    if dft_mats is not None or _resolved_backend() == "matmul":
+        if dft_mats is None:
+            dft_mats = dft_mats_device(n_fft, frames.dtype)
+        Ct, St = dft_mats
+        re = jnp.matmul(frames, Ct, precision=_MATMUL_PRECISION)
+        im = jnp.matmul(frames, St, precision=_MATMUL_PRECISION)
+        return re * re + im * im
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return spec.real**2 + spec.imag**2
+
+
+def frames_rdft(frames: jax.Array, *, n_fft: int, dft_mats=None) -> jax.Array:
+    """rfft over the last axis → complex (..., T, 1 + n_fft//2)."""
+    if dft_mats is not None or _resolved_backend() == "matmul":
+        if dft_mats is None:
+            dft_mats = dft_mats_device(n_fft, frames.dtype)
+        Ct, St = dft_mats
+        re = jnp.matmul(frames, Ct, precision=_MATMUL_PRECISION)
+        im = jnp.matmul(frames, St, precision=_MATMUL_PRECISION)
+        return jax.lax.complex(re, -im)
+    return jnp.fft.rfft(frames, axis=-1)

@@ -24,9 +24,24 @@ def frame_signal(y: jax.Array, *, frame_length: int, hop_length: int) -> jax.Arr
 
     Time-major frame layout (contiguous frames) so the following
     window-multiply + DFT matmul/rfft reads unit-stride rows.
+
+    Fast path (``hop_length | frame_length``, the standard configuration):
+    reshape the signal into hop-sized rows and concatenate ``r`` shifted row
+    slices — pure slicing, no gather, no index constants.  TPU gathers of
+    (T, n_fft) indices are both slow and embed a huge index literal in the
+    program; this path avoids both.  Irregular hops fall back to a gather.
     """
     n = y.shape[-1]
     n_frames = 1 + (n - frame_length) // hop_length
+
+    if frame_length % hop_length == 0:
+        r = frame_length // hop_length
+        rows = n // hop_length
+        lead = y.shape[:-1]
+        rows_arr = y[..., : rows * hop_length].reshape(*lead, rows, hop_length)
+        parts = [rows_arr[..., k : k + n_frames, :] for k in range(r)]
+        return jnp.concatenate(parts, axis=-1)
+
     idx = (
         np.arange(frame_length)[None, :]
         + hop_length * np.arange(n_frames)[:, None]
