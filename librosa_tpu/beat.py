@@ -1,0 +1,377 @@
+"""Beat tracking and predominant local pulse (L5).
+
+The beat tracker's core DP (reference numba kernel ``__beat_track_dp``,
+``librosa/beat.py:619``) runs as a ``lax.scan`` over frames with a
+fixed-size predecessor window: each step gathers the last ``W`` cumulative
+scores from a rolling carry buffer and reduces the log-spacing penalty over
+the data-dependent search range via masking — static shapes, device-resident,
+batched over channels.  Backtracking and trimming (tiny, sequential) run on
+host.
+
+Parity citations refer to ``librosa/beat.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import core, onset
+from .feature.rhythm import fourier_tempogram, tempo as _tempo
+from .util import utils as util
+from .util.exceptions import ParameterError
+
+__all__ = ["beat_track", "plp"]
+
+# Maximum predecessor search distance (frames).  2*frames_per_beat at the
+# default 43 fps reaches back to ~10 BPM before truncating.
+_MAX_WINDOW = 1024
+
+
+@functools.partial(jax.jit, static_argnames=("tv",))
+def _beat_dp_scan(
+    localscore: jax.Array,
+    frames_per_beat: jax.Array,
+    tightness: float,
+    *,
+    tv: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Beat-tracking DP over one envelope (vmapped for batches).
+
+    ``localscore``: (T,);  ``frames_per_beat``: (T,) if tv else (1,).
+    Returns (backlink (T,) int32, cumscore (T,)).
+    """
+    T = localscore.shape[0]
+    W = _MAX_WINDOW
+    score_thresh = 0.01 * jnp.max(localscore)
+
+    d = jnp.arange(1, W + 1, dtype=jnp.float32)  # distance to predecessor
+
+    def step(carry, inp):
+        buf, first_beat = carry  # buf[k] = cumscore[i - (W - k)], k=0..W-1
+        i, score_i, fpb = inp
+
+        # search range: round(fpb/2) <= d <= 2*fpb, loc = i - d >= 0
+        d_min = jnp.round(fpb / 2)
+        d_max = 2 * fpb
+        valid = (d >= d_min) & (d <= d_max) & (d <= i.astype(jnp.float32))
+
+        prev = buf[::-1]  # prev[k] = cumscore[i - (k+1)] = cumscore at d=k+1
+        penalty = tightness * (jnp.log(d) - jnp.log(fpb)) ** 2
+        scores = jnp.where(valid, prev - penalty, -jnp.inf)
+        best_score = jnp.max(scores)
+        best_d = jnp.argmax(scores) + 1
+        has_pred = jnp.isfinite(best_score)
+
+        cum_i = jnp.where(has_pred, score_i + best_score, score_i)
+        beat_loc = jnp.where(has_pred, i - best_d, -1)
+
+        suppress = first_beat & (score_i < score_thresh)
+        backlink_i = jnp.where(suppress, -1, beat_loc)
+        first_beat = first_beat & (score_i < score_thresh)
+
+        buf = jnp.concatenate([buf[1:], cum_i[None]])
+        return (buf, first_beat), (backlink_i.astype(jnp.int32), cum_i)
+
+    buf0 = jnp.full((W,), -jnp.inf, dtype=localscore.dtype)
+    fpb_seq = (
+        frames_per_beat
+        if tv
+        else jnp.broadcast_to(frames_per_beat[0], (T,))
+    ).astype(jnp.float32)
+    idx = jnp.arange(T, dtype=jnp.int32)
+
+    (_, _), (backlink, cumscore) = jax.lax.scan(
+        step, (buf0, jnp.asarray(True)), (idx, localscore, fpb_seq)
+    )
+    return backlink, cumscore
+
+
+def _normalize_onsets(onsets: np.ndarray) -> np.ndarray:
+    """Parity: beat.py (__normalize_onsets) — scale by std (ddof=1)."""
+    norm = onsets.std(ddof=1, axis=-1, keepdims=True)
+    return onsets / (norm + util.tiny(onsets))
+
+
+def _local_score(onset_envelope: np.ndarray, frames_per_beat: np.ndarray) -> np.ndarray:
+    """Gaussian-smoothed AGC'd onset envelope.
+
+    Parity: beat.py:576 (__beat_local_score) — same-mode convolution with a
+    tempo-dependent Gaussian (time-varying filter when fpb is per-frame).
+    """
+    oe = _normalize_onsets(onset_envelope)
+    N = oe.shape[-1]
+    if frames_per_beat.shape[-1] == 1:
+        fpb = float(frames_per_beat.reshape(-1)[0])
+        window = np.exp(-0.5 * (np.arange(-fpb, fpb + 1) * 32.0 / fpb) ** 2)
+        out = np.empty_like(oe)
+        flat = oe.reshape(-1, N)
+        res = np.empty_like(flat)
+        for r in range(flat.shape[0]):
+            res[r] = np.convolve(flat[r], window, mode="same")
+        return res.reshape(oe.shape)
+    # time-varying: per-frame Gaussian
+    out = np.zeros_like(oe)
+    flat = oe.reshape(-1, N)
+    fpb_flat = np.broadcast_to(
+        frames_per_beat, oe.shape
+    ).reshape(-1, N)
+    res = np.zeros_like(flat)
+    for r in range(flat.shape[0]):
+        for i in range(N):
+            fpb = fpb_flat[r, i]
+            K = 2 * int(fpb) + 1
+            window = np.exp(
+                -0.5 * (np.arange(-fpb, fpb + 1) * 32.0 / fpb) ** 2
+            )
+            lo = max(0, i + K // 2 - N + 1)
+            hi = min(i + K // 2, K)
+            ks = np.arange(lo, hi)
+            res[r, i] = np.sum(window[ks] * flat[r, i + K // 2 - ks])
+    return res.reshape(oe.shape)
+
+
+def _last_beat(cumscore: np.ndarray) -> np.ndarray:
+    """Parity: beat.py:697 (__last_beat): last local max above half-median."""
+    lmax = np.asarray(util.localmax(cumscore, axis=-1))
+    masked = np.ma.masked_array(data=cumscore, mask=~lmax)
+    medians = np.ma.median(masked, axis=-1)
+    thresholds = 0.5 * np.ma.getdata(medians)
+
+    flat_c = cumscore.reshape(-1, cumscore.shape[-1])
+    flat_m = lmax.reshape(-1, lmax.shape[-1])
+    flat_t = np.broadcast_to(
+        np.atleast_1d(thresholds).reshape(-1), (flat_c.shape[0],)
+    )
+    tails = np.empty(flat_c.shape[0], dtype=int)
+    for r in range(flat_c.shape[0]):
+        n = flat_c.shape[1] - 1
+        tails[r] = n
+        while n >= 0:
+            if flat_m[r, n] and flat_c[r, n] >= flat_t[r]:
+                tails[r] = n
+                break
+            n -= 1
+    return tails.reshape(cumscore.shape[:-1])
+
+
+def _trim_beats(
+    localscore: np.ndarray, beats: np.ndarray, trim: bool
+) -> np.ndarray:
+    """Parity: beat.py:667 (__trim_beats)."""
+    out = beats.copy()
+    w = np.hanning(5)
+    flat_l = localscore.reshape(-1, localscore.shape[-1])
+    flat_b = out.reshape(-1, out.shape[-1])
+    for r in range(flat_l.shape[0]):
+        ls, bt = flat_l[r], flat_b[r]
+        smooth_boe = np.convolve(ls[bt], w)[
+            len(w) // 2 : len(ls) + len(w) // 2
+        ]
+        if trim and len(smooth_boe):
+            threshold = 0.5 * ((smooth_boe**2).mean() ** 0.5)
+        else:
+            threshold = 0.0
+        n = 0
+        while n < len(ls) and ls[n] <= threshold:
+            bt[n] = False
+            n += 1
+        n = len(ls) - 1
+        while n >= 0 and ls[n] <= threshold:
+            bt[n] = False
+            n -= 1
+    return out
+
+
+def _beat_tracker(
+    onset_envelope: np.ndarray,
+    bpm: np.ndarray,
+    frame_rate: float,
+    tightness: float,
+    trim: bool,
+) -> np.ndarray:
+    """Parity: beat.py:510 (__beat_tracker)."""
+    if np.any(bpm <= 0):
+        raise ParameterError(f"bpm={bpm} must be strictly positive")
+    if tightness <= 0:
+        raise ParameterError("tightness must be strictly positive")
+    if bpm.shape[-1] not in (1, onset_envelope.shape[-1]):
+        raise ParameterError(
+            f"Invalid bpm shape={bpm.shape} does not match "
+            f"onset envelope shape={onset_envelope.shape}"
+        )
+
+    frames_per_beat = np.round(frame_rate * 60.0 / bpm)
+    localscore = _local_score(onset_envelope, frames_per_beat)
+
+    tv = frames_per_beat.shape[-1] > 1
+
+    # run the DP on device, vmapped over leading dims
+    ls = jnp.asarray(localscore, dtype=jnp.float32)
+    fpb = jnp.asarray(
+        np.broadcast_to(
+            frames_per_beat,
+            onset_envelope.shape if tv else (*onset_envelope.shape[:-1], 1),
+        ),
+        dtype=jnp.float32,
+    )
+    if ls.ndim == 1:
+        backlink, cumscore = _beat_dp_scan(ls, fpb, float(tightness), tv=tv)
+    else:
+        flat_ls = ls.reshape(-1, ls.shape[-1])
+        flat_fpb = fpb.reshape(-1, fpb.shape[-1])
+        backlink, cumscore = jax.vmap(
+            lambda a, b: _beat_dp_scan(a, b, float(tightness), tv=tv)
+        )(flat_ls, flat_fpb)
+        backlink = backlink.reshape(ls.shape)
+        cumscore = cumscore.reshape(ls.shape)
+
+    backlink = np.asarray(backlink)
+    cumscore = np.asarray(cumscore, dtype=np.float64)
+
+    tails = np.atleast_1d(_last_beat(cumscore))
+    beats = np.zeros_like(onset_envelope, dtype=bool)
+    flat_bl = backlink.reshape(-1, backlink.shape[-1])
+    flat_beats = beats.reshape(-1, beats.shape[-1])
+    for r in range(flat_bl.shape[0]):
+        n = int(tails.reshape(-1)[r])
+        while n >= 0:
+            flat_beats[r, n] = True
+            n = int(flat_bl[r, n])
+
+    return _trim_beats(localscore, beats, trim)
+
+
+def beat_track(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    onset_envelope: Optional[Any] = None,
+    hop_length: int = 512,
+    start_bpm: float = 120.0,
+    tightness: float = 100,
+    trim: bool = True,
+    bpm: Optional[Any] = None,
+    prior: Optional[Any] = None,
+    units: str = "frames",
+    sparse: bool = True,
+) -> Tuple[Any, np.ndarray]:
+    """Dynamic-programming beat tracker (Ellis 2007). Parity: beat.py:89."""
+    if onset_envelope is None:
+        if y is None:
+            raise ParameterError("y or onset_envelope must be provided")
+        onset_envelope = onset.onset_strength(
+            y=y, sr=sr, hop_length=hop_length, aggregate=jnp.median
+        )
+    onset_envelope = np.asarray(onset_envelope)
+
+    if sparse and onset_envelope.ndim != 1:
+        raise ParameterError(
+            f"sparse=True (default) does not support "
+            f"{onset_envelope.ndim}-dimensional inputs. "
+            f"Either set sparse=False or convert the signal to mono."
+        )
+
+    if not onset_envelope.any():
+        if sparse:
+            return (0.0, np.array([], dtype=int))
+        return (
+            np.zeros(shape=onset_envelope.shape[:-1], dtype=float),
+            np.zeros_like(onset_envelope, dtype=bool),
+        )
+
+    if bpm is None:
+        bpm = _tempo(
+            onset_envelope=onset_envelope, sr=sr, hop_length=hop_length,
+            start_bpm=start_bpm, prior=prior,
+        )
+        bpm = np.asarray(bpm)
+
+    _bpm = np.atleast_1d(np.asarray(bpm))
+    bpm_expanded = np.asarray(
+        util.expand_to(_bpm, ndim=onset_envelope.ndim, axes=range(_bpm.ndim))
+    )
+
+    beats = _beat_tracker(
+        onset_envelope, bpm_expanded, float(sr) / hop_length, tightness, trim
+    )
+
+    if sparse:
+        beats_idx = np.flatnonzero(beats)
+        if units == "frames":
+            return (bpm, beats_idx)
+        elif units == "samples":
+            return (bpm, core.frames_to_samples(beats_idx, hop_length=hop_length))
+        elif units == "time":
+            return (bpm, core.frames_to_time(beats_idx, hop_length=hop_length, sr=sr))
+        else:
+            raise ParameterError(f"Invalid unit type: {units}")
+    return (bpm, beats)
+
+
+def plp(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    onset_envelope: Optional[Any] = None,
+    hop_length: int = 512,
+    win_length: int = 384,
+    tempo_min: Optional[float] = 30,
+    tempo_max: Optional[float] = 300,
+    prior: Optional[Any] = None,
+) -> jax.Array:
+    """Predominant local pulse estimation. Parity: beat.py:320."""
+    if onset_envelope is None:
+        onset_envelope = onset.onset_strength(
+            y=y, sr=sr, hop_length=hop_length, aggregate=jnp.median
+        )
+    onset_envelope = jnp.asarray(onset_envelope)
+
+    if tempo_min is not None and tempo_max is not None and tempo_max <= tempo_min:
+        raise ParameterError(
+            f"tempo_max={tempo_max} must be larger than tempo_min={tempo_min}"
+        )
+
+    ftgram = fourier_tempogram(
+        onset_envelope=np.asarray(onset_envelope), sr=sr,
+        hop_length=hop_length, win_length=win_length,
+    )
+    ftgram = jnp.asarray(ftgram)
+
+    tempo_freqs = core.fourier_tempo_frequencies(
+        sr=sr, hop_length=hop_length, win_length=win_length
+    )
+
+    mask = np.ones_like(tempo_freqs, dtype=bool)
+    if tempo_min is not None:
+        mask &= tempo_freqs >= tempo_min
+    if tempo_max is not None:
+        mask &= tempo_freqs <= tempo_max
+    mask_j = util.expand_to(jnp.asarray(mask), ndim=ftgram.ndim, axes=-2)
+    ftgram = jnp.where(mask_j, ftgram, 0.0)
+
+    ftmag = jnp.log1p(1e6 * jnp.abs(ftgram))
+    if prior is not None:
+        tf = util.expand_to(
+            jnp.asarray(prior.logpdf(tempo_freqs)), ndim=ftgram.ndim, axes=-2
+        )
+        ftmag = ftmag + tf
+
+    peak_values = jnp.max(ftmag, axis=-2, keepdims=True)
+    ftgram = jnp.where(ftmag < peak_values, 0.0, ftgram)
+
+    ftgram = ftgram / (
+        util.tiny(ftgram) ** 0.5
+        + jnp.abs(jnp.max(ftgram, axis=-2, keepdims=True))
+    )
+
+    pulse = core.istft(
+        ftgram, hop_length=1, n_fft=win_length,
+        length=onset_envelope.shape[-1],
+    )
+    pulse = jnp.clip(pulse, 0, None)
+    return util.normalize(pulse, axis=-1)

@@ -1,0 +1,266 @@
+"""Harmonic energy interpolation (L2).
+
+Interpolation along the frequency axis is a vectorized gather + lerp on
+device (replacing scipy ``interp1d`` objects, reference
+``librosa/core/harmonic.py:256-308``); exotic interpolation kinds fall back
+to scipy on host.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..util import utils as util
+from ..util.exceptions import ParameterError
+
+__all__ = ["salience", "interp_harmonics", "f0_harmonics"]
+
+
+def _lerp_1d(
+    xq: jax.Array, xp: jax.Array, fp: jax.Array, fill_value: float
+) -> jax.Array:
+    """Linear interpolation of ``fp`` (F,) sampled at ``xp`` (F, ascending)
+    evaluated at ``xq`` (Q,), out-of-range → fill_value."""
+    F = xp.shape[0]
+    i = jnp.clip(jnp.searchsorted(xp, xq, side="right") - 1, 0, F - 2)
+    x0 = xp[i]
+    x1 = xp[i + 1]
+    w = (xq - x0) / jnp.where(x1 == x0, 1.0, x1 - x0)
+    out = fp[i] * (1 - w) + fp[i + 1] * w
+    in_range = (xq >= xp[0]) & (xq <= xp[-1])
+    return jnp.where(in_range, out, fill_value)
+
+
+def _nearest_1d(
+    xq: jax.Array, xp: jax.Array, fp: jax.Array, fill_value: float
+) -> jax.Array:
+    F = xp.shape[0]
+    i = jnp.clip(jnp.searchsorted(xp, xq, side="right") - 1, 0, F - 2)
+    w = (xq - xp[i]) / jnp.where(xp[i + 1] == xp[i], 1.0, xp[i + 1] - xp[i])
+    idx = jnp.where(w < 0.5, i, i + 1)
+    out = fp[idx]
+    in_range = (xq >= xp[0]) & (xq <= xp[-1])
+    return jnp.where(in_range, out, fill_value)
+
+
+def interp_harmonics(
+    x: Any,
+    *,
+    freqs: np.ndarray,
+    harmonics: Any,
+    kind: str = "linear",
+    fill_value: float = 0,
+    axis: int = -2,
+) -> jax.Array:
+    """Compute the energy at harmonics of a spectrum.
+
+    Parity: core/harmonic.py:146 — returns shape with a new leading
+    harmonics axis at position ``axis - 1``.
+    """
+    x = jnp.asarray(x)
+    freqs = np.asarray(freqs)
+    harmonics = np.asarray(harmonics, dtype=float)
+
+    if kind not in ("linear", "nearest"):
+        return _interp_harmonics_scipy(
+            np.asarray(x), freqs=freqs, harmonics=harmonics, kind=kind,
+            fill_value=fill_value, axis=axis,
+        )
+
+    interp = _lerp_1d if kind == "linear" else _nearest_1d
+
+    if freqs.ndim == 1 and len(freqs) == x.shape[axis]:
+        if not bool(np.all(np.diff(freqs) != 0)):
+            warnings.warn(
+                "Frequencies are not unique. This may produce incorrect "
+                "harmonic interpolations.",
+                stacklevel=2,
+            )
+        xp = jnp.asarray(freqs)
+        # move target axis last: (..., T, F)
+        xm = jnp.swapaxes(x, axis, -1)
+        lead = xm.shape[:-1]
+        flat = xm.reshape(-1, xm.shape[-1])
+
+        outs = []
+        for h in harmonics:
+            xq = jnp.asarray(h * freqs)
+            row = jax.vmap(lambda fp: interp(xq, xp, fp, fill_value))(flat)
+            outs.append(row.reshape(*lead, -1))
+        out = jnp.stack(outs, axis=0)  # (H, ..., T_on_last)
+        out = jnp.swapaxes(out, axis, -1)  # put F back at axis
+        # move harmonic axis from 0 to axis-1 position
+        target = axis - 1 if axis < 0 else axis
+        return jnp.moveaxis(out, 0, target if axis < 0 else axis)
+
+    elif freqs.shape == x.shape:
+        # time-varying frequencies: vectorize per frame
+        xm = jnp.swapaxes(x, axis, -1)
+        fm = jnp.swapaxes(jnp.asarray(freqs), axis, -1)
+        lead = xm.shape[:-1]
+        flat_x = xm.reshape(-1, xm.shape[-1])
+        flat_f = fm.reshape(-1, fm.shape[-1])
+        hj = jnp.asarray(harmonics)
+
+        def per_frame(fr: jax.Array, fx: jax.Array) -> jax.Array:
+            # targets: (F, H)
+            tq = fr[:, None] * hj[None, :]
+            return jax.vmap(
+                lambda q: interp(q, fr, fx, fill_value), in_axes=1, out_axes=1
+            )(tq)  # (F, H)
+
+        out = jax.vmap(per_frame)(flat_f, flat_x)  # (B, F, H)
+        out = out.reshape(*lead, out.shape[-2], out.shape[-1])
+        out = jnp.swapaxes(out, -2, axis)
+        return jnp.swapaxes(out, -1, axis - 1)
+    else:
+        raise ParameterError(
+            f"freqs.shape={freqs.shape} is incompatible with input shape={x.shape}"
+        )
+
+
+def _interp_harmonics_scipy(x, *, freqs, harmonics, kind, fill_value, axis):
+    import scipy.interpolate
+
+    f_interp = scipy.interpolate.interp1d(
+        freqs, x, axis=axis, bounds_error=False, copy=False, kind=kind,
+        fill_value=fill_value,
+    )
+    f_out = np.multiply.outer(harmonics, freqs)
+    return jnp.asarray(f_interp(f_out))
+
+
+def salience(
+    S: Any,
+    *,
+    freqs: np.ndarray,
+    harmonics: Sequence[float],
+    weights: Optional[Any] = None,
+    aggregate: Optional[Callable] = None,
+    filter_peaks: bool = True,
+    fill_value: float = np.nan,
+    kind: str = "linear",
+    axis: int = -2,
+) -> jax.Array:
+    """Harmonic salience: weighted sum over harmonics. Parity: core/harmonic.py:25."""
+    if aggregate is None:
+        aggregate = np.average
+
+    if weights is None:
+        weights = np.ones((len(harmonics),))
+    else:
+        weights = np.array(weights, dtype=float)
+
+    S = jnp.asarray(S)
+    S_harm = interp_harmonics(
+        S, freqs=freqs, harmonics=harmonics, kind=kind, axis=axis
+    )
+
+    if aggregate is np.average:
+        w = util.expand_to(
+            jnp.asarray(weights), ndim=S_harm.ndim,
+            axes=(axis - 1) % S_harm.ndim,
+        )
+        S_sal = jnp.sum(S_harm * w, axis=axis - 1) / jnp.sum(weights)
+    else:
+        S_sal = jnp.asarray(aggregate(np.asarray(S_harm), axis=axis - 1))
+
+    if filter_peaks:
+        peaks = util.localmax(S, axis=axis)
+        # reference uses argrelmax (strict both sides); localmax uses >=
+        # on the right — refine to strict
+        Sm = jnp.swapaxes(S, axis, -1)
+        strict = jnp.concatenate(
+            [
+                Sm[..., :-1] > Sm[..., 1:],
+                jnp.zeros_like(Sm[..., :1], dtype=bool),
+            ],
+            axis=-1,
+        )
+        peaks = peaks & jnp.swapaxes(strict, axis, -1)
+        S_sal = jnp.where(peaks, S_sal, fill_value)
+
+    return S_sal
+
+
+def f0_harmonics(
+    x: Any,
+    *,
+    f0: Any,
+    freqs: np.ndarray,
+    harmonics: Any,
+    kind: str = "linear",
+    fill_value: float = 0,
+    axis: int = -2,
+) -> jax.Array:
+    """Energy at multiples of a (time-varying) fundamental.
+
+    Parity: core/harmonic.py:315 — per-frame interpolation at
+    ``f0[t] * harmonics``, non-finite frequencies excluded.
+    """
+    x = jnp.asarray(x)
+    freqs_np = np.asarray(freqs, dtype=float)
+    harmonics = np.asarray(harmonics, dtype=float)
+    f0 = jnp.asarray(f0)
+
+    if kind not in ("linear", "nearest"):
+        raise ParameterError(
+            f"kind={kind} interpolation is not supported on device; "
+            "use 'linear' or 'nearest'"
+        )
+    interp = _lerp_1d if kind == "linear" else _nearest_1d
+
+    if freqs_np.ndim == 1 and len(freqs_np) == x.shape[axis]:
+        idx = np.isfinite(freqs_np)
+        fsel = freqs_np[idx]
+        order = np.argsort(fsel)
+        fsel = fsel[order]
+        sel = np.flatnonzero(idx)[order]
+
+        xm = jnp.swapaxes(x, axis, -1)  # (..., T, F)
+        xm = xm[..., jnp.asarray(sel)]
+        lead = xm.shape[:-1]
+        flat_x = xm.reshape(-1, xm.shape[-1])
+
+        # per-frame targets: f0 broadcastable to lead dims
+        f0b = jnp.broadcast_to(f0, lead)
+        flat_f0 = f0b.reshape(-1)
+        hj = jnp.asarray(harmonics)
+        xp = jnp.asarray(fsel)
+
+        def per_frame(fx: jax.Array, f0_t: jax.Array) -> jax.Array:
+            return interp(f0_t * hj, xp, fx, fill_value)
+
+        out = jax.vmap(per_frame)(flat_x, flat_f0)  # (B, H)
+        out = out.reshape(*lead, len(harmonics))
+        out = jnp.swapaxes(out, -1, axis)  # harmonics land on the target axis
+        result = out
+    elif freqs_np.shape == x.shape:
+        xm = jnp.swapaxes(x, axis, -1)
+        fm = jnp.swapaxes(jnp.asarray(freqs_np), axis, -1)
+        lead = xm.shape[:-1]
+        flat_x = xm.reshape(-1, xm.shape[-1])
+        flat_f = fm.reshape(-1, fm.shape[-1])
+        f0b = jnp.broadcast_to(f0, lead).reshape(-1)
+        hj = jnp.asarray(harmonics)
+
+        def per_frame_d(fx, fr, f0_t):
+            # sort by frequency; non-finite pushed to the end with +inf
+            key = jnp.where(jnp.isfinite(fr), fr, jnp.inf)
+            order = jnp.argsort(key)
+            return interp(f0_t * hj, key[order], fx[order], fill_value)
+
+        out = jax.vmap(per_frame_d)(flat_x, flat_f, f0b)
+        out = out.reshape(*lead, len(harmonics))
+        result = jnp.swapaxes(out, -1, axis)
+    else:
+        raise ParameterError(
+            f"freqs.shape={freqs_np.shape} is incompatible with input shape={x.shape}"
+        )
+
+    return jnp.nan_to_num(result, nan=fill_value)

@@ -1,0 +1,213 @@
+"""Spectrogram decompositions (L5): HPSS, NMF, nearest-neighbor filtering.
+
+HPSS median filters run on device (``ops.median``) followed by
+``util.softmask`` Wiener masks — one fused XLA program.  NMF delegates to
+sklearn by default (host; reference parity, ``librosa/decompose.py:186``)
+with a TPU multiplicative-update path available via ``transformer="mu"``.
+
+Parity citations refer to ``librosa/decompose.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse
+
+from . import core
+from .ops.median import median_filter_1d
+from .util import utils as util
+from .util.exceptions import ParameterError
+
+__all__ = ["decompose", "hpss", "nn_filter"]
+
+
+def decompose(
+    S: Any,
+    *,
+    n_components: Optional[int] = None,
+    transformer: Optional[Any] = None,
+    sort: bool = False,
+    fit: bool = True,
+    **kwargs: Any,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decompose S into components and activations (default: sklearn NMF).
+
+    Parity: decompose.py:32.  ``transformer="mu"`` selects the TPU-native
+    multiplicative-update NMF (jit-compiled MXU matmuls).
+    """
+    S = np.asarray(S)
+    orig_shape = list(S.shape)
+    if S.ndim > 2 and sort:
+        raise ParameterError(
+            "Parameter sort=True is unsupported for input with more than two dimensions"
+        )
+
+    S2 = S.T.reshape((S.shape[-1], -1), order="F")
+
+    if n_components is None:
+        n_components = S2.shape[-1]
+
+    if transformer == "mu":
+        W, H = _nmf_mu(jnp.asarray(S2.T), n_components, **kwargs)
+        components = np.asarray(W)  # (features, k)
+        activations = np.asarray(H)  # (k, t)
+        components = components.reshape(
+            [*orig_shape[:-1], -1][::-1], order="F"
+        ).T if S.ndim > 2 else components
+    else:
+        if transformer is None:
+            if fit is False:
+                raise ParameterError("fit must be True if transformer is None")
+            import sklearn.decomposition
+
+            transformer = sklearn.decomposition.NMF(
+                n_components=n_components, **kwargs
+            )
+        if fit:
+            activations = transformer.fit_transform(S2).T
+        else:
+            activations = transformer.transform(S2).T
+        components = transformer.components_
+        component_shape = [*orig_shape[:-1], -1]
+        components = components.reshape(component_shape[::-1], order="F").T
+
+    if sort:
+        components, idx = util.axis_sort(components, index=True)
+        components = np.asarray(components)
+        activations = np.asarray(activations)[np.asarray(idx)]
+
+    return np.asarray(components), np.asarray(activations)
+
+
+def _nmf_mu(
+    V: jax.Array, k: int, *, n_iter: int = 200, seed: int = 0, **_: Any
+) -> Tuple[jax.Array, jax.Array]:
+    """Multiplicative-update NMF (Frobenius): every step is MXU matmuls."""
+    m, n = V.shape
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    W = jax.random.uniform(k1, (m, k), minval=0.1, maxval=1.0)
+    H = jax.random.uniform(k2, (k, n), minval=0.1, maxval=1.0)
+    eps = 1e-10
+
+    @jax.jit
+    def run(W, H, V):
+        def body(carry, _):
+            W, H = carry
+            H = H * (W.T @ V) / (W.T @ W @ H + eps)
+            W = W * (V @ H.T) / (W @ (H @ H.T) + eps)
+            return (W, H), None
+
+        (W, H), _ = jax.lax.scan(body, (W, H), None, length=n_iter)
+        return W, H
+
+    return run(W, H, V)
+
+
+def hpss(
+    S: Any,
+    *,
+    kernel_size: Union[int, Tuple[int, int]] = 31,
+    power: float = 2.0,
+    mask: bool = False,
+    margin: Union[float, Tuple[float, float]] = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Harmonic-percussive source separation via median filtering.
+
+    Parity: decompose.py:211 — median along time (harmonic) and frequency
+    (percussive), margin-scaled softmask Wiener masks, complex passthrough.
+    Median filters run on device (``ops.median.median_filter_1d``).
+    """
+    S = jnp.asarray(S)
+    if jnp.issubdtype(S.dtype, jnp.complexfloating):
+        S, phase = core.magphase(S)
+    else:
+        phase = 1
+
+    if isinstance(kernel_size, (tuple, list)):
+        win_harm, win_perc = kernel_size[0], kernel_size[1]
+    else:
+        win_harm = win_perc = kernel_size
+
+    if isinstance(margin, (tuple, list)):
+        margin_harm, margin_perc = margin[0], margin[1]
+    else:
+        margin_harm = margin_perc = margin
+
+    if margin_harm < 1 or margin_perc < 1:
+        raise ParameterError(
+            "Margins must be >= 1.0. A typical range is between 1 and 10."
+        )
+
+    harm = median_filter_1d(S, size=int(win_harm), axis=-1)
+    perc = median_filter_1d(S, size=int(win_perc), axis=-2)
+
+    split_zeros = margin_harm == 1 and margin_perc == 1
+
+    mask_harm = util.softmask(
+        harm, perc * margin_harm, power=power, split_zeros=split_zeros
+    )
+    mask_perc = util.softmask(
+        perc, harm * margin_perc, power=power, split_zeros=split_zeros
+    )
+
+    if mask:
+        return mask_harm, mask_perc
+    return ((S * mask_harm) * phase, (S * mask_perc) * phase)
+
+
+def nn_filter(
+    S: Any,
+    *,
+    rec: Optional[Any] = None,
+    aggregate: Optional[Callable] = None,
+    axis: int = -1,
+    **kwargs: Any,
+) -> np.ndarray:
+    """Filter by nearest-neighbor aggregation (recurrence-weighted averaging).
+
+    Parity: decompose.py:409.  The aggregation is a sparse matmul over small
+    recurrence graphs; runs host-side on the CSC structure.
+    """
+    if aggregate is None:
+        aggregate = np.mean
+
+    S = np.asarray(S)
+
+    if rec is None:
+        from . import segment
+
+        kwargs = dict(kwargs)
+        kwargs["sparse"] = True
+        rec_s = segment.recurrence_matrix(S, axis=axis, **kwargs)
+        rec_s = scipy.sparse.csc_matrix(rec_s)
+    elif not scipy.sparse.issparse(rec):
+        rec_s = scipy.sparse.csc_matrix(np.asarray(rec))
+    else:
+        rec_s = scipy.sparse.csc_matrix(rec)
+
+    if rec_s.shape[0] != S.shape[axis] or rec_s.shape[0] != rec_s.shape[1]:
+        raise ParameterError(
+            "Invalid self-similarity matrix shape "
+            f"rec.shape={rec_s.shape} for S.shape={S.shape}"
+        )
+
+    Sw = S.swapaxes(0, axis)
+    s_out = np.empty_like(Sw)
+    data, indices, indptr = rec_s.data, rec_s.indices, rec_s.indptr
+    for i in range(len(indptr) - 1):
+        targets = indices[indptr[i] : indptr[i + 1]]
+        if not len(targets):
+            s_out[i] = Sw[i]
+            continue
+        neighbors = np.take(Sw, targets, axis=0)
+        if aggregate is np.average:
+            weights = data[indptr[i] : indptr[i + 1]]
+            s_out[i] = aggregate(neighbors, axis=0, weights=weights)
+        else:
+            s_out[i] = aggregate(neighbors, axis=0)
+    return s_out.swapaxes(0, axis)

@@ -1,0 +1,250 @@
+"""Time-domain audio effects (L5).
+
+Harmonic/percussive separation, time stretching, pitch shifting, silence
+trimming — thin compositions over the device STFT/ISTFT/HPSS/resample
+kernels.  Parity citations refer to ``librosa/effects.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import core, decompose, feature
+from .util import utils as util
+from .util.exceptions import ParameterError
+
+__all__ = [
+    "hpss",
+    "harmonic",
+    "percussive",
+    "time_stretch",
+    "pitch_shift",
+    "remix",
+    "trim",
+    "split",
+    "preemphasis",
+    "deemphasis",
+]
+
+
+def hpss(y: Any, **kwargs: Any) -> Tuple[jax.Array, jax.Array]:
+    """Decompose audio into harmonic and percussive components.
+
+    Parity: effects.py:70 — stft → decompose.hpss → istft.
+    """
+    y = jnp.asarray(y)
+    stft = core.stft(y)
+    stft_harm, stft_perc = decompose.hpss(stft, **kwargs)
+    y_harm = core.istft(stft_harm, dtype=y.dtype, length=y.shape[-1])
+    y_perc = core.istft(stft_perc, dtype=y.dtype, length=y.shape[-1])
+    return y_harm, y_perc
+
+
+def harmonic(y: Any, **kwargs: Any) -> jax.Array:
+    """Extract harmonic elements. Parity: effects.py:198."""
+    y = jnp.asarray(y)
+    stft = core.stft(y)
+    stft_harm = decompose.hpss(stft, **kwargs)[0]
+    return core.istft(stft_harm, dtype=y.dtype, length=y.shape[-1])
+
+
+def percussive(y: Any, **kwargs: Any) -> jax.Array:
+    """Extract percussive elements. Parity: effects.py:312."""
+    y = jnp.asarray(y)
+    stft = core.stft(y)
+    stft_perc = decompose.hpss(stft, **kwargs)[1]
+    return core.istft(stft_perc, dtype=y.dtype, length=y.shape[-1])
+
+
+def time_stretch(y: Any, *, rate: float, **kwargs: Any) -> jax.Array:
+    """Time-stretch by ``rate`` via phase vocoding. Parity: effects.py:426."""
+    if rate <= 0:
+        raise ParameterError("rate must be a positive number")
+    y = jnp.asarray(y)
+    stft = core.stft(y, **kwargs)
+    stft_stretch = core.phase_vocoder(stft, rate=rate)
+    len_stretch = round(y.shape[-1] / rate)
+    return core.istft(stft_stretch, dtype=y.dtype, length=len_stretch, **kwargs)
+
+
+def pitch_shift(
+    y: Any,
+    *,
+    sr: float,
+    n_steps: float,
+    bins_per_octave: int = 12,
+    res_type: str = "soxr_hq",
+    scale: bool = False,
+    **kwargs: Any,
+) -> jax.Array:
+    """Shift pitch by ``n_steps`` bins. Parity: effects.py:487."""
+    if not util.is_positive_int(bins_per_octave):
+        raise ParameterError(
+            f"bins_per_octave={bins_per_octave} must be a positive integer."
+        )
+    y = jnp.asarray(y)
+    rate = 2.0 ** (-float(n_steps) / bins_per_octave)
+    y_shift = core.resample(
+        time_stretch(y, rate=rate, **kwargs),
+        orig_sr=float(sr) / rate,
+        target_sr=sr,
+        res_type=res_type,
+        scale=scale,
+    )
+    return util.fix_length(y_shift, size=y.shape[-1])
+
+
+def remix(
+    y: Any, intervals: Iterable[Tuple[int, int]], *, align_zeros: bool = True
+) -> jax.Array:
+    """Remix audio by re-ordering time intervals. Parity: effects.py:577."""
+    y = jnp.asarray(y)
+    y_out = []
+
+    if align_zeros:
+        y_mono = np.asarray(core.to_mono(y))
+        zeros = np.nonzero(np.asarray(core.zero_crossings(y_mono)))[-1]
+        zeros = np.append(zeros, [len(y_mono)])
+
+    from .util.matching import match_events
+
+    for interval in intervals:
+        if align_zeros:
+            interval = zeros[match_events(np.asarray(interval), zeros)]
+        y_out.append(y[..., int(interval[0]) : int(interval[1])])
+
+    return jnp.concatenate(y_out, axis=-1)
+
+
+def _signal_to_frame_nonsilent(
+    y: Any,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+    top_db: float = 60,
+    ref: Union[Callable, float] = np.max,
+    aggregate: Callable = np.max,
+) -> np.ndarray:
+    """Frame-wise non-silence indicator. Parity: effects.py:641."""
+    mse = feature.rms(y=y, frame_length=frame_length, hop_length=hop_length)
+    db = np.asarray(
+        core.amplitude_to_db(np.asarray(mse)[..., 0, :], ref=ref, top_db=None)
+    )
+    if db.ndim > 1:
+        db = np.apply_over_axes(aggregate, db, range(db.ndim - 1))
+        db = np.squeeze(db, axis=tuple(range(db.ndim - 1)))
+    return db > -top_db
+
+
+def trim(
+    y: Any,
+    *,
+    top_db: float = 60,
+    ref: Union[float, Callable] = np.max,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+    aggregate: Callable = np.max,
+) -> Tuple[jax.Array, np.ndarray]:
+    """Trim leading/trailing silence. Parity: effects.py:700."""
+    y = jnp.asarray(y)
+    non_silent = _signal_to_frame_nonsilent(
+        y, frame_length=frame_length, hop_length=hop_length, ref=ref,
+        top_db=top_db, aggregate=aggregate,
+    )
+    nonzero = np.flatnonzero(non_silent)
+    if nonzero.size > 0:
+        start = int(core.frames_to_samples(nonzero[0], hop_length=hop_length))
+        end = min(
+            y.shape[-1],
+            int(core.frames_to_samples(nonzero[-1] + 1, hop_length=hop_length)),
+        )
+    else:
+        start, end = 0, 0
+    return y[..., start:end], np.asarray([start, end])
+
+
+def split(
+    y: Any,
+    *,
+    top_db: float = 60,
+    ref: Union[float, Callable] = np.max,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+    aggregate: Callable = np.max,
+) -> np.ndarray:
+    """Split audio into non-silent intervals. Parity: effects.py:786."""
+    y = jnp.asarray(y)
+    non_silent = _signal_to_frame_nonsilent(
+        y, frame_length=frame_length, hop_length=hop_length, ref=ref,
+        top_db=top_db, aggregate=aggregate,
+    )
+    edges = np.flatnonzero(np.diff(non_silent.astype(int)))
+    edges_list = [edges + 1]
+    if non_silent[0]:
+        edges_list.insert(0, np.array([0]))
+    if non_silent[-1]:
+        edges_list.append(np.array([len(non_silent)]))
+    edges_all = core.frames_to_samples(
+        np.concatenate(edges_list), hop_length=hop_length
+    )
+    edges_all = np.minimum(edges_all, y.shape[-1])
+    return edges_all.reshape((-1, 2))
+
+
+def preemphasis(
+    y: Any,
+    *,
+    coef: float = 0.97,
+    zi: Optional[Any] = None,
+    return_zf: bool = False,
+):
+    """Pre-emphasize: ``y[n] -> y[n] - coef * y[n-1]``. Parity: effects.py:872."""
+    import scipy.signal
+
+    y = np.asarray(y)
+    b = np.asarray([1.0, -coef], dtype=y.dtype)
+    a = np.asarray([1.0], dtype=y.dtype)
+
+    if zi is None:
+        # linear extrapolation for the pre-signal sample
+        zi = 2 * y[..., 0:1] - y[..., 1:2]
+    zi = np.atleast_1d(zi)
+
+    y_out, z_f = scipy.signal.lfilter(b, a, y, zi=np.asarray(zi, dtype=y.dtype))
+    if return_zf:
+        return jnp.asarray(y_out), z_f
+    return jnp.asarray(y_out)
+
+
+def deemphasis(
+    y: Any,
+    *,
+    coef: float = 0.97,
+    zi: Optional[Any] = None,
+    return_zf: bool = False,
+):
+    """De-emphasize (invert preemphasis). Parity: effects.py:985."""
+    import scipy.signal
+
+    y = np.asarray(y)
+    b = np.array([1.0, -coef], dtype=y.dtype)
+    a = np.array([1.0], dtype=y.dtype)
+
+    if zi is None:
+        zi0 = np.zeros([*list(y.shape[:-1]), 1], dtype=y.dtype)
+        y_out, zf = scipy.signal.lfilter(a, b, y, zi=zi0)
+        y_out -= (
+            ((2 - coef) * y[..., 0:1] - y[..., 1:2])
+            / (3 - coef)
+            * (coef ** np.arange(y.shape[-1]))
+        )
+    else:
+        zi = np.atleast_1d(zi)
+        y_out, zf = scipy.signal.lfilter(a, b, y, zi=zi.astype(y.dtype))
+
+    if return_zf:
+        return jnp.asarray(y_out), zf
+    return jnp.asarray(y_out)

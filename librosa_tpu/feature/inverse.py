@@ -1,0 +1,128 @@
+"""Feature inversion: mel / MFCC → STFT / audio (L4).
+
+NNLS runs as a jit-compiled FISTA (``util._nnls``); Griffin-Lim phase
+recovery on device.  Parity citations refer to ``librosa/feature/inverse.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import filters
+from ..core.spectrum import db_to_power, griffinlim
+from ..ops.transforms import dct_matrix
+from ..util import utils as util
+from ..util._nnls import nnls
+from ..util.exceptions import ParameterError
+
+__all__ = ["mel_to_stft", "mel_to_audio", "mfcc_to_mel", "mfcc_to_audio"]
+
+
+def mel_to_stft(
+    M: Any,
+    *,
+    sr: float = 22050,
+    n_fft: int = 2048,
+    power: float = 2.0,
+    **kwargs: Any,
+) -> jax.Array:
+    """Approximate STFT magnitude from a mel power spectrogram.
+
+    Parity: feature/inverse.py:28 — NNLS inversion of the mel basis,
+    followed by the power unroll.
+    """
+    M = jnp.asarray(M)
+    mel_basis = filters.mel(
+        sr=sr, n_fft=n_fft, dtype=np.float32, **kwargs
+    )
+    inverse = nnls(jnp.asarray(mel_basis), M)
+    return jnp.power(inverse, 1.0 / power).astype(M.dtype)
+
+
+def mel_to_audio(
+    M: Any,
+    *,
+    sr: float = 22050,
+    n_fft: int = 2048,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    window: Any = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    power: float = 2.0,
+    n_iter: int = 32,
+    length: Optional[int] = None,
+    dtype: Any = np.float32,
+    **kwargs: Any,
+) -> jax.Array:
+    """Invert a mel power spectrogram to audio via Griffin-Lim.
+
+    Parity: feature/inverse.py:117.
+    """
+    stft_mag = mel_to_stft(M, sr=sr, n_fft=n_fft, power=power, **kwargs)
+    return griffinlim(
+        stft_mag,
+        n_iter=n_iter,
+        hop_length=hop_length,
+        win_length=win_length,
+        n_fft=n_fft,
+        window=window,
+        center=center,
+        dtype=dtype,
+        length=length,
+        pad_mode=pad_mode,
+    )
+
+
+def mfcc_to_mel(
+    mfcc: Any,
+    *,
+    n_mels: int = 128,
+    dct_type: int = 2,
+    norm: Optional[str] = "ortho",
+    ref: float = 1.0,
+    lifter: float = 0,
+) -> jax.Array:
+    """Invert MFCCs to a mel power spectrogram. Parity: feature/inverse.py:214."""
+    mfcc = jnp.asarray(mfcc)
+    if lifter > 0:
+        n_mfcc = mfcc.shape[-2]
+        idx = jnp.arange(1, 1 + n_mfcc, dtype=mfcc.dtype)
+        idx = util.expand_to(idx, ndim=mfcc.ndim, axes=-2)
+        lifter_sine = 1 + lifter * 0.5 * jnp.sin(jnp.pi * idx / lifter)
+        mfcc = mfcc / (lifter_sine + util.tiny(mfcc) * 2)
+    elif lifter != 0:
+        raise ParameterError(f"MFCC to mel lifter={lifter} must be a positive number")
+
+    # Inverse DCT: pad the MFCC matrix to n_mels with zeros, apply DCT-III
+    n_mfcc = mfcc.shape[-2]
+    # C2 is (n_mels, n_mels) DCT-II (ortho); its transpose inverts (ortho)
+    C = dct_matrix(n_mels, dct_type=dct_type, norm=norm)[:n_mfcc]
+    # least-norm inverse: logmel ≈ C.T @ mfcc (orthonormal rows)
+    logmel = jnp.einsum(
+        "km,...kt->...mt", jnp.asarray(C, dtype=mfcc.dtype), mfcc,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return db_to_power(logmel, ref=ref)
+
+
+def mfcc_to_audio(
+    mfcc: Any,
+    *,
+    n_mels: int = 128,
+    dct_type: int = 2,
+    norm: Optional[str] = "ortho",
+    ref: float = 1.0,
+    lifter: float = 0,
+    **kwargs: Any,
+) -> jax.Array:
+    """Convert MFCCs to a time-domain signal. Parity: feature/inverse.py:290."""
+    mel_spec = mfcc_to_mel(
+        mfcc, n_mels=n_mels, dct_type=dct_type, norm=norm, ref=ref,
+        lifter=lifter,
+    )
+    return mel_to_audio(mel_spec, **kwargs)

@@ -1,0 +1,223 @@
+"""Rhythm features: tempograms and tempo estimation (L4).
+
+The autocorrelation tempogram batches the per-frame FFT autocorrelation
+(``librosa/feature/rhythm.py:38``) into one device program.  Parity
+citations refer to ``librosa/feature/rhythm.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.audio import autocorrelate
+from ..core.convert import fourier_tempo_frequencies, tempo_frequencies, time_to_frames
+from ..core.spectrum import stft
+from ..filters import get_window
+from ..util import utils as util
+from ..util.exceptions import ParameterError
+
+__all__ = [
+    "tempogram",
+    "fourier_tempogram",
+    "tempo",
+    "tempogram_ratio",
+]
+
+
+def tempogram(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    onset_envelope: Optional[Any] = None,
+    hop_length: int = 512,
+    win_length: int = 384,
+    center: bool = True,
+    window: Any = "hann",
+    norm: Optional[float] = np.inf,
+) -> jax.Array:
+    """Local autocorrelation tempogram. Parity: feature/rhythm.py:38."""
+    from ..onset import onset_strength
+
+    if win_length < 1:
+        raise ParameterError("win_length must be a positive integer")
+
+    ac_window = get_window(window, win_length, fftbins=True)
+
+    if onset_envelope is None:
+        if y is None:
+            raise ParameterError("Either y or onset_envelope must be provided")
+        onset_envelope = onset_strength(y=y, sr=sr, hop_length=hop_length)
+    onset_envelope = jnp.asarray(onset_envelope)
+
+    n = onset_envelope.shape[-1]
+
+    if center:
+        padding = [(0, 0)] * onset_envelope.ndim
+        padding[-1] = (int(win_length // 2),) * 2
+        onset_envelope = jnp.pad(
+            onset_envelope, padding, mode="linear_ramp", end_values=0
+        )
+
+    # frame with hop 1 → (..., win_length, T)
+    odf_frame = util.frame(
+        onset_envelope, frame_length=win_length, hop_length=1
+    )
+    if center:
+        odf_frame = odf_frame[..., :n]
+
+    ac_win = util.expand_to(
+        jnp.asarray(ac_window, dtype=odf_frame.dtype),
+        ndim=odf_frame.ndim, axes=-2,
+    )
+    return util.normalize(
+        autocorrelate(odf_frame * ac_win, axis=-2), norm=norm, axis=-2
+    )
+
+
+def fourier_tempogram(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    onset_envelope: Optional[Any] = None,
+    hop_length: int = 512,
+    win_length: int = 384,
+    center: bool = True,
+    window: Any = "hann",
+) -> jax.Array:
+    """Fourier tempogram: STFT of the onset envelope. Parity: feature/rhythm.py:194."""
+    from ..onset import onset_strength
+
+    if win_length < 1:
+        raise ParameterError("win_length must be a positive integer")
+
+    if onset_envelope is None:
+        if y is None:
+            raise ParameterError("Either y or onset_envelope must be provided")
+        onset_envelope = onset_strength(y=y, sr=sr, hop_length=hop_length)
+
+    return stft(
+        jnp.asarray(onset_envelope), n_fft=win_length, hop_length=1,
+        center=center, window=window,
+    )
+
+
+def tempo(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    onset_envelope: Optional[Any] = None,
+    tg: Optional[Any] = None,
+    hop_length: int = 512,
+    start_bpm: float = 120,
+    std_bpm: float = 1.0,
+    ac_size: float = 8.0,
+    max_tempo: Optional[float] = 320.0,
+    aggregate: Optional[Callable] = np.mean,
+    prior: Optional[Any] = None,
+) -> np.ndarray:
+    """Estimate the tempo (BPM). Parity: feature/rhythm.py:295."""
+    if start_bpm <= 0:
+        raise ParameterError("start_bpm must be strictly positive")
+
+    if tg is None:
+        win_length = int(
+            time_to_frames(ac_size, sr=sr, hop_length=hop_length)
+        )
+        tg = tempogram(
+            y=y, sr=sr, onset_envelope=onset_envelope,
+            hop_length=hop_length, win_length=win_length,
+        )
+    else:
+        tg = jnp.asarray(tg)
+        win_length = tg.shape[-2]
+
+    tg = jnp.asarray(tg)
+    if aggregate is not None:
+        if aggregate is np.mean:
+            tg = jnp.mean(tg, axis=-1, keepdims=True)
+        else:
+            tg = jnp.asarray(
+                aggregate(np.asarray(tg), axis=-1, keepdims=True)
+            )
+
+    bpms = tempo_frequencies(win_length, hop_length=hop_length, sr=sr)
+
+    if prior is None:
+        with np.errstate(divide="ignore"):
+            logprior = -0.5 * ((np.log2(bpms) - np.log2(start_bpm)) / std_bpm) ** 2
+    else:
+        logprior = prior.logpdf(bpms)
+
+    if max_tempo is not None:
+        max_idx = int(np.argmax(bpms < max_tempo))
+        logprior[:max_idx] = -np.inf
+
+    logprior_j = util.expand_to(jnp.asarray(logprior), ndim=tg.ndim, axes=-2)
+    best_period = np.asarray(
+        jnp.argmax(jnp.log1p(1e6 * tg) + logprior_j, axis=-2)
+    )
+    return np.take(bpms, best_period)
+
+
+def tempogram_ratio(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    onset_envelope: Optional[Any] = None,
+    tg: Optional[Any] = None,
+    bpm: Optional[Any] = None,
+    hop_length: int = 512,
+    win_length: int = 384,
+    start_bpm: float = 120,
+    std_bpm: float = 1.0,
+    max_tempo: Optional[float] = 320.0,
+    freqs: Optional[np.ndarray] = None,
+    factors: Optional[np.ndarray] = None,
+    aggregate: Optional[Callable] = None,
+    prior: Optional[Any] = None,
+    center: bool = True,
+    window: Any = "hann",
+    kind: str = "linear",
+    fill_value: float = 0,
+    norm: Optional[float] = np.inf,
+) -> jax.Array:
+    """Tempogram ratio (metrical-multiple sampling). Parity: feature/rhythm.py:474."""
+    from ..core.harmonic import f0_harmonics
+
+    if tg is None:
+        tg = tempogram(
+            y=y, sr=sr, onset_envelope=onset_envelope, hop_length=hop_length,
+            win_length=win_length, center=center, window=window, norm=norm,
+        )
+    tg = jnp.asarray(tg)
+
+    if freqs is None:
+        freqs = tempo_frequencies(
+            tg.shape[-2], hop_length=hop_length, sr=sr
+        )
+
+    if bpm is None:
+        bpm = tempo(
+            sr=sr, tg=tg, hop_length=hop_length, start_bpm=start_bpm,
+            std_bpm=std_bpm, max_tempo=max_tempo, aggregate=None, prior=prior,
+        )
+
+    if factors is None:
+        # metric multiples from Prockup'15
+        factors = np.array(
+            [4, 8 / 3, 3, 2, 4 / 3, 3 / 2, 1, 2 / 3, 3 / 4, 1 / 2, 1 / 3,
+             3 / 8, 1 / 4]
+        )
+
+    tgr = f0_harmonics(
+        tg, freqs=freqs, f0=jnp.asarray(np.asarray(bpm)), harmonics=factors,
+        kind=kind, fill_value=fill_value,
+    )
+
+    if aggregate is not None:
+        return jnp.asarray(aggregate(np.asarray(tgr), axis=-1))
+    return tgr

@@ -1,0 +1,239 @@
+"""Onset detection: spectral-flux novelty + event picking (L5).
+
+Parity citations refer to ``librosa/onset.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import core
+from .feature.spectral import melspectrogram
+from .util import utils as util
+from .util.exceptions import ParameterError
+from .util.matching import match_events
+
+__all__ = ["onset_detect", "onset_strength", "onset_strength_multi", "onset_backtrack"]
+
+
+def onset_strength(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    lag: int = 1,
+    max_size: int = 1,
+    ref: Optional[Any] = None,
+    detrend: bool = False,
+    center: bool = True,
+    feature: Optional[Callable] = None,
+    aggregate: Optional[Union[Callable, bool]] = None,
+    **kwargs: Any,
+) -> jax.Array:
+    """Spectral flux onset strength envelope. Parity: onset.py:217."""
+    if aggregate is False:
+        raise ParameterError(
+            "aggregate parameter cannot be False when computing full-spectrum "
+            "onset strength."
+        )
+    odf_all = onset_strength_multi(
+        y=y, sr=sr, S=S, lag=lag, max_size=max_size, ref=ref, detrend=detrend,
+        center=center, feature=feature, aggregate=aggregate, channels=None,
+        **kwargs,
+    )
+    return odf_all[..., 0, :]
+
+
+def onset_strength_multi(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    S: Any = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    lag: int = 1,
+    max_size: int = 1,
+    ref: Optional[Any] = None,
+    detrend: bool = False,
+    center: bool = True,
+    feature: Optional[Callable] = None,
+    aggregate: Optional[Union[Callable, bool]] = None,
+    channels: Optional[Sequence] = None,
+    **kwargs: Any,
+) -> jax.Array:
+    """Multi-band spectral flux. Parity: onset.py:445 — log-power mel,
+    optional max-filter reference, lagged positive first difference,
+    channel aggregation, center-compensation pad."""
+    if feature is None:
+        feature = melspectrogram
+        kwargs.setdefault("fmax", 0.5 * sr)
+
+    if aggregate is None:
+        aggregate = jnp.mean
+
+    if not util.is_positive_int(lag):
+        raise ParameterError(f"lag={lag} must be a positive integer")
+    if not util.is_positive_int(max_size):
+        raise ParameterError(f"max_size={max_size} must be a positive integer")
+
+    if S is None:
+        S = jnp.abs(
+            feature(y=y, sr=sr, n_fft=n_fft, hop_length=hop_length, **kwargs)
+        )
+        S = core.power_to_db(S)
+    else:
+        S = jnp.asarray(S)
+
+    S = jnp.atleast_2d(S)
+
+    if ref is None:
+        if max_size == 1:
+            ref_arr = S
+        else:
+            # centered 1-D max filter along frequency (SuperFlux)
+            lpad = max_size // 2
+            rpad = max_size - 1 - lpad
+            pads = [(0, 0)] * S.ndim
+            pads[-2] = (lpad, rpad)
+            window_dims = [1] * S.ndim
+            window_dims[-2] = max_size
+            ref_arr = jax.lax.reduce_window(
+                jnp.pad(S, pads, mode="edge"),
+                -jnp.inf,
+                jax.lax.max,
+                tuple(window_dims),
+                (1,) * S.ndim,
+                "valid",
+            )
+    else:
+        ref_arr = jnp.asarray(ref)
+        if ref_arr.shape != S.shape:
+            raise ParameterError(
+                f"Reference spectrum shape {ref_arr.shape} must match input "
+                f"spectrum {S.shape}"
+            )
+
+    # lagged positive first difference
+    onset_env = S[..., lag:] - ref_arr[..., :-lag]
+    onset_env = jnp.maximum(0.0, onset_env)
+
+    pad = True
+    if channels is None:
+        channels = [slice(None)]
+    else:
+        pad = False
+
+    if callable(aggregate):
+        onset_env = util.sync(
+            onset_env, channels, aggregate=aggregate, pad=pad, axis=-2
+        )
+
+    # compensate for lag (and framing when centered)
+    pad_width = lag
+    if center:
+        pad_width += n_fft // (2 * hop_length)
+
+    padding = [(0, 0)] * onset_env.ndim
+    padding[-1] = (int(pad_width), 0)
+    onset_env = jnp.pad(onset_env, padding, mode="constant")
+
+    if detrend:
+        import scipy.signal
+
+        onset_env = jnp.asarray(
+            scipy.signal.lfilter(
+                [1.0, -1.0], [1.0, -0.99], np.asarray(onset_env), axis=-1
+            )
+        )
+
+    if center:
+        onset_env = onset_env[..., : S.shape[-1]]
+    return onset_env
+
+
+def onset_backtrack(events: np.ndarray, energy: Any) -> np.ndarray:
+    """Roll back onsets to the preceding local energy minimum.
+
+    Parity: onset.py:370.
+    """
+    energy = np.asarray(energy)
+    minima = np.flatnonzero(
+        (energy[1:-1] <= energy[:-2]) & (energy[1:-1] < energy[2:])
+    )
+    minima = util.fix_frames(1 + minima, x_min=0)
+    return minima[match_events(np.asarray(events), minima, right=False)]
+
+
+def onset_detect(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    onset_envelope: Optional[Any] = None,
+    hop_length: int = 512,
+    backtrack: bool = False,
+    energy: Optional[Any] = None,
+    units: str = "frames",
+    normalize: bool = True,
+    sparse: bool = True,
+    **kwargs: Any,
+) -> np.ndarray:
+    """Locate note onset events by peak-picking the onset envelope.
+
+    Parity: onset.py:31 (including the ms-tuned peak-pick defaults).
+    """
+    if onset_envelope is None:
+        if y is None:
+            raise ParameterError("y or onset_envelope must be provided")
+        onset_envelope = onset_strength(y=y, sr=sr, hop_length=hop_length)
+
+    onset_envelope = np.asarray(onset_envelope)
+
+    if normalize:
+        onset_envelope = onset_envelope - np.min(
+            onset_envelope, keepdims=True, axis=-1
+        )
+        onset_envelope = onset_envelope / (
+            np.max(onset_envelope, keepdims=True, axis=-1)
+            + util.tiny(onset_envelope)
+        )
+
+    if not onset_envelope.any() or not np.all(np.isfinite(onset_envelope)):
+        onsets = (
+            np.array([], dtype=int)
+            if sparse
+            else np.zeros_like(onset_envelope, dtype=bool)
+        )
+    else:
+        # ms-tuned defaults (onset.py:184-189)
+        kwargs.setdefault("pre_max", 0.03 * sr // hop_length)
+        kwargs.setdefault("post_max", 0.00 * sr // hop_length + 1)
+        kwargs.setdefault("pre_avg", 0.10 * sr // hop_length)
+        kwargs.setdefault("post_avg", 0.10 * sr // hop_length + 1)
+        kwargs.setdefault("wait", 0.03 * sr // hop_length)
+        kwargs.setdefault("delta", 0.07)
+
+        onsets = util.peak_pick(onset_envelope, sparse=sparse, axis=-1, **kwargs)
+
+        if backtrack:
+            if not sparse:
+                raise ParameterError(
+                    "onset backtracking is only supported if sparse=True"
+                )
+            if energy is None:
+                energy = onset_envelope
+            onsets = onset_backtrack(onsets, energy)
+
+    if sparse:
+        if units == "frames":
+            pass
+        elif units == "samples":
+            onsets = core.frames_to_samples(onsets, hop_length=hop_length)
+        elif units == "time":
+            onsets = core.frames_to_time(onsets, hop_length=hop_length, sr=sr)
+        else:
+            raise ParameterError(f"Invalid unit type: {units}")
+    return onsets

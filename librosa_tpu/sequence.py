@@ -1,0 +1,835 @@
+"""Sequential modeling: alignment (DTW), recurrence quantification (RQA),
+and Viterbi decoding (L5).
+
+TPU-first designs:
+
+- ``viterbi*``: the T×S DP runs as a ``lax.scan`` over time with a dense
+  max-plus "tropical" product per step — an (S_prev → S_next) reduction the
+  VPU/MXU handles in one fused kernel, batched over channels.  The
+  reference's transition pruning (``sequence.py:1215-1237``) is reproduced
+  exactly by masking infeasible transitions to -inf.
+- ``dtw``: row-vectorized DP.  The within-row (0,1) step is a running-min
+  recurrence which linearizes exactly via a prefix-sum change of variables
+  (min-plus analogue of an exponential filter), so each row is one
+  vectorized sweep instead of an M-step scalar loop.
+- ``rqa``: anti-diagonal wavefront DP (cells depend only on earlier
+  anti-diagonals).
+
+Parity citations refer to ``librosa/sequence.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .filters import get_window
+from .util.exceptions import ParameterError
+from .util.utils import expand_to, fill_off_diagonal, is_positive_int, tiny
+
+__all__ = [
+    "dtw",
+    "dtw_backtracking",
+    "rqa",
+    "viterbi",
+    "viterbi_discriminative",
+    "viterbi_binary",
+    "transition_uniform",
+    "transition_loop",
+    "transition_cycle",
+    "transition_local",
+    "path_to_steps",
+]
+
+
+# ---------------------------------------------------------------------------
+# DTW (reference sequence.py:185)
+# ---------------------------------------------------------------------------
+
+
+def _dtw_accumulate(
+    C: np.ndarray,
+    steps_sigma: np.ndarray,
+    w_mul: np.ndarray,
+    w_add: np.ndarray,
+    subseq: bool,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Accumulated-cost DP with arbitrary step sets, row-vectorized.
+
+    Equivalent to the reference numba kernel ``__dtw_calc_accu_cost``
+    (sequence.py:502): ``D[i,j] = min_s D[i-s0, j-s1] + wm_s*C[i,j] + wa_s``,
+    with the first row/column defaulting to left/up moves.
+    """
+    N, M = C.shape
+    n_steps = len(steps_sigma)
+
+    # Work with a large finite sentinel instead of inf so the prefix-sum
+    # min-plus trick stays NaN-free under band constraints (inf cost cells).
+    BIG = 1e30
+    C = np.minimum(C, BIG)
+
+    D = np.full((N, M), BIG)
+    steps = np.zeros((N, M), dtype=np.int32)
+    steps[0, :] = 1
+    steps[:, 0] = 2
+
+    # Steps with infinite weights are disabled (the reference fills the
+    # default steps' weights with inf when custom steps are provided).
+    def _enabled(s: int) -> bool:
+        return bool(np.isfinite(w_mul[s]) and np.isfinite(w_add[s]))
+
+    # row-step (s0 == 0) bookkeeping
+    row_steps = [
+        (s, int(steps_sigma[s, 1]))
+        for s in range(n_steps)
+        if steps_sigma[s, 0] == 0 and _enabled(s)
+    ]
+    col_steps = [
+        s for s in range(n_steps) if steps_sigma[s, 0] > 0 and _enabled(s)
+    ]
+
+    init_row0 = np.full(M, BIG)
+    init_row0[0] = C[0, 0]
+    if subseq:
+        init_row0[:] = C[0, :]
+
+    for i in range(N):
+        # 1) initial values for this row
+        if i == 0:
+            value = init_row0.copy()
+        else:
+            value = np.full(M, BIG)
+
+        # 2) candidates from steps that consume at least one row
+        for s in col_steps:
+            s0, s1 = int(steps_sigma[s, 0]), int(steps_sigma[s, 1])
+            if i - s0 < 0:
+                continue
+            cand = np.full(M, BIG)
+            prev = D[i - s0]
+            if s1 == 0:
+                cand = prev + w_mul[s] * C[i] + w_add[s]
+            else:
+                cand[s1:] = prev[:-s1] + w_mul[s] * C[i, s1:] + w_add[s]
+            better = cand < value
+            value[better] = cand[better]
+            steps[i][better] = s
+
+        # 3) within-row steps (s0 == 0).  For s1 == 1 this is the running-min
+        # recurrence value[j] = min(value[j], value[j-1] + c[j]); solved in
+        # closed form via prefix sums.  Larger s1 fall back to a scalar pass.
+        for s, s1 in row_steps:
+            c = w_mul[s] * C[i] + w_add[s]
+            if s1 == 1:
+                # The prefix-sum trick loses precision across huge sentinel
+                # costs (band-blocked cells), so segment the row at blocked
+                # positions: a chain cannot pass through them anyway.
+                blocked = c >= 1e20
+                new_value = value.copy()
+                a = 0
+                while a < M:
+                    if blocked[a]:
+                        a += 1
+                        continue
+                    b = a
+                    while b < M and not blocked[b]:
+                        b += 1
+                    cc = c[a:b]
+                    P = np.cumsum(cc)
+                    base = value[a:b] - P
+                    if a > 0:
+                        # entry from the (already final) previous position
+                        base[0] = min(base[0], new_value[a - 1])
+                    E = np.minimum.accumulate(base)
+                    new_value[a:b] = E + P
+                    a = b
+                # tie-break: strict improvement only (matches reference order)
+                changed = new_value < value
+                value = np.minimum(value, new_value)
+                steps[i][changed] = s
+            else:
+                for j in range(s1, M):
+                    cand_j = value[j - s1] + c[j]
+                    if cand_j < value[j]:
+                        value[j] = cand_j
+                        steps[i, j] = s
+        D[i] = value
+
+    # Restore inf semantics for unreachable cells
+    D[D >= BIG * 1e-6] = np.inf
+    return D, steps
+
+
+def dtw_backtracking(
+    steps: np.ndarray,
+    step_sizes_sigma: Optional[np.ndarray] = None,
+    subseq: bool = False,
+    start: Optional[int] = None,
+) -> List[Tuple[int, int]]:
+    """Backtrack an optimal warping path from a step matrix.
+
+    Parity: sequence.py:575 (__dtw_backtracking).
+    """
+    if step_sizes_sigma is None:
+        step_sizes_sigma = np.array([[1, 1], [0, 1], [1, 0]], dtype=np.uint32)
+    if start is None:
+        cur_idx = (steps.shape[0] - 1, steps.shape[1] - 1)
+    else:
+        cur_idx = (steps.shape[0] - 1, start)
+
+    wp = [(cur_idx[0], cur_idx[1])]
+    while (subseq and cur_idx[0] > 0) or (not subseq and cur_idx != (0, 0)):
+        cur_step_idx = steps[(cur_idx[0], cur_idx[1])]
+        cur_idx = (
+            cur_idx[0] - int(step_sizes_sigma[cur_step_idx][0]),
+            cur_idx[1] - int(step_sizes_sigma[cur_step_idx][1]),
+        )
+        if min(cur_idx) < 0:
+            break
+        wp.append((cur_idx[0], cur_idx[1]))
+    return wp
+
+
+def dtw(
+    X: Any = None,
+    Y: Any = None,
+    *,
+    C: Any = None,
+    metric: str = "euclidean",
+    step_sizes_sigma: Optional[np.ndarray] = None,
+    weights_add: Optional[np.ndarray] = None,
+    weights_mul: Optional[np.ndarray] = None,
+    subseq: bool = False,
+    backtrack: bool = True,
+    global_constraints: bool = False,
+    band_rad: float = 0.25,
+    return_steps: bool = False,
+):
+    """Dynamic time warping between two sequences (or a cost matrix).
+
+    Parity: reference ``sequence.py:185`` — arbitrary step sets with
+    multiplicative/additive weights, Sakoe-Chiba band, subsequence mode.
+    """
+    default_steps = np.array([[1, 1], [0, 1], [1, 0]], dtype=np.uint32)
+    default_weights_add = np.zeros(3, dtype=np.float64)
+    default_weights_mul = np.ones(3, dtype=np.float64)
+
+    if step_sizes_sigma is None:
+        step_sizes_sigma = default_steps
+        if weights_add is None:
+            weights_add = default_weights_add
+        if weights_mul is None:
+            weights_mul = default_weights_mul
+    else:
+        if weights_add is None:
+            weights_add = np.zeros(len(step_sizes_sigma), dtype=np.float64)
+        if weights_mul is None:
+            weights_mul = np.ones(len(step_sizes_sigma), dtype=np.float64)
+        default_weights_add.fill(np.inf)
+        default_weights_mul.fill(np.inf)
+        step_sizes_sigma = np.concatenate((default_steps, step_sizes_sigma))
+        weights_add = np.concatenate((default_weights_add, weights_add))
+        weights_mul = np.concatenate((default_weights_mul, weights_mul))
+
+    if np.any(step_sizes_sigma < 0):
+        raise ParameterError("step_sizes_sigma cannot contain negative values")
+    if len(step_sizes_sigma) != len(weights_add):
+        raise ParameterError(
+            "len(weights_add) must be equal to len(step_sizes_sigma)"
+        )
+    if len(step_sizes_sigma) != len(weights_mul):
+        raise ParameterError(
+            "len(weights_mul) must be equal to len(step_sizes_sigma)"
+        )
+    if C is None and (X is None or Y is None):
+        raise ParameterError("If C is not supplied, both X and Y must be supplied")
+    if C is not None and (X is not None or Y is not None):
+        raise ParameterError("If C is supplied, both X and Y must not be supplied")
+
+    c_is_transposed = False
+    C_local = False
+    if C is None:
+        C_local = True
+        X = np.atleast_2d(np.asarray(X))
+        Y = np.atleast_2d(np.asarray(Y))
+        X = np.swapaxes(X, -1, 0)
+        Y = np.swapaxes(Y, -1, 0)
+        X = X.reshape((X.shape[0], -1), order="F")
+        Y = Y.reshape((Y.shape[0], -1), order="F")
+        try:
+            from scipy.spatial.distance import cdist
+
+            C = cdist(X, Y, metric=metric)
+        except ValueError as exc:
+            raise ParameterError(
+                "scipy.spatial.distance.cdist returned an error.\n"
+                "Please provide your input in the form X.shape=(K, N) "
+                "and Y.shape=(K, M).\n 1-dimensional sequences should "
+                "be reshaped to X.shape=(1, N) and Y.shape=(1, M)."
+            ) from exc
+        if subseq and (X.shape[0] > Y.shape[0]):
+            C = C.T
+            c_is_transposed = True
+
+    C = np.atleast_2d(np.asarray(C, dtype=np.float64))
+
+    if np.array_equal(step_sizes_sigma, np.array([[1, 1]])) and (
+        C.shape[0] > C.shape[1]
+    ):
+        raise ParameterError(
+            "For diagonal matching: Y.shape[-1] >= X.shape[-1] "
+            "(C.shape[1] >= C.shape[0])"
+        )
+
+    if np.any(np.isnan(C)):
+        raise ParameterError("DTW cost matrix C has NaN values. ")
+
+    if global_constraints:
+        if not C_local:
+            C = np.copy(C)
+        fill_off_diagonal(C, radius=band_rad, value=np.inf)
+
+    D, steps = _dtw_accumulate(
+        C, np.asarray(step_sizes_sigma), np.asarray(weights_mul),
+        np.asarray(weights_add), subseq,
+    )
+
+    return_values: List[np.ndarray]
+    if backtrack:
+        if subseq:
+            if np.all(np.isinf(D[-1])):
+                raise ParameterError(
+                    "No valid sub-sequence warping path could "
+                    "be constructed with the given step sizes."
+                )
+            start = int(np.argmin(D[-1, :]))
+            _wp = dtw_backtracking(steps, step_sizes_sigma, subseq, start)
+        else:
+            if np.isinf(D[-1, -1]):
+                raise ParameterError(
+                    "No valid sub-sequence warping path could "
+                    "be constructed with the given step sizes."
+                )
+            _wp = dtw_backtracking(steps, step_sizes_sigma, subseq)
+            if _wp[-1] != (0, 0):
+                raise ParameterError(
+                    "Unable to compute a full DTW warping path. "
+                    "You may want to try again with subseq=True."
+                )
+        wp = np.asarray(_wp, dtype=int)
+        if subseq and (
+            (X is not None and Y is not None and X.shape[0] > Y.shape[0])
+            or c_is_transposed
+            or C.shape[0] > C.shape[1]
+        ):
+            wp = np.fliplr(wp)
+        return_values = [D, wp]
+    else:
+        return_values = [D]
+
+    if return_steps:
+        return_values.append(steps)
+    if len(return_values) > 1:
+        return tuple(return_values)
+    return return_values[0]
+
+
+def path_to_steps(path: np.ndarray, *, inverse: bool = False) -> np.ndarray:
+    """Convert a DTW warping path to fractional steps via interpolation.
+
+    Parity: sequence.py (path_to_steps).
+    """
+    path = np.asarray(path)
+    if inverse:
+        src, dst = path[:, 1], path[:, 0]
+    else:
+        src, dst = path[:, 0], path[:, 1]
+    order = np.argsort(dst)
+    dst_s, src_s = dst[order], src[order]
+    grid = np.arange(dst_s[0], dst_s[-1] + 1)
+    return np.interp(grid, dst_s, src_s)
+
+
+# ---------------------------------------------------------------------------
+# RQA (reference sequence.py:715)
+# ---------------------------------------------------------------------------
+
+
+def rqa(
+    sim: Any,
+    *,
+    gap_onset: float = 1,
+    gap_extend: float = 1,
+    knight_moves: bool = True,
+    backtrack: bool = True,
+):
+    """Recurrence quantification analysis (DL score + optimal path).
+
+    Parity: reference ``sequence.py:715`` — gap-penalized affinity
+    accumulation with optional knight moves.  Implemented as an
+    anti-diagonal wavefront (host NumPy; each anti-diagonal vectorized).
+    """
+    if gap_onset < 0:
+        raise ParameterError("gap_onset={} must be strictly positive")
+    if gap_extend < 0:
+        raise ParameterError("gap_extend={} must be strictly positive")
+
+    sim = np.asarray(sim, dtype=np.float64)
+    N, M = sim.shape
+    score = np.zeros_like(sim)
+    bt = np.zeros(sim.shape, dtype=np.int8)
+
+    # moves: 0 diag (-1,-1), 1 knight-left (-1,-2), 2 knight-up (-2,-1)
+    limit = 3 if knight_moves else 1
+
+    def _cell_block(ii: np.ndarray, jj: np.ndarray) -> None:
+        """Vectorized update for a set of independent cells."""
+        svals = np.full((limit, len(ii)), -np.inf)
+        tvals = np.zeros((limit, len(ii)), dtype=bool)
+        ok0 = (ii >= 1) & (jj >= 1)
+        svals[0, ok0] = score[ii[ok0] - 1, jj[ok0] - 1]
+        tvals[0, ok0] = sim[ii[ok0] - 1, jj[ok0] - 1] > 0
+        if knight_moves:
+            ok1 = (ii >= 1) & (jj >= 2)
+            svals[1, ok1] = score[ii[ok1] - 1, jj[ok1] - 2]
+            tvals[1, ok1] = sim[ii[ok1] - 1, jj[ok1] - 2] > 0
+            ok2 = (ii >= 2) & (jj >= 1)
+            svals[2, ok2] = score[ii[ok2] - 2, jj[ok2] - 1]
+            tvals[2, ok2] = sim[ii[ok2] - 2, jj[ok2] - 1] > 0
+        # invalid moves behave as score 0 in the reference (arrays are
+        # preinitialized to 0 there); replicate by clamping -inf to 0 only
+        # for moves that exist in the reference's limited scan
+        svals = np.where(np.isneginf(svals), 0.0, svals)
+
+        is_link = sim[ii, jj] > 0
+        best = np.argmax(svals, axis=0)
+        best_score = svals[best, np.arange(len(ii))]
+
+        # linked cells: extend best predecessor
+        score[ii[is_link], jj[is_link]] = (
+            best_score[is_link] + sim[ii[is_link], jj[is_link]]
+        )
+        bt[ii[is_link], jj[is_link]] = best[is_link]
+
+        # unlinked cells: gap-penalized skip or reset
+        vec = svals - np.where(tvals, gap_onset, gap_extend)
+        bbest = np.argmax(vec, axis=0)
+        bval = vec[bbest, np.arange(len(ii))]
+        nl = ~is_link
+        score[ii[nl], jj[nl]] = np.maximum(0, bval[nl])
+        bt_nl = np.where(np.maximum(0, bval) == 0, -1, bbest)
+        bt[ii[nl], jj[nl]] = bt_nl[nl]
+
+    # first row/column: pure data, reset markers
+    score[0, :] = sim[0, :]
+    score[:, 0] = sim[:, 0]
+    bt[0, :] = np.where(sim[0, :] > 0, -2, -1)
+    bt[:, 0] = np.where(sim[:, 0] > 0, -2, -1)
+
+    if N > 1 and M > 1:
+        # remaining cells by anti-diagonal; the reference restricts the
+        # candidate set near the borders (init_limit), which the ok-masks
+        # reproduce via the 0-clamp
+        for d in range(2, N + M - 1):
+            i_lo = max(1, d - (M - 1))
+            i_hi = min(N - 1, d - 1)
+            if i_lo > i_hi:
+                continue
+            ii = np.arange(i_lo, i_hi + 1)
+            jj = d - ii
+            _cell_block(ii, jj)
+
+    if backtrack:
+        path = _rqa_backtrack(score, bt)
+        return score, path
+    return score
+
+
+def _rqa_backtrack(score: np.ndarray, pointers: np.ndarray) -> np.ndarray:
+    """Parity: sequence.py (__rqa_backtrack)."""
+    offsets = [(-1, -1), (-1, -2), (-2, -1)]
+    idx = list(np.unravel_index(np.argmax(score), score.shape))
+    path: List[List[int]] = []
+    while True:
+        bt_index = pointers[tuple(idx)]
+        if bt_index == -1:
+            break
+        path.insert(0, list(idx))
+        if bt_index == -2:
+            break
+        idx = [idx[k] + offsets[bt_index][k] for k in range(2)]
+    if not path:
+        return np.empty((0, 2), dtype=np.uint)
+    return np.asarray(path, dtype=np.uint)
+
+
+# ---------------------------------------------------------------------------
+# Viterbi (reference sequence.py:1174-1874) — max-plus scan on device
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _viterbi_scan(
+    log_prob: jax.Array, log_trans: jax.Array, log_p_init: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Core Viterbi: scan over time with dense max-plus transition product.
+
+    ``log_prob``: (..., T, S); returns (states (..., T) int32, logp (...,)).
+    """
+    v0 = log_prob[..., 0, :] + log_p_init
+
+    lps = jnp.moveaxis(log_prob, -2, 0)  # (T, ..., S)
+
+    def step(v, lp_t):
+        scores = v[..., :, None] + log_trans  # (..., S_prev, S_next)
+        best = jnp.max(scores, axis=-2)
+        ptr = jnp.argmax(scores, axis=-2).astype(jnp.int32)
+        return lp_t + best, ptr
+
+    vT, ptrs = jax.lax.scan(step, v0, lps[1:])
+
+    last = jnp.argmax(vT, axis=-1).astype(jnp.int32)
+    logp = jnp.max(vT, axis=-1)
+
+    def back(s, ptr_t):
+        s_new = jnp.take_along_axis(ptr_t, s[..., None], axis=-1)[..., 0]
+        return s_new, s
+
+    s0, states_tail = jax.lax.scan(back, last, ptrs, reverse=True)
+    states = jnp.concatenate([s0[None], states_tail], axis=0)  # (T, ...)
+    return jnp.moveaxis(states, 0, -1), logp
+
+
+def _validate_transition(transition: np.ndarray, n_states: int) -> None:
+    if transition.shape != (n_states, n_states):
+        raise ParameterError(
+            f"transition.shape={transition.shape}, must be "
+            f"(n_states, n_states)={n_states, n_states}"
+        )
+    if np.any(transition < 0) or not np.allclose(transition.sum(axis=1), 1):
+        raise ParameterError(
+            "Invalid transition matrix: must be non-negative "
+            "and sum to 1 on each row."
+        )
+
+
+def viterbi(
+    prob: Any,
+    transition: Any,
+    *,
+    p_init: Optional[Any] = None,
+    return_logp: bool = False,
+    transition_min_prob: Optional[float] = None,
+):
+    """Viterbi decoding from observation likelihoods.
+
+    Parity: reference ``sequence.py:1280``.  Transition pruning
+    (``transition_min_prob``) is reproduced exactly by masking infeasible
+    transitions to -inf in the max-plus product.
+    """
+    prob_np = np.asarray(prob)
+    n_states, _ = prob_np.shape[-2:]
+    transition = np.asarray(transition, dtype=np.float64)
+    _validate_transition(transition, n_states)
+
+    if np.any(prob_np < 0) or np.any(prob_np > 1):
+        raise ParameterError("Invalid probability values: must be between 0 and 1.")
+
+    epsilon = tiny(prob_np)
+
+    if p_init is None:
+        p_init = np.full(n_states, 1.0 / n_states)
+    else:
+        p_init = np.asarray(p_init, dtype=np.float64)
+        if (
+            np.any(p_init < 0)
+            or not np.allclose(p_init.sum(), 1)
+            or p_init.shape != (n_states,)
+        ):
+            raise ParameterError(
+                f"Invalid initial state distribution: p_init={p_init}"
+            )
+
+    log_trans = np.log(transition + epsilon)
+    log_p_init = np.log(p_init + epsilon)
+
+    if transition_min_prob is not None and transition_min_prob > 0:
+        thr = np.log(transition_min_prob + epsilon)
+        feasible = log_trans >= thr
+        if not np.all(feasible.any(axis=0)):
+            bad = int(np.flatnonzero(~feasible.any(axis=0))[0])
+            raise ParameterError(
+                f"Empty transition matrix detected for state {bad} in Viterbi. "
+                f"Try reducing your minimum transition probability threshold."
+            )
+        log_trans = np.where(feasible, log_trans, -np.inf)
+    elif transition_min_prob is not None and transition_min_prob < 0:
+        raise ParameterError(
+            f"Invalid transition_min_prob={transition_min_prob}, "
+            "must be None or non-negative."
+        )
+
+    log_prob = jnp.log(jnp.asarray(prob_np) + epsilon)
+    # (..., S, T) → (..., T, S)
+    log_prob = jnp.swapaxes(log_prob, -2, -1)
+
+    states, logp = _viterbi_scan(
+        log_prob.astype(jnp.float32),
+        jnp.asarray(log_trans, dtype=jnp.float32),
+        jnp.asarray(log_p_init, dtype=jnp.float32),
+    )
+    states = states.astype(jnp.uint16)
+    if return_logp:
+        return states, logp
+    return states
+
+
+def viterbi_discriminative(
+    prob: Any,
+    transition: Any,
+    *,
+    p_state: Optional[Any] = None,
+    p_init: Optional[Any] = None,
+    return_logp: bool = False,
+    transition_min_prob: Optional[float] = None,
+):
+    """Viterbi decoding from discriminative state predictions P(state | obs).
+
+    Parity: reference ``sequence.py:1455``.
+    """
+    prob_np = np.asarray(prob)
+    n_states, _ = prob_np.shape[-2:]
+    transition = np.asarray(transition, dtype=np.float64)
+    _validate_transition(transition, n_states)
+
+    if np.any(prob_np < 0) or not np.allclose(prob_np.sum(axis=-2), 1):
+        raise ParameterError(
+            "Invalid probability values: each column must "
+            "sum to 1 and be non-negative"
+        )
+
+    epsilon = tiny(prob_np)
+
+    if p_state is None:
+        p_state = np.full(n_states, 1.0 / n_states)
+    else:
+        p_state = np.asarray(p_state, dtype=np.float64)
+        if p_state.shape != (n_states,):
+            raise ParameterError(
+                "Marginal distribution p_state must have shape (n_states,). "
+                f"Got p_state.shape={p_state.shape}"
+            )
+        if np.any(p_state < 0) or not np.allclose(p_state.sum(axis=-1), 1):
+            raise ParameterError(
+                f"Invalid marginal state distribution: p_state={p_state}"
+            )
+
+    if p_init is None:
+        p_init = np.full(n_states, 1.0 / n_states)
+    else:
+        p_init = np.asarray(p_init, dtype=np.float64)
+        if (
+            np.any(p_init < 0)
+            or not np.allclose(p_init.sum(), 1)
+            or p_init.shape != (n_states,)
+        ):
+            raise ParameterError(
+                f"Invalid initial state distribution: p_init={p_init}"
+            )
+
+    log_p_init = np.log(p_init + epsilon)
+    log_trans = np.log(transition + epsilon)
+    log_marginal = np.log(p_state + epsilon)
+
+    if transition_min_prob is not None and transition_min_prob > 0:
+        thr = np.log(transition_min_prob + epsilon)
+        feasible = log_trans >= thr
+        if not np.all(feasible.any(axis=0)):
+            bad = int(np.flatnonzero(~feasible.any(axis=0))[0])
+            raise ParameterError(
+                f"Empty transition matrix detected for state {bad} in Viterbi. "
+                f"Try reducing your minimum transition probability threshold."
+            )
+        log_trans = np.where(feasible, log_trans, -np.inf)
+
+    # Bayes: log P[X|y] ∝ log P[y|X] - log P[y]
+    lm = expand_to(jnp.asarray(log_marginal), ndim=prob_np.ndim, axes=-2)
+    log_prob = jnp.log(jnp.asarray(prob_np) + epsilon) - lm
+    log_prob = jnp.swapaxes(log_prob, -2, -1)
+
+    states, logp = _viterbi_scan(
+        log_prob.astype(jnp.float32),
+        jnp.asarray(log_trans, dtype=jnp.float32),
+        jnp.asarray(log_p_init, dtype=jnp.float32),
+    )
+    states = states.astype(jnp.uint16)
+    if return_logp:
+        return states, logp
+    return states
+
+
+def viterbi_binary(
+    prob: Any,
+    transition: Any,
+    *,
+    p_state: Optional[Any] = None,
+    p_init: Optional[Any] = None,
+    return_logp: bool = False,
+    transition_min_prob: Optional[float] = None,
+):
+    """Per-label binary Viterbi decoding. Parity: sequence.py:1702."""
+    prob = jnp.atleast_2d(jnp.asarray(prob))
+    prob_np = np.asarray(prob)
+    n_states, n_steps = prob_np.shape[-2:]
+
+    transition = np.asarray(transition, dtype=np.float64)
+    if transition.shape == (2, 2):
+        transition = np.tile(transition, (n_states, 1, 1))
+    elif transition.shape != (n_states, 2, 2):
+        raise ParameterError(
+            f"transition.shape={transition.shape}, must be (2, 2) or "
+            f"(n_states, 2, 2)={n_states}"
+        )
+    if np.any(transition < 0) or not np.allclose(transition.sum(axis=-1), 1):
+        raise ParameterError(
+            "Invalid transition matrix: must be non-negative "
+            "and sum to 1 on each row."
+        )
+    if np.any(prob_np < 0) or np.any(prob_np > 1):
+        raise ParameterError(
+            "Invalid probability values: prob must be between [0, 1]"
+        )
+
+    if p_state is None:
+        p_state = np.full(n_states, 0.5)
+    else:
+        p_state = np.atleast_1d(np.asarray(p_state, dtype=np.float64))
+    if p_state.shape != (n_states,) or np.any(p_state < 0) or np.any(p_state > 1):
+        raise ParameterError(
+            f"Invalid marginal state distributions: p_state={p_state}"
+        )
+
+    if p_init is None:
+        p_init = np.full(n_states, 0.5)
+    else:
+        p_init = np.atleast_1d(np.asarray(p_init, dtype=np.float64))
+    if p_init.shape != (n_states,) or np.any(p_init < 0) or np.any(p_init > 1):
+        raise ParameterError(
+            f"Invalid initial state distributions: p_init={p_init}"
+        )
+
+    shape_prefix = list(prob_np.shape[:-2])
+    states = np.empty([*shape_prefix, n_states, n_steps], dtype=np.uint16)
+    logp = np.empty([*shape_prefix, n_states])
+
+    for state in range(n_states):
+        prob_binary = np.stack(
+            [1 - prob_np[..., state, :], prob_np[..., state, :]], axis=-2
+        )
+        out = viterbi_discriminative(
+            prob_binary,
+            transition[state],
+            p_state=np.array([1 - p_state[state], p_state[state]]),
+            p_init=np.array([1 - p_init[state], p_init[state]]),
+            return_logp=True,
+            transition_min_prob=transition_min_prob,
+        )
+        states[..., state, :] = np.asarray(out[0])
+        logp[..., state] = np.asarray(out[1])
+
+    if return_logp:
+        return states, logp
+    return states
+
+
+# ---------------------------------------------------------------------------
+# Transition matrix constructors (reference sequence.py:1877-2146)
+# ---------------------------------------------------------------------------
+
+
+def transition_uniform(n_states: int) -> np.ndarray:
+    """Uniform transition matrix. Parity: sequence.py:1877."""
+    if not is_positive_int(n_states):
+        raise ParameterError(f"n_states={n_states} must be a positive integer")
+    return np.full((n_states, n_states), 1.0 / n_states)
+
+
+def transition_loop(n_states: int, prob: Any) -> np.ndarray:
+    """Self-loop transition matrix. Parity: sequence.py:1905."""
+    if not (is_positive_int(n_states) and (n_states > 1)):
+        raise ParameterError(f"n_states={n_states} must be a positive integer > 1")
+
+    prob = np.asarray(prob, dtype=np.float64)
+    if prob.ndim == 0:
+        prob = np.tile(prob, n_states)
+    if prob.shape != (n_states,):
+        raise ParameterError(
+            f"prob={prob} must have length equal to n_states={n_states}"
+        )
+    if np.any(prob < 0) or np.any(prob > 1):
+        raise ParameterError(f"prob={prob} must have values in the range [0, 1]")
+
+    transition = np.empty((n_states, n_states), dtype=np.float64)
+    for i, prob_i in enumerate(prob):
+        transition[i] = (1.0 - prob_i) / (n_states - 1)
+        transition[i, i] = prob_i
+    return transition
+
+
+def transition_cycle(n_states: int, prob: Any) -> np.ndarray:
+    """Cyclic transition matrix. Parity: sequence.py:1970."""
+    if not (is_positive_int(n_states) and n_states > 1):
+        raise ParameterError(f"n_states={n_states} must be a positive integer > 1")
+
+    prob = np.asarray(prob, dtype=np.float64)
+    if prob.ndim == 0:
+        prob = np.tile(prob, n_states)
+    if prob.shape != (n_states,):
+        raise ParameterError(
+            f"prob={prob} must have length equal to n_states={n_states}"
+        )
+    if np.any(prob < 0) or np.any(prob > 1):
+        raise ParameterError(f"prob={prob} must have values in the range [0, 1]")
+
+    transition = np.zeros((n_states, n_states), dtype=np.float64)
+    for i, prob_i in enumerate(prob):
+        transition[i, np.mod(i + 1, n_states)] = 1.0 - prob_i
+        transition[i, i] = prob_i
+    return transition
+
+
+def transition_local(
+    n_states: int, width: Any, *, window: str = "triangle", wrap: bool = False
+) -> np.ndarray:
+    """Localized transition matrix. Parity: sequence.py:2034."""
+    if not (is_positive_int(n_states) and n_states > 1):
+        raise ParameterError(f"n_states={n_states} must be a positive integer > 1")
+
+    width = np.asarray(width, dtype=int)
+    if width.ndim == 0:
+        width = np.tile(width, n_states)
+    if width.shape != (n_states,):
+        raise ParameterError(
+            f"width={width} must have length equal to n_states={n_states}"
+        )
+    if np.any(width < 1):
+        raise ParameterError(f"width={width} must be at least 1")
+
+    transition = np.zeros((n_states, n_states), dtype=np.float64)
+    for i, width_i in enumerate(width):
+        win = get_window(window, int(width_i), fftbins=False)
+        trans_row = np.zeros(n_states)
+        lpad = (n_states - len(win)) // 2
+        trans_row[lpad : lpad + len(win)] = win
+        trans_row = np.roll(trans_row, n_states // 2 + i + 1)
+        if not wrap:
+            trans_row[min(n_states, i + width_i // 2 + 1) :] = 0
+            trans_row[: max(0, i - width_i // 2)] = 0
+        transition[i] = trans_row
+
+    transition /= transition.sum(axis=1, keepdims=True)
+    return transition
