@@ -1,0 +1,717 @@
+"""Constant-Q / Variable-Q transforms via recursive downsampling (L2).
+
+TPU-first design notes:
+
+- The octave ladder (hops/rates) is a **static plan** — fully determined by
+  the configuration — so every per-octave stage jit-compiles with fixed
+  shapes (SURVEY §7 hard-part #2).
+- Frequency-domain wavelet bases are **dense** matmuls on the MXU.  The
+  reference sparsifies bases into CSR (``constantq.py:1164``); here the same
+  quantile threshold zeroes entries but the matmul stays dense — block-sparse
+  gains nothing at these sizes on TPU and dense preserves numerics exactly.
+- The per-octave response is the framed-ones STFT × basis product, one fused
+  device program per octave.
+
+Parity citations refer to ``librosa/core/constantq.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Collection, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import filters
+from ..util import utils as util
+from ..util.exceptions import ParameterError
+from . import audio
+from .convert import cqt_frequencies, note_to_hz
+from .intervals import interval_frequencies
+from .pitch import estimate_tuning
+from .spectrum import istft, stft
+
+__all__ = ["cqt", "vqt", "hybrid_cqt", "pseudo_cqt", "icqt", "griffinlim_cqt"]
+
+
+def _et_relative_bw(bins_per_octave: int) -> np.ndarray:
+    """Relative bandwidth for equal spacing. Parity: constantq.py:1577."""
+    r = 2 ** (1 / bins_per_octave)
+    return np.atleast_1d((r**2 - 1) / (r**2 + 1))
+
+
+def _clip_freqs(
+    freqs: np.ndarray,
+    window: Any,
+    filter_scale: float,
+    gamma: Optional[float],
+    sr: float,
+) -> np.ndarray:
+    """Clip a frequency set below Nyquist. Parity: constantq.py:1599."""
+    logf = np.log2(freqs)
+    window_bw = filters.window_bandwidth(window)
+
+    bpo = 1 / np.diff(logf, prepend=0)
+    bpo[0] = 1 / (logf[1] - logf[0])
+    alpha = (2.0 ** (2 / bpo) - 1) / (2.0 ** (2 / bpo) + 1)
+
+    if gamma is None:
+        gamma_ = alpha * 24.7 / 0.108
+    else:
+        gamma_ = gamma
+    Q = float(filter_scale) / alpha
+
+    f_cutoff = np.maximum.accumulate(
+        freqs * (1 + 0.5 * window_bw / Q) + 0.5 * gamma_
+    )
+    idx = np.searchsorted(f_cutoff, sr / 2.0, side="left")
+    if idx < 1:
+        raise ParameterError(
+            f"Unable to construct wavelet basis for fmin={freqs[0]:.2f} Hz "
+            f"and sr={sr:.2f} Hz."
+        )
+    return freqs[:idx]
+
+
+def _num_two_factors(x: int) -> int:
+    """Number of times x divides evenly by 2. Parity: constantq.py:1270."""
+    if x <= 0:
+        return 0
+    num_twos = 0
+    while x % 2 == 0:
+        num_twos += 1
+        x //= 2
+    return num_twos
+
+
+@functools.lru_cache(maxsize=64)
+def _vqt_filter_fft_cached(
+    sr: float,
+    freqs_key: tuple,
+    filter_scale: float,
+    norm: Optional[float],
+    sparsity: float,
+    hop_length: Optional[int],
+    window: Any,
+    gamma: float,
+    alpha_key: Optional[tuple],
+) -> tuple:
+    """Frequency-domain VQT basis (host float64 → dense complex64 array).
+
+    Parity: constantq.py:1124 (__vqt_filter_fft) — wavelet → FFT →
+    quantile sparsification, kept dense for MXU matmuls.
+    """
+    freqs = np.array(freqs_key)
+    alpha = np.array(alpha_key) if alpha_key is not None else None
+    basis, lengths = filters.wavelet(
+        freqs=freqs, sr=sr, filter_scale=filter_scale, norm=norm, pad_fft=True,
+        window=window, gamma=gamma, alpha=alpha,
+    )
+    n_fft = basis.shape[1]
+    if hop_length is not None and n_fft < 2.0 ** (1 + np.ceil(np.log2(hop_length))):
+        n_fft = int(2.0 ** (1 + np.ceil(np.log2(hop_length))))
+
+    basis = basis * (lengths[:, np.newaxis] / float(n_fft))
+    fft_basis = np.fft.fft(basis, n=n_fft, axis=1)[:, : (n_fft // 2) + 1]
+
+    if sparsity > 0:
+        fft_basis = util.sparsify_rows(
+            fft_basis, quantile=sparsity
+        ).toarray()
+
+    return fft_basis.astype(np.complex64), n_fft, lengths
+
+
+def _vqt_filter_fft(
+    sr, freqs, filter_scale, norm, sparsity, hop_length=None, window="hann",
+    gamma=0.0, dtype=np.complex64, alpha=None,
+):
+    fb, n_fft, lengths = _vqt_filter_fft_cached(
+        float(sr),
+        tuple(np.asarray(freqs).tolist()),
+        float(filter_scale),
+        norm,
+        float(sparsity),
+        hop_length,
+        window if isinstance(window, (str, tuple, float, int)) else str(window),
+        float(gamma) if gamma is not None else None,
+        tuple(np.asarray(alpha).tolist()) if alpha is not None else None,
+    )
+    return fb.astype(dtype), n_fft, lengths
+
+
+def _cqt_response(
+    y, n_fft, hop_length, fft_basis, mode, window="ones", phase=True, dtype=None
+) -> jax.Array:
+    """Framed-ones STFT × basis matmul. Parity: constantq.py:1197."""
+    D = stft(
+        y, n_fft=n_fft, hop_length=hop_length, window=window, pad_mode=mode,
+        dtype=dtype,
+    )
+    if not phase:
+        D = jnp.abs(D)
+    basis = jnp.asarray(fft_basis, dtype=D.dtype)
+    return jnp.einsum(
+        "cf,...ft->...ct", basis, D, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _trim_stack(
+    cqt_resp: List[jax.Array], n_bins: int, dtype: Any
+) -> jax.Array:
+    """Trim and stack per-octave responses. Parity: constantq.py:1169."""
+    max_col = min(c_i.shape[-1] for c_i in cqt_resp)
+    pieces: List[jax.Array] = []
+    end = n_bins
+    for c_i in cqt_resp:
+        n_oct = c_i.shape[-2]
+        if end < n_oct:
+            pieces.append(c_i[..., -end:, :max_col])
+        else:
+            pieces.append(c_i[..., :max_col])
+        end -= n_oct
+    # pieces are ordered top octave first → concatenate bottom-up
+    out = jnp.concatenate(pieces[::-1], axis=-2)
+    return out.astype(dtype)
+
+
+def _early_downsample_count(nyquist, filter_cutoff, hop_length, n_octaves) -> int:
+    downsample_count1 = max(
+        0, int(np.ceil(np.log2(nyquist / filter_cutoff)) - 1) - 1
+    )
+    num_twos = _num_two_factors(hop_length)
+    downsample_count2 = max(0, num_twos - n_octaves + 1)
+    return min(downsample_count1, downsample_count2)
+
+
+def _early_downsample(
+    y, sr, hop_length, res_type, n_octaves, nyquist, filter_cutoff, scale
+):
+    """Parity: constantq.py:1235 (__early_downsample)."""
+    downsample_count = _early_downsample_count(
+        nyquist, filter_cutoff, hop_length, n_octaves
+    )
+    if downsample_count > 0:
+        downsample_factor = 2**downsample_count
+        hop_length //= downsample_factor
+        if y.shape[-1] < downsample_factor:
+            raise ParameterError(
+                f"Input signal length={y.shape[-1]:d} is too short for "
+                f"{n_octaves:d}-octave CQT"
+            )
+        new_sr = sr / float(downsample_factor)
+        y = audio.resample(
+            y, orig_sr=downsample_factor, target_sr=1, res_type=res_type,
+            scale=True,
+        )
+        if not scale:
+            y = y * np.sqrt(downsample_factor)
+        sr = new_sr
+    return y, sr, hop_length
+
+
+def vqt(
+    y: Any,
+    *,
+    sr: float = 22050,
+    hop_length: int = 512,
+    fmin: Optional[float] = None,
+    n_bins: Optional[int] = 84,
+    intervals: Union[str, Collection[float]] = "equal",
+    gamma: Optional[float] = None,
+    bins_per_octave: int = 12,
+    tuning: Optional[float] = 0.0,
+    filter_scale: float = 1,
+    norm: Optional[float] = 1,
+    sparsity: float = 0.01,
+    window: Any = "hann",
+    scale: bool = True,
+    pad_mode: str = "constant",
+    res_type: str = "soxr_hq",
+    dtype: Any = None,
+) -> jax.Array:
+    """Variable-Q transform via recursive sub-sampling. Parity: constantq.py:820."""
+    y = jnp.asarray(y)
+
+    if not isinstance(intervals, str):
+        bins_per_octave = len(intervals)
+    if fmin is None:
+        fmin = note_to_hz("C1")
+    if tuning is None:
+        tuning = estimate_tuning(y=y, sr=sr, bins_per_octave=bins_per_octave)
+    if dtype is None:
+        dtype = util.dtype_r2c(y.dtype)
+
+    fmin = fmin * 2.0 ** (tuning / bins_per_octave)
+    if fmin >= sr / 2:
+        raise ParameterError(f"fmin={fmin} must be less than sr/2={sr/2}")
+
+    if n_bins is None:
+        n_bins = int(np.ceil(bins_per_octave * (np.log2(sr) - np.log2(fmin))))
+        auto_n_bins = True
+    else:
+        auto_n_bins = False
+
+    freqs = interval_frequencies(
+        n_bins=n_bins, fmin=fmin, intervals=intervals,
+        bins_per_octave=bins_per_octave, sort=True,
+    )
+    if auto_n_bins:
+        freqs = _clip_freqs(freqs, window, filter_scale, gamma, sr)
+        n_bins = len(freqs)
+
+    if n_bins == 1:
+        alpha = _et_relative_bw(bins_per_octave)
+    else:
+        alpha = filters._relative_bandwidth(freqs=freqs)
+
+    lengths, filter_cutoff = filters.wavelet_lengths(
+        freqs=freqs, sr=sr, window=window, filter_scale=filter_scale,
+        gamma=gamma, alpha=alpha,
+    )
+
+    nyquist = sr / 2.0
+    if filter_cutoff > nyquist:
+        fmax_t = float(np.max(freqs[-bins_per_octave:]))
+        raise ParameterError(
+            f"Wavelet basis with max frequency={fmax_t} would exceed the "
+            f"Nyquist frequency={nyquist}. "
+            "Try reducing the number of frequency bins."
+        )
+
+    n_octaves = int(np.ceil(float(n_bins) / bins_per_octave))
+    n_filters = min(bins_per_octave, n_bins)
+
+    y, sr, hop_length = _early_downsample(
+        y, sr, hop_length, res_type, n_octaves, nyquist, filter_cutoff, scale
+    )
+
+    vqt_resp = []
+    my_y, my_sr, my_hop = y, sr, hop_length
+
+    for i in range(n_octaves):
+        if i == 0:
+            sl = slice(-n_filters, None)
+        else:
+            sl = slice(-n_filters * (i + 1), -n_filters * i)
+
+        freqs_oct = freqs[sl]
+        alpha_oct = alpha[sl]
+
+        fft_basis, n_fft, _ = _vqt_filter_fft(
+            my_sr, freqs_oct, filter_scale, norm, sparsity, window=window,
+            gamma=gamma, dtype=dtype, alpha=alpha_oct,
+        )
+        # compensate for downsampling
+        fft_basis = fft_basis * np.sqrt(sr / my_sr)
+
+        vqt_resp.append(
+            _cqt_response(my_y, n_fft, my_hop, fft_basis, pad_mode, dtype=dtype)
+        )
+
+        if i < n_octaves - 1:
+            f_max_next = freqs[sl.start - 1]
+            if my_hop % 2 == 0 and f_max_next <= my_sr / 5:
+                my_hop //= 2
+                my_sr /= 2.0
+                my_y = audio.resample(
+                    my_y, orig_sr=2, target_sr=1, res_type=res_type, scale=True
+                )
+
+    V = _trim_stack(vqt_resp, n_bins, dtype)
+
+    if scale:
+        lengths, _ = filters.wavelet_lengths(
+            freqs=freqs, sr=sr, window=window, filter_scale=filter_scale,
+            gamma=gamma, alpha=alpha,
+        )
+        lengths_j = util.expand_to(
+            jnp.asarray(np.sqrt(lengths), dtype=V.real.dtype),
+            ndim=V.ndim, axes=-2,
+        )
+        V = V / lengths_j
+
+    return V
+
+
+def cqt(
+    y: Any,
+    *,
+    sr: float = 22050,
+    hop_length: int = 512,
+    fmin: Optional[float] = None,
+    n_bins: Optional[int] = 84,
+    bins_per_octave: int = 12,
+    tuning: Optional[float] = 0.0,
+    filter_scale: float = 1,
+    norm: Optional[float] = 1,
+    sparsity: float = 0.01,
+    window: Any = "hann",
+    scale: bool = True,
+    pad_mode: str = "constant",
+    res_type: str = "soxr_hq",
+    dtype: Any = None,
+) -> jax.Array:
+    """Constant-Q transform (VQT with gamma=0). Parity: constantq.py:42."""
+    return vqt(
+        y=y, sr=sr, hop_length=hop_length, fmin=fmin, n_bins=n_bins,
+        intervals="equal", gamma=0, bins_per_octave=bins_per_octave,
+        tuning=tuning, filter_scale=filter_scale, norm=norm,
+        sparsity=sparsity, window=window, scale=scale, pad_mode=pad_mode,
+        res_type=res_type, dtype=dtype,
+    )
+
+
+def pseudo_cqt(
+    y: Any,
+    *,
+    sr: float = 22050,
+    hop_length: int = 512,
+    fmin: Optional[float] = None,
+    n_bins: Optional[int] = 84,
+    bins_per_octave: int = 12,
+    tuning: Optional[float] = 0.0,
+    filter_scale: float = 1,
+    norm: Optional[float] = 1,
+    sparsity: float = 0.01,
+    window: Any = "hann",
+    scale: bool = True,
+    pad_mode: str = "constant",
+    dtype: Any = None,
+) -> jax.Array:
+    """Pseudo-CQT: |STFT| × |basis|, no phase. Parity: constantq.py:415."""
+    y = jnp.asarray(y)
+    if fmin is None:
+        fmin = note_to_hz("C1")
+    if tuning is None:
+        tuning = estimate_tuning(y=y, sr=sr, bins_per_octave=bins_per_octave)
+    if dtype is None:
+        dtype = util.dtype_r2c(y.dtype)
+
+    fmin = fmin * 2.0 ** (tuning / bins_per_octave)
+    if fmin >= sr / 2:
+        raise ParameterError(f"fmin={fmin} must be less than sr/2={sr/2}")
+
+    if n_bins is None:
+        n_bins = int(np.ceil(bins_per_octave * (np.log2(sr) - np.log2(fmin))))
+        auto_n_bins = True
+    else:
+        auto_n_bins = False
+
+    freqs = cqt_frequencies(
+        fmin=fmin, n_bins=n_bins, bins_per_octave=bins_per_octave
+    )
+    if auto_n_bins:
+        freqs = _clip_freqs(freqs, window, filter_scale, 0, sr)
+        n_bins = len(freqs)
+
+    if n_bins == 1:
+        alpha = _et_relative_bw(bins_per_octave)
+    else:
+        alpha = filters._relative_bandwidth(freqs=freqs)
+
+    lengths, filter_cutoff = filters.wavelet_lengths(
+        freqs=freqs, sr=sr, window=window, filter_scale=filter_scale, alpha=alpha
+    )
+    if filter_cutoff > sr / 2:
+        raise ParameterError(
+            f"Filter cutoff frequency {filter_cutoff} exceeds Nyquist "
+            f"frequency {sr/2}. Try reducing the number of frequency bins."
+        )
+
+    fft_basis, n_fft, _ = _vqt_filter_fft(
+        sr, freqs, filter_scale, norm, sparsity, hop_length=hop_length,
+        window=window, dtype=dtype, alpha=alpha,
+    )
+    fft_basis = np.abs(fft_basis)
+
+    C = _cqt_response(
+        y, n_fft, hop_length, fft_basis, pad_mode, window="hann", dtype=dtype,
+        phase=False,
+    )
+
+    if scale:
+        C = C / np.sqrt(n_fft)
+    else:
+        lengths_j = util.expand_to(
+            jnp.asarray(np.sqrt(lengths / n_fft), dtype=C.real.dtype),
+            ndim=C.ndim, axes=-2,
+        )
+        C = C * lengths_j
+    return C
+
+
+def hybrid_cqt(
+    y: Any,
+    *,
+    sr: float = 22050,
+    hop_length: int = 512,
+    fmin: Optional[float] = None,
+    n_bins: Optional[int] = 84,
+    bins_per_octave: int = 12,
+    tuning: Optional[float] = 0.0,
+    filter_scale: float = 1,
+    norm: Optional[float] = 1,
+    sparsity: float = 0.01,
+    window: Any = "hann",
+    scale: bool = True,
+    pad_mode: str = "constant",
+    res_type: str = "soxr_hq",
+    dtype: Any = None,
+) -> jax.Array:
+    """Hybrid CQT: pseudo-CQT for short filters + full CQT below.
+
+    Parity: constantq.py:209.
+    """
+    y = jnp.asarray(y)
+    if fmin is None:
+        fmin = note_to_hz("C1")
+    if tuning is None:
+        tuning = estimate_tuning(y=y, sr=sr, bins_per_octave=bins_per_octave)
+
+    fmin = fmin * 2.0 ** (tuning / bins_per_octave)
+    if fmin >= sr / 2:
+        raise ParameterError(f"fmin={fmin} must be less than sr/2={sr/2}")
+
+    if n_bins is None:
+        n_bins = int(np.ceil(bins_per_octave * (np.log2(sr) - np.log2(fmin))))
+        auto_n_bins = True
+    else:
+        auto_n_bins = False
+
+    freqs = cqt_frequencies(n_bins, fmin=fmin, bins_per_octave=bins_per_octave)
+    if auto_n_bins:
+        freqs = _clip_freqs(freqs, window, filter_scale, 0, sr)
+        n_bins = len(freqs)
+
+    if n_bins == 1:
+        alpha = _et_relative_bw(bins_per_octave)
+    else:
+        alpha = filters._relative_bandwidth(freqs=freqs)
+
+    lengths, filter_cutoff = filters.wavelet_lengths(
+        freqs=freqs, sr=sr, filter_scale=filter_scale, window=window, alpha=alpha
+    )
+    if filter_cutoff > sr / 2:
+        raise ParameterError(
+            f"Filter cutoff frequency {filter_cutoff} exceeds Nyquist "
+            f"frequency {sr/2}. Try reducing the number of frequency bins."
+        )
+
+    pseudo_filters = 2.0 ** np.ceil(np.log2(lengths)) < 2 * hop_length
+    n_bins_pseudo = int(np.sum(pseudo_filters))
+    n_bins_full = n_bins - n_bins_pseudo
+
+    cqt_resp = []
+    if n_bins_pseudo > 0:
+        fmin_pseudo = float(np.min(freqs[pseudo_filters]))
+        cqt_resp.append(
+            pseudo_cqt(
+                y, sr=sr, hop_length=hop_length, fmin=fmin_pseudo,
+                n_bins=n_bins_pseudo, bins_per_octave=bins_per_octave,
+                filter_scale=filter_scale, norm=norm, sparsity=sparsity,
+                window=window, scale=scale, pad_mode=pad_mode, dtype=dtype,
+                tuning=0.0,
+            )
+        )
+    if n_bins_full > 0:
+        cqt_resp.append(
+            jnp.abs(
+                cqt(
+                    y, sr=sr, hop_length=hop_length, fmin=fmin,
+                    n_bins=n_bins_full, bins_per_octave=bins_per_octave,
+                    filter_scale=filter_scale, norm=norm, sparsity=sparsity,
+                    window=window, scale=scale, pad_mode=pad_mode,
+                    res_type=res_type, dtype=dtype, tuning=0.0,
+                )
+            )
+        )
+
+    # cqt_resp is [pseudo (top bins), full (bottom bins)] — already in the
+    # top-first order _trim_stack expects
+    return _trim_stack(cqt_resp, n_bins, cqt_resp[-1].dtype)
+
+
+def icqt(
+    C: Any,
+    *,
+    sr: float = 22050,
+    hop_length: int = 512,
+    fmin: Optional[float] = None,
+    bins_per_octave: int = 12,
+    tuning: float = 0.0,
+    filter_scale: float = 1,
+    norm: Optional[float] = 1,
+    sparsity: float = 0.01,
+    window: Any = "hann",
+    scale: bool = True,
+    length: Optional[int] = None,
+    res_type: str = "soxr_hq",
+    dtype: Any = None,
+) -> jax.Array:
+    """Inverse constant-Q transform (transpose ladder). Parity: constantq.py:594."""
+    C = jnp.asarray(C)
+    if fmin is None:
+        fmin = note_to_hz("C1")
+    fmin = fmin * 2.0 ** (tuning / bins_per_octave)
+
+    n_bins = C.shape[-2]
+    n_octaves = int(np.ceil(float(n_bins) / bins_per_octave))
+    freqs = cqt_frequencies(
+        fmin=fmin, n_bins=n_bins, bins_per_octave=bins_per_octave
+    )
+    if n_bins == 1:
+        alpha = _et_relative_bw(bins_per_octave)
+    else:
+        alpha = filters._relative_bandwidth(freqs=freqs)
+
+    lengths, _ = filters.wavelet_lengths(
+        freqs=freqs, sr=sr, window=window, filter_scale=filter_scale, alpha=alpha
+    )
+
+    if length is not None:
+        n_frames = int(np.ceil((length + max(lengths)) / hop_length))
+        C = C[..., :n_frames]
+
+    C_scale = np.sqrt(lengths)
+
+    y: Optional[jax.Array] = None
+    srs = [sr]
+    hops = [hop_length]
+    for _ in range(n_octaves - 1):
+        if hops[0] % 2 == 0:
+            srs.insert(0, srs[0] * 0.5)
+            hops.insert(0, hops[0] // 2)
+        else:
+            srs.insert(0, srs[0])
+            hops.insert(0, hops[0])
+
+    for i, (my_sr, my_hop) in enumerate(zip(srs, hops)):
+        n_filters = min(bins_per_octave, n_bins - bins_per_octave * i)
+        sl = slice(bins_per_octave * i, bins_per_octave * i + n_filters)
+
+        fft_basis, n_fft, _ = _vqt_filter_fft(
+            my_sr, freqs[sl], filter_scale, norm, sparsity, window=window,
+            alpha=alpha[sl],
+        )
+        inv_basis = fft_basis.conjugate().T  # (n_freq, n_filters)
+        freq_power = 1 / np.sum(np.abs(inv_basis) ** 2, axis=0)
+        freq_power *= n_fft / lengths[sl]
+
+        if scale:
+            D_oct = jnp.einsum(
+                "fc,c,...ct->...ft",
+                jnp.asarray(inv_basis),
+                jnp.asarray((C_scale[sl] * freq_power).astype(np.complex64)),
+                C[..., sl, :],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            D_oct = jnp.einsum(
+                "fc,c,...ct->...ft",
+                jnp.asarray(inv_basis),
+                jnp.asarray(freq_power.astype(np.complex64)),
+                C[..., sl, :],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        y_oct = istft(D_oct, window="ones", hop_length=my_hop, dtype=dtype)
+        y_oct = audio.resample(
+            y_oct, orig_sr=1, target_sr=sr // my_sr, res_type=res_type,
+            scale=False, fix=False,
+        )
+        if y is None:
+            y = y_oct
+        else:
+            n_min = min(y.shape[-1], y_oct.shape[-1])
+            y = y.at[..., :n_min].add(y_oct[..., :n_min])
+
+    assert y is not None
+    if length:
+        y = util.fix_length(y, size=length)
+    return y
+
+
+def griffinlim_cqt(
+    C: Any,
+    *,
+    n_iter: int = 32,
+    sr: float = 22050,
+    hop_length: int = 512,
+    fmin: Optional[float] = None,
+    bins_per_octave: int = 12,
+    tuning: float = 0.0,
+    filter_scale: float = 1,
+    norm: Optional[float] = 1,
+    sparsity: float = 0.01,
+    window: Any = "hann",
+    scale: bool = True,
+    pad_mode: str = "constant",
+    res_type: str = "soxr_hq",
+    dtype: Any = None,
+    length: Optional[int] = None,
+    momentum: float = 0.99,
+    init: Optional[str] = "random",
+    random_state: Optional[Any] = None,
+) -> jax.Array:
+    """Griffin-Lim phase recovery for CQT magnitudes. Parity: constantq.py:1285."""
+    import warnings
+
+    if momentum > 1:
+        warnings.warn(
+            f"Griffin-Lim with momentum={momentum} > 1 can be unstable.",
+            stacklevel=2,
+        )
+    elif momentum < 0:
+        raise ParameterError(f"griffinlim_cqt() called with momentum={momentum} < 0")
+
+    C = jnp.asarray(C)
+
+    if random_state is None:
+        seed = 0
+    elif isinstance(random_state, int):
+        seed = random_state
+    else:
+        seed = int(np.asarray(random_state.randint(2**31)))
+
+    ang_dtype = util.dtype_r2c(C.dtype)
+    if init == "random":
+        key = jax.random.PRNGKey(seed)
+        angles = util.phasor(
+            2 * np.pi * jax.random.uniform(key, C.shape, dtype=jnp.float32)
+        ).astype(ang_dtype)
+    elif init is None:
+        angles = jnp.ones(C.shape, dtype=ang_dtype)
+    else:
+        raise ParameterError(f"init={init} must either None or 'random'")
+
+    eps = util.tiny(jnp.zeros((), dtype=ang_dtype))
+    rebuilt = jnp.zeros_like(angles)
+
+    for _ in range(n_iter):
+        tprev = rebuilt
+        inverse = icqt(
+            C * angles, sr=sr, hop_length=hop_length,
+            bins_per_octave=bins_per_octave, fmin=fmin, tuning=tuning,
+            filter_scale=filter_scale, window=window, length=length,
+            res_type=res_type, norm=norm, scale=scale, sparsity=sparsity,
+        )
+        rebuilt = cqt(
+            inverse, sr=sr, bins_per_octave=bins_per_octave,
+            n_bins=C.shape[-2], hop_length=hop_length, fmin=fmin,
+            tuning=tuning, filter_scale=filter_scale, window=window,
+            res_type=res_type, norm=norm, scale=scale, sparsity=sparsity,
+            pad_mode=pad_mode,
+        )
+        rebuilt = rebuilt[..., : C.shape[-1]]
+        angles = rebuilt - (momentum / (1 + momentum)) * tprev
+        angles = angles / (jnp.abs(angles) + eps)
+
+    return icqt(
+        C * angles, sr=sr, hop_length=hop_length,
+        bins_per_octave=bins_per_octave, fmin=fmin, tuning=tuning,
+        filter_scale=filter_scale, window=window, length=length, dtype=dtype,
+        res_type=res_type, norm=norm, scale=scale, sparsity=sparsity,
+    )
