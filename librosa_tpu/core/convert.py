@@ -50,6 +50,13 @@ __all__ = [
     "multi_frequency_weighting",
     "times_like",
     "samples_like",
+    "midi_to_svara_h",
+    "midi_to_svara_c",
+    "hz_to_svara_h",
+    "hz_to_svara_c",
+    "note_to_svara_h",
+    "note_to_svara_c",
+    "hz_to_fjs",
 ]
 
 
@@ -509,3 +516,174 @@ def samples_like(
     else:
         frames = np.arange(np.shape(X)[axis])
     return frames_to_samples(frames, hop_length=hop_length, n_fft=n_fft)
+
+
+# ---------------------------------------------------------------------------
+# Indian-classical svara naming (reference core/convert.py:2211-2776)
+# ---------------------------------------------------------------------------
+
+_SVARA_MAP_H = [
+    "Sa", "re", "Re", "ga", "Ga", "ma", "Ma", "Pa", "dha", "Dha", "ni", "Ni",
+]
+
+
+def midi_to_svara_h(
+    midi: Any,
+    *,
+    Sa: float,
+    abbr: bool = True,
+    octave: bool = True,
+    unicode: bool = True,
+):
+    """Convert MIDI numbers to Hindustani svara. Parity: core/convert.py:2211."""
+    if not np.isscalar(midi):
+        return np.array(
+            [
+                midi_to_svara_h(
+                    m, Sa=Sa, abbr=abbr, octave=octave, unicode=unicode
+                )
+                for m in np.asarray(midi)
+            ]
+        )
+    if not np.isfinite(midi):
+        return ""
+
+    svara_num = int(np.round(midi - Sa))
+    if abbr:
+        svara = _SVARA_MAP_H[svara_num % 12][0]
+    else:
+        svara = _SVARA_MAP_H[svara_num % 12]
+
+    if octave:
+        if 24 > svara_num >= 12:
+            svara = (svara[0] + "̇" + svara[1:]) if unicode else svara + "'"
+        elif -12 <= svara_num < 0:
+            svara = (svara[0] + "̣" + svara[1:]) if unicode else svara + ","
+    return svara
+
+
+def hz_to_svara_h(
+    frequencies: Any,
+    *,
+    Sa: float,
+    abbr: bool = True,
+    octave: bool = True,
+    unicode: bool = True,
+):
+    """Convert frequencies to Hindustani svara. Parity: core/convert.py:2348."""
+    midis = hz_to_midi(frequencies)
+    return midi_to_svara_h(
+        midis, Sa=float(hz_to_midi(Sa)), abbr=abbr, octave=octave,
+        unicode=unicode,
+    )
+
+
+def note_to_svara_h(
+    notes: Any,
+    *,
+    Sa: str,
+    abbr: bool = True,
+    octave: bool = True,
+    unicode: bool = True,
+):
+    """Convert note names to Hindustani svara. Parity: core/convert.py:2429."""
+    midis = note_to_midi(notes, round_midi=False)
+    return midi_to_svara_h(
+        midis, Sa=note_to_midi(Sa), abbr=abbr, octave=octave, unicode=unicode
+    )
+
+
+def midi_to_svara_c(
+    midi: Any,
+    *,
+    Sa: float,
+    mela: Any,
+    abbr: bool = True,
+    octave: bool = True,
+    unicode: bool = True,
+):
+    """Convert MIDI numbers to Carnatic svara. Parity: core/convert.py:2515."""
+    from .notation import mela_to_svara
+
+    if not np.isscalar(midi):
+        return np.array(
+            [
+                midi_to_svara_c(
+                    m, Sa=Sa, mela=mela, abbr=abbr, octave=octave,
+                    unicode=unicode,
+                )
+                for m in np.asarray(midi)
+            ]
+        )
+    if not np.isfinite(midi):
+        return ""
+
+    svara_num = int(np.round(midi - Sa))
+    svara_map = mela_to_svara(mela, abbr=abbr, unicode=unicode)
+    svara = svara_map[svara_num % 12]
+
+    if octave:
+        if 24 > svara_num >= 12:
+            svara = (svara[0] + "̇" + svara[1:]) if unicode else svara + "'"
+        elif -12 <= svara_num < 0:
+            svara = (svara[0] + "̣" + svara[1:]) if unicode else svara + ","
+    return svara
+
+
+def hz_to_svara_c(
+    frequencies: Any,
+    *,
+    Sa: float,
+    mela: Any,
+    abbr: bool = True,
+    octave: bool = True,
+    unicode: bool = True,
+):
+    """Convert frequencies to Carnatic svara. Parity: core/convert.py:2614."""
+    midis = hz_to_midi(frequencies)
+    return midi_to_svara_c(
+        midis, Sa=float(hz_to_midi(Sa)), mela=mela, abbr=abbr, octave=octave,
+        unicode=unicode,
+    )
+
+
+def note_to_svara_c(
+    notes: Any,
+    *,
+    Sa: str,
+    mela: Any,
+    abbr: bool = True,
+    octave: bool = True,
+    unicode: bool = True,
+):
+    """Convert note names to Carnatic svara. Parity: core/convert.py:2707."""
+    midis = note_to_midi(notes, round_midi=False)
+    return midi_to_svara_c(
+        midis, Sa=note_to_midi(Sa), mela=mela, abbr=abbr, octave=octave,
+        unicode=unicode,
+    )
+
+
+def hz_to_fjs(
+    frequencies: Any,
+    *,
+    fmin: Optional[float] = None,
+    unison: Optional[str] = None,
+    unicode: bool = False,
+):
+    """Convert just-intonation frequencies to FJS notation.
+
+    Parity: core/convert.py:2793.
+    """
+    from .notation import interval_to_fjs
+
+    if fmin is None:
+        fmin = np.min(frequencies)
+    if unison is None:
+        unison = hz_to_note(fmin, octave=False, unicode=False)
+
+    if np.isscalar(frequencies):
+        intervals = frequencies / fmin
+    else:
+        intervals = np.asarray(frequencies) / fmin
+    return interval_to_fjs(intervals, unison=unison, unicode=unicode)

@@ -1,0 +1,509 @@
+"""Music notation: keys, modes, svara systems, FJS (L2, host Python).
+
+Parity citations refer to ``librosa/core/notation.py``.  The FJS interval
+table (prime factorizations of just intervals) is reconstructed on demand
+from the interval generators in ``core.intervals`` rather than loaded from a
+packaged msgpack cache (reference ``core/intervals.py:22-24``).
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from collections import Counter
+from typing import Any, Dict, Iterable, List, Union
+
+import numpy as np
+
+from ..util.exceptions import ParameterError
+from .intervals import plimit_intervals, pythagorean_intervals
+
+__all__ = [
+    "key_to_degrees",
+    "key_to_notes",
+    "mela_to_degrees",
+    "mela_to_svara",
+    "thaat_to_degrees",
+    "list_mela",
+    "list_thaat",
+    "fifths_to_note",
+    "interval_to_fjs",
+]
+
+THAAT_MAP = dict(
+    bilaval=[0, 2, 4, 5, 7, 9, 11],
+    khamaj=[0, 2, 4, 5, 7, 9, 10],
+    kafi=[0, 2, 3, 5, 7, 9, 10],
+    asavari=[0, 2, 3, 5, 7, 8, 10],
+    bhairavi=[0, 1, 3, 5, 7, 8, 10],
+    kalyan=[0, 2, 4, 6, 7, 9, 11],
+    marva=[0, 1, 4, 6, 7, 9, 11],
+    poorvi=[0, 1, 4, 6, 7, 8, 11],
+    todi=[0, 1, 3, 6, 7, 8, 11],
+    bhairav=[0, 1, 4, 5, 7, 8, 11],
+)
+
+# The 72 melakarta ragas, in standard order
+_MELA_NAMES = [
+    "kanakangi", "ratnangi", "ganamurthi", "vanaspathi", "manavathi",
+    "tanarupi", "senavathi", "hanumathodi", "dhenuka", "natakapriya",
+    "kokilapriya", "rupavathi", "gayakapriya", "vakulabharanam",
+    "mayamalavagaula", "chakravakom", "suryakantham", "hatakambari",
+    "jhankaradhwani", "natabhairavi", "keeravani", "kharaharapriya",
+    "gaurimanohari", "varunapriya", "mararanjini", "charukesi", "sarasangi",
+    "harikambhoji", "dheerasankarabharanam", "naganandini", "yagapriya",
+    "ragavardhini", "gangeyabhushani", "vagadheeswari", "sulini",
+    "chalanatta", "salagam", "jalarnavam", "jhalavarali", "navaneetham",
+    "pavani", "raghupriya", "gavambodhi", "bhavapriya", "subhapanthuvarali",
+    "shadvidhamargini", "suvarnangi", "divyamani", "dhavalambari",
+    "namanarayani", "kamavardhini", "ramapriya", "gamanasrama",
+    "viswambhari", "syamalangi", "shanmukhapriya", "simhendramadhyamam",
+    "hemavathi", "dharmavathi", "neethimathi", "kanthamani", "rishabhapriya",
+    "latangi", "vachaspathi", "mechakalyani", "chitrambari", "sucharitra",
+    "jyotisvarupini", "dhatuvardhini", "nasikabhushani", "kosalam",
+    "rasikapriya",
+]
+MELAKARTA_MAP = {k: i for i, k in enumerate(_MELA_NAMES, 1)}
+
+KEY_RE = re.compile(
+    r"^(?P<tonic>[A-Ga-g])"
+    r"(?P<accidental>[#♯𝄪b!♭𝄫♮n]*)"
+    r":((?P<scale>(maj|min)(or)?)|(?P<mode>(((ion|dor|phryg|lyd|mixolyd|aeol|locr)(ian)?)|phr|mix|aeo|loc)))$"
+)
+
+NOTE_RE = re.compile(
+    r"^(?P<note>[A-Ga-g])"
+    r"(?P<accidental>[#♯𝄪b!♭𝄫♮n]*)"
+    r"(?P<octave>[+-]?\d+)?"
+    r"(?P<cents>[+-]\d+)?$"
+)
+
+MAJOR_DICT = {
+    "ion": {"C": "C", "D": "D", "E": "E", "F": "F", "G": "G", "A": "A", "B": "B"},
+    "dor": {"C": "B♭", "D": "C", "E": "D", "F": "E♭", "G": "F", "A": "G", "B": "A"},
+    "phr": {"C": "A♭", "D": "B♭", "E": "C", "F": "D♭", "G": "E♭", "A": "F", "B": "G"},
+    "lyd": {"C": "G", "D": "A", "E": "B", "F": "C", "G": "D", "A": "E", "B": "F♯"},
+    "mix": {"C": "F", "D": "G", "E": "A", "F": "B♭", "G": "C", "A": "D", "B": "E"},
+    "aeo": {"C": "E♭", "D": "F", "E": "G", "F": "A♭", "G": "B♭", "A": "C", "B": "D"},
+    "loc": {"C": "D♭", "D": "E♭", "E": "F", "F": "G♭", "G": "A♭", "A": "B♭", "B": "C"},
+}
+
+OFFSET_DICT = {"ion": 0, "dor": 1, "phr": 2, "lyd": 3, "mix": 4, "aeo": 5, "loc": 6}
+
+ACC_MAP = {
+    "#": 1, "♮": 0, "": 0, "n": 0, "b": -1, "!": -1, "♯": 1, "♭": -1,
+    "𝄪": 2, "𝄫": -2,
+}
+
+SUPER_TRANS = str.maketrans("0123456789", "⁰¹²³⁴⁵⁶⁷⁸⁹")
+SUB_TRANS = str.maketrans("0123456789", "₀₁₂₃₄₅₆₇₈₉")
+
+_UNICODE_DOWN = str.maketrans(
+    {"♯": "#", "𝄪": "##", "♭": "b", "𝄫": "bb", "♮": "n"}
+)
+
+
+def thaat_to_degrees(thaat: str) -> np.ndarray:
+    """Pitch classes for a Hindustani thaat. Parity: notation.py:169."""
+    return np.asarray(THAAT_MAP[thaat.lower()])
+
+
+def mela_to_degrees(mela: Union[str, int]) -> np.ndarray:
+    """Pitch classes for a melakarta raga. Parity: notation.py:200."""
+    if isinstance(mela, str):
+        index = MELAKARTA_MAP[mela.lower()] - 1
+    elif 0 < mela <= 72:
+        index = mela - 1
+    else:
+        raise ParameterError(f"mela={mela} must be in range [1, 72]")
+
+    degrees = [0]
+    lower = index % 36
+    if 0 <= lower < 6:
+        degrees.extend([1, 2])
+    elif 6 <= lower < 12:
+        degrees.extend([1, 3])
+    elif 12 <= lower < 18:
+        degrees.extend([1, 4])
+    elif 18 <= lower < 24:
+        degrees.extend([2, 3])
+    elif 24 <= lower < 30:
+        degrees.extend([2, 4])
+    else:
+        degrees.extend([3, 4])
+
+    if index < 36:
+        degrees.append(5)
+    else:
+        degrees.append(6)
+    degrees.append(7)
+
+    upper = index % 6
+    if upper == 0:
+        degrees.extend([8, 9])
+    elif upper == 1:
+        degrees.extend([8, 10])
+    elif upper == 2:
+        degrees.extend([8, 11])
+    elif upper == 3:
+        degrees.extend([9, 10])
+    elif upper == 4:
+        degrees.extend([9, 11])
+    else:
+        degrees.extend([10, 11])
+
+    return np.array(degrees)
+
+
+def mela_to_svara(
+    mela: Union[str, int], *, abbr: bool = True, unicode: bool = True
+) -> List[str]:
+    """Svara names for the chromatic scale under a given mela.
+
+    Parity: notation.py:299.
+    """
+    svara_map = [
+        "Sa", "Ri₁", "", "", "Ga₃", "Ma₁", "Ma₂", "Pa",
+        "Dha₁", "", "", "Ni₃",
+    ]
+
+    if isinstance(mela, str):
+        mela_idx = MELAKARTA_MAP[mela.lower()] - 1
+    elif 0 < mela <= 72:
+        mela_idx = mela - 1
+    else:
+        raise ParameterError(f"mela={mela} must be in range [1, 72]")
+
+    lower = mela_idx % 36
+    svara_map[2] = "Ga₁" if lower < 6 else "Ri₂"
+    svara_map[3] = "Ga₂" if lower < 30 else "Ri₃"
+
+    upper = mela_idx % 6
+    svara_map[9] = "Ni₁" if upper == 0 else "Dha₂"
+    svara_map[10] = "Dha₃" if upper == 5 else "Ni₂"
+
+    if abbr:
+        t_abbr = str.maketrans({"a": "", "h": "", "i": ""})
+        svara_map = [s.translate(t_abbr) for s in svara_map]
+    if not unicode:
+        t_uni = str.maketrans({"₁": "1", "₂": "2", "₃": "3"})
+        svara_map = [s.translate(t_uni) for s in svara_map]
+    return list(svara_map)
+
+
+def list_mela() -> Dict[str, int]:
+    """Map of melakarta names → indices. Parity: notation.py:444."""
+    return MELAKARTA_MAP.copy()
+
+
+def list_thaat() -> List[str]:
+    """List of Hindustani thaats. Parity: notation.py:477."""
+    return list(THAAT_MAP.keys())
+
+
+def _note_to_degree(key: Any) -> Any:
+    if not isinstance(key, str):
+        return np.array([_note_to_degree(n) for n in key])
+    match = NOTE_RE.match(key)
+    if not match:
+        raise ParameterError(f"Improper key format: {key:s}")
+    letter = match.group("note").upper()
+    accidental = match.group("accidental")
+    pitch_map = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+    counter = Counter(accidental)
+    return (
+        pitch_map[letter]
+        + sum(ACC_MAP[acc] * counter[acc] for acc in ACC_MAP)
+    ) % 12
+
+
+def _simplify_note(key: Any, additional_acc: str = "", unicode: bool = True):
+    if not isinstance(key, str):
+        return np.array(
+            [_simplify_note(n + additional_acc, unicode=unicode) for n in key]
+        )
+    match = NOTE_RE.match(key + additional_acc)
+    if not match:
+        raise ParameterError(f"Improper key format: {key:s}")
+    letter = match.group("note").upper()
+    accidental = match.group("accidental")
+    counter = Counter(accidental)
+    offset = sum(ACC_MAP[acc] * counter[acc] for acc in ACC_MAP)
+
+    simplified = letter
+    if offset >= 0:
+        simplified += "♯" * (offset % 2) + "𝄪" * (offset // 2)
+    else:
+        simplified += "♭" * (offset % 2) + "𝄫" * (abs(offset) // 2)
+    if not unicode:
+        simplified = simplified.translate(_UNICODE_DOWN)
+    return simplified
+
+
+def _mode_to_key(signature: str, unicode: bool = True) -> str:
+    match = KEY_RE.match(signature)
+    if not match:
+        raise ParameterError(f"Improper format: {signature:s}")
+
+    if match.group("scale") or not match.group("mode"):
+        return _simplify_note(
+            match.group("tonic").upper() + match.group("accidental"),
+            unicode=unicode,
+        ) + (":" + match.group("scale") if match.group("scale") else "")
+
+    mode = match.group("mode").lower()[:3]
+    tonic = MAJOR_DICT[mode][match.group("tonic").upper()]
+    return (
+        _simplify_note(tonic + match.group("accidental"), unicode=unicode)
+        + ":maj"
+    )
+
+
+def key_to_notes(
+    key: str, *, unicode: bool = True, natural: bool = False
+) -> List[str]:
+    """Spelling of the 12 pitch classes under a given key.
+
+    Parity: notation.py:626 — circle-of-fifths accidental selection with
+    double-accidental corrections and mode translation.
+    """
+    match = KEY_RE.match(key)
+    if not match:
+        raise ParameterError(f"Improper key format: {key:s}")
+
+    pitch_map = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+    tonic = match.group("tonic").upper()
+    accidental = match.group("accidental")
+    offset = sum(ACC_MAP[acc] for acc in accidental)
+
+    if match.group("mode") or not match.group("scale"):
+        equiv = _mode_to_key(key)
+        return key_to_notes(equiv, unicode=unicode, natural=natural)
+
+    scale = match.group("scale")[:3].lower()
+    multiple = abs(offset) >= 2
+
+    if multiple:
+        sign_map = {+1: "♯", -1: "♭"}
+        additional_acc = sign_map[int(np.sign(offset))]
+        intermediate = key_to_notes(
+            tonic + additional_acc * (abs(offset) - 1) + ":" + scale,
+            natural=False,
+        )
+        notes = [_simplify_note(n, additional_acc) for n in intermediate]
+        degrees = _note_to_degree(notes)
+        notes = list(np.roll(notes, shift=-int(np.argwhere(degrees == 0)[0])))
+        if not unicode:
+            notes = [n.translate(_UNICODE_DOWN) for n in notes]
+        return notes
+
+    major = scale == "maj"
+    if major:
+        tonic_number = ((pitch_map[tonic] + offset) * 7) % 12
+    else:
+        tonic_number = ((pitch_map[tonic] + offset) * 7 + 9) % 12
+
+    if offset < 0:
+        use_sharps = False
+    elif offset > 0:
+        use_sharps = True
+    elif 0 <= tonic_number < 6:
+        use_sharps = True
+    elif tonic_number > 6:
+        use_sharps = False
+
+    notes_sharp = ["C", "C♯", "D", "D♯", "E", "F", "F♯", "G", "G♯", "A", "A♯", "B"]
+    notes_flat = ["C", "D♭", "D", "E♭", "E", "F", "G♭", "G", "A♭", "A", "B♭", "B"]
+
+    sharp_corrections = [
+        (5, "E♯"), (0, "B♯"), (7, "F𝄪"), (2, "C𝄪"), (9, "G𝄪"), (4, "D𝄪"),
+        (11, "A𝄪"),
+    ]
+    flat_corrections = [
+        (11, "C♭"), (4, "F♭"), (9, "B𝄫"), (2, "E𝄫"), (7, "A𝄫"), (0, "D𝄫"),
+    ]
+
+    n_sharps = tonic_number
+    if tonic_number == 0 and tonic == "B":
+        n_sharps = 12
+
+    if use_sharps:
+        for n in range(0, n_sharps - 6 + 1):
+            index, name = sharp_corrections[n]
+            notes_sharp[index] = name
+        notes = notes_sharp
+    else:
+        n_flats = (12 - tonic_number) % 12
+        for n in range(0, n_flats - 6 + 1):
+            index, name = flat_corrections[n]
+            notes_flat[index] = name
+        notes = notes_flat
+
+    if natural:
+        scale_notes = set(key_to_degrees(key))
+        for place, note in enumerate(notes):
+            if _note_to_degree(note) in scale_notes:
+                continue
+            if len(note) == 1:
+                notes[place] = note + "♮"
+
+    if not unicode:
+        notes = [n.translate(_UNICODE_DOWN) for n in notes]
+    return notes
+
+
+def key_to_degrees(key: str) -> np.ndarray:
+    """Pitch classes in a given key. Parity: notation.py:872."""
+    notes = dict(
+        maj=np.array([0, 2, 4, 5, 7, 9, 11]),
+        min=np.array([0, 2, 3, 5, 7, 8, 10]),
+    )
+    match = KEY_RE.match(key)
+    if not match:
+        raise ParameterError(f"Improper key format: {key:s}")
+
+    if match.group("mode") or not match.group("scale"):
+        equiv = _mode_to_key(key)
+        offset = OFFSET_DICT[match.group("mode")[:3]]
+        return np.roll(key_to_degrees(equiv), -offset)
+
+    pitch_map = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+    tonic = match.group("tonic").upper()
+    accidental = match.group("accidental")
+    counts = Counter(accidental)
+    offset = sum(ACC_MAP[acc] * counts[acc] for acc in ACC_MAP)
+    scale = match.group("scale")[:3].lower()
+    return (notes[scale] + pitch_map[tonic] + offset) % 12
+
+
+def fifths_to_note(*, unison: str, fifths: int, unicode: bool = True) -> str:
+    """Transpose a note name by perfect fifths. Parity: notation.py:942."""
+    COFMAP = "FCGDAEB"
+    if unicode:
+        acc_map_inv = {1: "♯", 2: "𝄪", -1: "♭", -2: "𝄫", 0: ""}
+    else:
+        acc_map_inv = {1: "#", 2: "##", -1: "b", -2: "bb", 0: ""}
+
+    match = NOTE_RE.match(unison)
+    if not match:
+        raise ParameterError(f"Improper note format: {unison:s}")
+
+    pitch = match.group("note").upper()
+    offset = int(np.sum([ACC_MAP[o] for o in match.group("accidental")]))
+
+    circle_idx = COFMAP.index(pitch)
+    raw_output = COFMAP[(circle_idx + fifths) % 7]
+    acc_index = offset + (circle_idx + fifths) // 7
+
+    acc_str = acc_map_inv[int(np.sign(acc_index)) * 2] * int(
+        abs(acc_index) // 2
+    ) + acc_map_inv[int(np.sign(acc_index))] * int(abs(acc_index) % 2)
+    return raw_output + acc_str
+
+
+# ---------------------------------------------------------------------------
+# FJS notation (reference notation.py:1032-1225)
+# ---------------------------------------------------------------------------
+
+
+def _o_fold(d):
+    """Fold an interval into [1, 2). Parity: notation.py:1033 (__o_fold)."""
+    return d * (2.0 ** -np.floor(np.log2(d)))
+
+
+def _bo_fold(d):
+    """Balanced fold into [√2/2, √2). Parity: notation.py:1046 (__bo_fold)."""
+    return d * (2.0 ** -np.round(np.log2(d)))
+
+
+def _fifth_search(interval, tolerance) -> int:
+    """Number of fifths to approximate an interval. Parity: notation.py:1059."""
+    log_tolerance = np.abs(np.log2(tolerance))
+    power = 0
+    for power in range(32):
+        for sign in [1, -1]:
+            if (
+                np.abs(np.log2(_bo_fold(interval / 3.0 ** (power * sign))))
+                <= log_tolerance
+            ):
+                return power * sign
+    return power
+
+
+@functools.lru_cache(maxsize=4)
+def _interval_table(level: int) -> Dict[float, Dict[int, int]]:
+    """Interval → prime-factorization lookup, reconstructed on demand.
+
+    Mirrors the reference's packaged table built by
+    ``scripts/create_intervals.py``: pythagorean + p-limit systems at 72
+    bins/octave, plus a 23-limit system at 190 bins for ``level >= 1``.
+    """
+    table: Dict[float, Dict[int, int]] = {}
+
+    def add(factor_list, primes):
+        for factors in factor_list:
+            ratio = 1.0
+            for p, k in factors.items():
+                ratio *= float(p) ** k
+            key = float(np.around(_o_fold(ratio), decimals=6))
+            table.setdefault(key, factors)
+
+    add(pythagorean_intervals(bins_per_octave=72, sort=False, return_factors=True), [3])
+    add(plimit_intervals(primes=[3], bins_per_octave=72, sort=False, return_factors=True), [3])
+    add(plimit_intervals(primes=[3, 5], bins_per_octave=72, sort=False, return_factors=True), [3, 5])
+    add(plimit_intervals(primes=[3, 5, 7], bins_per_octave=72, sort=False, return_factors=True), [3, 5, 7])
+    if level >= 1:
+        add(
+            plimit_intervals(
+                primes=[3, 5, 7, 11, 13, 17, 19, 23], bins_per_octave=190,
+                sort=False, return_factors=True,
+            ),
+            [3, 5, 7, 11, 13, 17, 19, 23],
+        )
+    return table
+
+
+def interval_to_fjs(
+    interval: Any,
+    *,
+    unison: str = "C",
+    tolerance: float = 65.0 / 63,
+    unicode: bool = True,
+):
+    """Convert a just interval to Functional Just System notation.
+
+    Parity: notation.py:1099.
+    """
+    if not np.isscalar(interval):
+        return np.array(
+            [
+                interval_to_fjs(
+                    i, unison=unison, tolerance=tolerance, unicode=unicode
+                )
+                for i in np.asarray(interval)
+            ]
+        )
+
+    if interval <= 0:
+        raise ParameterError(f"Interval={interval} must be strictly positive")
+
+    fifths = _fifth_search(interval, tolerance)
+    note_name = fifths_to_note(unison=unison, fifths=fifths, unicode=unicode)
+
+    interval_b = float(np.around(_o_fold(interval), decimals=6))
+    powers = _interval_table(0).get(interval_b)
+    if powers is None:
+        powers = _interval_table(1).get(interval_b)
+    if powers is None:
+        raise ParameterError(f"Unknown interval={interval}")
+
+    powers = {p: powers[p] for p in powers if p > 3}
+    otonal = int(np.prod([p ** powers[p] for p in powers if powers[p] > 0]))
+    utonal = int(np.prod([p ** -powers[p] for p in powers if powers[p] < 0]))
+
+    suffix = ""
+    if otonal > 1:
+        suffix += f"{otonal:d}".translate(SUPER_TRANS) if unicode else f"^{otonal}"
+    if utonal > 1:
+        suffix += f"{utonal:d}".translate(SUB_TRANS) if unicode else f"_{utonal}"
+    return note_name + suffix

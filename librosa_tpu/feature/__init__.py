@@ -7,6 +7,8 @@ from .rhythm import (  # noqa: F401
     fourier_tempogram,
     tempo,
     tempogram_ratio,
+    hybrid_tempogram,
+    metrogram,
 )
 from .inverse import (  # noqa: F401
     mel_to_stft,

@@ -25,6 +25,8 @@ __all__ = [
     "fourier_tempogram",
     "tempo",
     "tempogram_ratio",
+    "hybrid_tempogram",
+    "metrogram",
 ]
 
 
@@ -221,3 +223,97 @@ def tempogram_ratio(
     if aggregate is not None:
         return jnp.asarray(aggregate(np.asarray(tgr), axis=-1))
     return tgr
+
+
+def hybrid_tempogram(
+    *,
+    y: Any = None,
+    sr: float = 22050,
+    onset_envelope: Optional[Any] = None,
+    hop_length: int = 512,
+    win_length: int = 384,
+    center: bool = True,
+    window: Any = "hann",
+    **kwargs: Any,
+) -> jax.Array:
+    """Hybrid tempogram: geometric mean of Fourier and resampled
+    autocorrelation tempograms. Parity: feature/rhythm.py:675."""
+    import scipy.interpolate
+
+    interp_kwargs: dict = dict(kwargs) if kwargs else {}
+    interp_kwargs.setdefault("bounds_error", False)
+    interp_kwargs.setdefault("fill_value", 0.0)
+    interp_kwargs.setdefault("copy", False)
+    interp_kwargs.setdefault("axis", -2)
+
+    if onset_envelope is None:
+        if y is None:
+            raise ParameterError("Either y or onset_envelope must be provided")
+        from ..onset import onset_strength
+
+        onset_envelope = onset_strength(y=y, sr=sr, hop_length=hop_length)
+
+    tg_f = np.asarray(
+        fourier_tempogram(
+            onset_envelope=np.asarray(onset_envelope), sr=sr,
+            hop_length=hop_length, win_length=win_length, center=center,
+            window=window,
+        )
+    )
+    freqs = fourier_tempo_frequencies(
+        sr=sr, hop_length=hop_length, win_length=win_length
+    )
+    tg_a = np.asarray(
+        tempogram(
+            onset_envelope=np.asarray(onset_envelope), sr=sr,
+            hop_length=hop_length, win_length=win_length, center=center,
+            window=window,
+        )
+    )
+    lags = tempo_frequencies(tg_a.shape[-2], sr=sr, hop_length=hop_length)
+
+    tg_a_finite = tg_a[..., 1:, :]
+    lags_finite = lags[1:]
+
+    f_interp = scipy.interpolate.interp1d(
+        lags_finite[::-1], tg_a_finite[..., ::-1, :], **interp_kwargs
+    )
+    tg_a_resampled = f_interp(freqs)
+
+    n_frames_min = min(tg_f.shape[-1], tg_a_resampled.shape[-1])
+    product = np.abs(tg_f[..., :n_frames_min]) * np.abs(
+        tg_a_resampled[..., :n_frames_min]
+    )
+    return jnp.asarray(np.sqrt(np.maximum(0, product)))
+
+
+def metrogram(
+    *,
+    tg: Any,
+    freqs: np.ndarray,
+    factors: Optional[np.ndarray] = None,
+    aggregate: Optional[Callable] = np.sum,
+    kind: str = "linear",
+    fill_value: float = 0,
+) -> jax.Array:
+    """Metrical-structure product of a tempogram with its sub-harmonics.
+
+    Parity: feature/rhythm.py:826.
+    """
+    from ..core.harmonic import interp_harmonics
+
+    tg = jnp.asarray(tg)
+    if factors is None:
+        factors = np.array([1 / 3, 1 / 4, 1 / 5, 1 / 7])
+
+    tg_interp = interp_harmonics(
+        tg, freqs=freqs, harmonics=factors, kind=kind, fill_value=fill_value,
+        axis=-2,
+    )
+    product = tg_interp * jnp.expand_dims(tg, axis=-3)
+
+    if aggregate is not None:
+        if aggregate is np.sum:
+            return jnp.sum(product, axis=-2)
+        return jnp.asarray(aggregate(np.asarray(product), axis=-2))
+    return product

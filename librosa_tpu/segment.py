@@ -1,0 +1,486 @@
+"""Self-similarity, recurrence, and temporal segmentation (L5).
+
+Recurrence graphs are small host-side sparse structures (sklearn
+NearestNeighbors, as in the reference); dense affinity math and path
+enhancement run on device.  Parity citations refer to ``librosa/segment.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from typing import Any, Callable, List, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse
+
+from .filters import diagonal_filter
+from .util import utils as util
+from .util.exceptions import ParameterError
+
+__all__ = [
+    "cross_similarity",
+    "recurrence_matrix",
+    "recurrence_to_lag",
+    "lag_to_recurrence",
+    "timelag_filter",
+    "subsegment",
+    "agglomerative",
+    "path_enhance",
+]
+
+
+def _affinity_bandwidth(rec, bw_mode, k: int):
+    """Affinity bandwidth estimators. Parity: segment.py:1332."""
+    if isinstance(bw_mode, np.ndarray):
+        bandwidth = bw_mode
+        if bandwidth.shape != rec.shape:
+            raise ParameterError(
+                f"Invalid matrix bandwidth shape: {bandwidth.shape}."
+                f"Should be {rec.shape}."
+            )
+        if (bandwidth <= 0).any():
+            raise ParameterError(
+                "Invalid bandwidth. All entries must be strictly positive."
+            )
+        return np.array(bandwidth[rec.nonzero()])
+
+    if isinstance(bw_mode, (int, float)):
+        scalar_bandwidth = float(bw_mode)
+        if scalar_bandwidth <= 0:
+            raise ParameterError(
+                f"Invalid scalar bandwidth={scalar_bandwidth}. "
+                "Must be strictly positive."
+            )
+        return scalar_bandwidth
+
+    if bw_mode is None:
+        bw_mode = "med_k_scalar"
+
+    if bw_mode not in [
+        "med_k_scalar", "mean_k", "gmean_k", "mean_k_avg", "gmean_k_avg",
+        "mean_k_avg_and_pair",
+    ]:
+        raise ParameterError(
+            f"Invalid bandwidth='{bw_mode}'. Must be either a positive scalar "
+            "or one of ['med_k_scalar', 'mean_k', 'gmean_k', 'mean_k_avg', "
+            "'gmean_k_avg', 'mean_k_avg_and_pair']"
+        )
+
+    t = rec.shape[0]
+    knn_dists = []
+    for i in range(t):
+        start, end = rec.indptr[i], rec.indptr[i + 1]
+        row_data = rec.data[start:end]
+        if row_data.size == 0:
+            if bw_mode not in ["med_k_scalar"]:
+                raise ParameterError(
+                    f"The sample at time point {i} has no neighbors"
+                )
+            knn_dists.append(np.array([np.nan]))
+        else:
+            knn_dists.append(np.sort(row_data)[:k])
+
+    dist_to_k = np.asarray([d[-1] for d in knn_dists])
+    avg_dist = np.asarray([np.mean(d) for d in knn_dists])
+
+    if bw_mode == "med_k_scalar":
+        if not np.any(np.isfinite(dist_to_k)):
+            raise ParameterError("Cannot estimate bandwidth from an empty graph")
+        return float(np.nanmedian(dist_to_k))
+
+    sigma_i = np.empty_like(rec.data)
+    sigma_j = np.empty_like(rec.data)
+    source = dist_to_k if bw_mode in ("mean_k", "gmean_k") else avg_dist
+    for row in range(t):
+        sl = slice(rec.indptr[row], rec.indptr[row + 1])
+        sigma_i[sl] = source[row]
+        sigma_j[sl] = source[rec.indices[sl]]
+
+    if bw_mode in ("mean_k", "mean_k_avg"):
+        return np.array((sigma_i + sigma_j) / 2)
+    if bw_mode in ("gmean_k", "gmean_k_avg"):
+        return np.array((sigma_i * sigma_j) ** 0.5)
+    # mean_k_avg_and_pair
+    return np.array((sigma_i + sigma_j + rec.data) / 3)
+
+
+def _knn_graph(data_fit, k_neighbors: int, metric: str, mode: str, X=None):
+    import sklearn.neighbors
+
+    try:
+        knn = sklearn.neighbors.NearestNeighbors(
+            n_neighbors=k_neighbors, metric=metric, algorithm="auto"
+        )
+    except ValueError:
+        knn = sklearn.neighbors.NearestNeighbors(
+            n_neighbors=k_neighbors, metric=metric, algorithm="brute"
+        )
+    knn.fit(data_fit)
+    if X is None:
+        return knn.kneighbors_graph(mode=mode).tolil()
+    return knn.kneighbors_graph(X=X, mode=mode).tolil()
+
+
+def _topk_prune(g, n_rows: int, k: int) -> None:
+    """Retain only the top-k (closest) links per row of a LIL graph."""
+    for i in range(n_rows):
+        links = g.rows[i]
+        if len(links) <= k:
+            continue
+        vals = np.array(g.data[i])
+        order = np.argsort(vals)
+        for j in np.array(links)[order[k:]]:
+            g[i, j] = 0
+
+
+def cross_similarity(
+    data: Any,
+    data_ref: Any,
+    *,
+    k: Optional[int] = None,
+    metric: str = "euclidean",
+    sparse: bool = False,
+    mode: str = "connectivity",
+    bandwidth: Any = None,
+    full: bool = False,
+):
+    """Cross-similarity kNN graph between two feature sequences.
+
+    Parity: segment.py:91.
+    """
+    data_ref = np.atleast_2d(np.asarray(data_ref))
+    data = np.atleast_2d(np.asarray(data))
+
+    if not np.allclose(data_ref.shape[:-1], data.shape[:-1]):
+        raise ParameterError(
+            f"data_ref.shape={data_ref.shape} and data.shape={data.shape} "
+            "do not match on leading dimension(s)"
+        )
+
+    data_ref = np.swapaxes(data_ref, -1, 0)
+    n_ref = data_ref.shape[0]
+    data_ref = data_ref.reshape((n_ref, -1), order="F")
+    data = np.swapaxes(data, -1, 0)
+    n = data.shape[0]
+    data = data.reshape((n, -1), order="F")
+
+    if mode not in ["connectivity", "distance", "affinity"]:
+        raise ParameterError(
+            f"Invalid mode='{mode}'. Must be one of "
+            "['connectivity', 'distance', 'affinity']"
+        )
+    if k is None:
+        k = min(n_ref, 2 * np.ceil(np.sqrt(n_ref)))
+    k = int(k)
+
+    bandwidth_k = k
+    if full and (mode != "connectivity"):
+        k = n
+
+    kng_mode = "distance" if mode == "affinity" else mode
+    xsim = _knn_graph(data_ref, min(n_ref, k), metric, kng_mode, X=data)
+
+    if not full:
+        _topk_prune(xsim, n, k)
+
+    xsim = xsim.tocsr()
+    xsim.eliminate_zeros()
+
+    if mode == "connectivity":
+        xsim = xsim.astype(bool)
+    elif mode == "affinity":
+        aff_bandwidth = _affinity_bandwidth(xsim, bandwidth, bandwidth_k)
+        xsim.data[:] = np.exp(xsim.data / (-1 * aff_bandwidth))
+
+    xsim = scipy.sparse.csc_matrix(xsim.T)
+    if not sparse:
+        return xsim.toarray()
+    return xsim
+
+
+def recurrence_matrix(
+    data: Any,
+    *,
+    k: Optional[int] = None,
+    width: int = 1,
+    metric: str = "euclidean",
+    sym: bool = False,
+    sparse: bool = False,
+    mode: str = "connectivity",
+    bandwidth: Any = None,
+    self: bool = False,
+    axis: int = -1,
+    full: bool = False,
+):
+    """Recurrence (self-similarity) kNN graph. Parity: segment.py:391."""
+    data = np.atleast_2d(np.asarray(data))
+    data = np.swapaxes(data, axis, 0)
+    t = data.shape[0]
+    data = data.reshape((t, -1), order="F")
+
+    if width < 1 or width >= (t - 1) // 2:
+        raise ParameterError(
+            f"width={width} must be at least 1 and at most "
+            f"(data.shape[{axis}] - 1) // 2={(t - 1) // 2}"
+        )
+    if mode not in ["connectivity", "distance", "affinity"]:
+        raise ParameterError(
+            f"Invalid mode='{mode}'. Must be one of "
+            "['connectivity', 'distance', 'affinity']"
+        )
+    if k is None:
+        k = 2 * np.ceil(np.sqrt(t - 2 * width + 1))
+    k = int(k)
+
+    bandwidth_k = k
+    if full and (mode != "connectivity"):
+        k = t
+
+    kng_mode = "distance" if mode == "affinity" else mode
+    rec = _knn_graph(data, min(t - 1, k + 2 * width), metric, kng_mode)
+
+    if not full:
+        for diag in range(-width + 1, width):
+            rec.setdiag(0, diag)
+        _topk_prune(rec, t, k)
+
+    if self:
+        if mode == "connectivity":
+            rec.setdiag(1)
+        elif mode == "affinity":
+            # negative placeholder keeps the structure without corrupting
+            # the bandwidth statistics
+            rec.setdiag(-1)
+    else:
+        rec.setdiag(0)
+
+    if sym:
+        rec = rec.minimum(rec.T)
+
+    rec = rec.tocsr()
+    rec.eliminate_zeros()
+
+    if mode == "connectivity":
+        rec = rec.astype(bool)
+    elif mode == "affinity":
+        rec.data[rec.data < 0] = 0.0
+        aff_bandwidth = _affinity_bandwidth(rec, bandwidth, bandwidth_k)
+        rec.data[:] = np.exp(rec.data / (-1 * aff_bandwidth))
+
+    rec = scipy.sparse.csc_matrix(rec.T)
+    if not sparse:
+        return rec.toarray()
+    return rec
+
+
+def _shear_dense_np(X: np.ndarray, factor: int, axis: int) -> np.ndarray:
+    """Column/row roll shear on host NumPy (sparse-compatible shapes)."""
+    X = np.asarray(X)
+    n0, n1 = X.shape
+    out = np.empty_like(X)
+    if axis == 0:
+        for j in range(n1):
+            out[:, j] = np.roll(X[:, j], factor * j)
+    else:
+        for i in range(n0):
+            out[i] = np.roll(X[i], factor * i)
+    return out
+
+
+def _shear_sparse(X, factor: int, axis: int):
+    """Sparse shear by coordinate remapping. Parity: util/utils.py:2158."""
+    fmt = X.format
+    coo = X.tocoo()
+    n = X.shape[axis]
+    if axis == 0:
+        rows = np.mod(coo.row + factor * coo.col, X.shape[0])
+        cols = coo.col
+    else:
+        rows = coo.row
+        cols = np.mod(coo.col + factor * coo.row, X.shape[1])
+    out = scipy.sparse.coo_matrix((coo.data, (rows, cols)), shape=X.shape)
+    return out.asformat(fmt)
+
+
+def recurrence_to_lag(rec: Any, *, pad: bool = True, axis: int = -1):
+    """Convert a recurrence matrix to lag space. Parity: segment.py:709."""
+    axis = int(np.abs(axis))
+
+    if rec.ndim != 2 or rec.shape[0] != rec.shape[1]:
+        raise ParameterError(f"non-square recurrence matrix shape: {rec.shape}")
+
+    is_sparse = scipy.sparse.issparse(rec)
+    if is_sparse:
+        fmt = rec.format
+    t = rec.shape[axis]
+
+    if pad:
+        if is_sparse:
+            padding = np.asarray([[1, 0]], dtype=rec.dtype).swapaxes(axis, 0)
+            rec_fmt = "csr" if axis == 0 else "csc"
+            rec = scipy.sparse.kron(padding, rec, format=rec_fmt)
+        else:
+            padding = np.array([(0, 0), (0, 0)])
+            padding[(1 - axis), :] = [0, t]
+            rec = np.pad(np.asarray(rec), padding, mode="constant")
+
+    if is_sparse:
+        lag = _shear_sparse(rec, -1, axis)
+        return lag.asformat(fmt)
+    return _shear_dense_np(np.asarray(rec), -1, axis)
+
+
+def lag_to_recurrence(lag: Any, *, axis: int = -1):
+    """Convert a lag matrix to recurrence space. Parity: segment.py:816."""
+    if axis not in [0, 1, -1]:
+        raise ParameterError(f"Invalid target axis: {axis}")
+    axis = int(np.abs(axis))
+
+    if lag.ndim != 2 or (
+        lag.shape[0] != lag.shape[1]
+        and lag.shape[1 - axis] != 2 * lag.shape[axis]
+    ):
+        raise ParameterError(f"Invalid lag matrix shape: {lag.shape}")
+
+    t = lag.shape[axis]
+    is_sparse = scipy.sparse.issparse(lag)
+    if is_sparse:
+        rec = _shear_sparse(lag, 1, axis)
+    else:
+        rec = _shear_dense_np(np.asarray(lag), 1, axis)
+
+    sub_slice = [slice(None)] * rec.ndim
+    sub_slice[1 - axis] = slice(t)
+    if is_sparse:
+        return rec.tocsr()[tuple(sub_slice)].asformat(lag.format)
+    return rec[tuple(sub_slice)]
+
+
+def timelag_filter(function: Callable, pad: bool = True, index: int = 0) -> Callable:
+    """Filtering in the time-lag domain (decorator). Parity: segment.py:895."""
+
+    @functools.wraps(function)
+    def _wrapped(*args: Any, **kwargs: Any):
+        args = list(args)
+        args[index] = recurrence_to_lag(args[index], pad=pad)
+        result = function(*args, **kwargs)
+        return lag_to_recurrence(result)
+
+    return _wrapped
+
+
+def subsegment(
+    data: Any, frames: np.ndarray, *, n_segments: int = 4, axis: int = -1
+) -> np.ndarray:
+    """Sub-divide a segmentation by feature clustering. Parity: segment.py:976."""
+    data = np.asarray(data)
+    frames = util.fix_frames(frames, x_min=0, x_max=data.shape[axis], pad=True)
+
+    if n_segments < 1:
+        raise ParameterError("n_segments must be a positive integer")
+
+    boundaries: List[int] = []
+    idx_slices = [slice(None)] * data.ndim
+    for seg_start, seg_end in itertools.pairwise(frames):
+        idx_slices[axis] = slice(seg_start, seg_end)
+        boundaries.extend(
+            seg_start
+            + agglomerative(
+                data[tuple(idx_slices)],
+                min(seg_end - seg_start, n_segments),
+                axis=axis,
+            )
+        )
+    return np.array(boundaries)
+
+
+def agglomerative(
+    data: Any,
+    k: int,
+    *,
+    clusterer: Optional[Any] = None,
+    axis: int = -1,
+) -> np.ndarray:
+    """Connectivity-constrained agglomerative clustering boundaries.
+
+    Parity: segment.py:1073.
+    """
+    data = np.atleast_2d(np.asarray(data))
+    data = np.swapaxes(data, axis, 0)
+    n = data.shape[0]
+    data = data.reshape((n, -1), order="F")
+
+    if clusterer is None:
+        import sklearn.cluster
+        import sklearn.feature_extraction
+
+        grid = sklearn.feature_extraction.image.grid_to_graph(
+            n_x=n, n_y=1, n_z=1
+        )
+        clusterer = sklearn.cluster.AgglomerativeClustering(
+            n_clusters=int(k), connectivity=grid
+        )
+
+    clusterer.fit(data)
+    boundaries = [0]
+    boundaries.extend(
+        list(1 + np.nonzero(np.diff(clusterer.labels_))[0].astype(int))
+    )
+    return np.asarray(boundaries)
+
+
+def path_enhance(
+    R: Any,
+    n: int,
+    *,
+    window: Any = "hann",
+    max_ratio: float = 2.0,
+    min_ratio: Optional[float] = None,
+    n_filters: int = 7,
+    zero_mean: bool = False,
+    clip: bool = True,
+    **kwargs: Any,
+) -> jnp.ndarray:
+    """Multi-angle diagonal smoothing of a recurrence matrix.
+
+    Parity: segment.py:1167 — max over rotated diagonal-filter convolutions.
+    Convolutions run on device (one conv per filter angle, XLA-fused max).
+    """
+    import jax
+
+    if min_ratio is None:
+        min_ratio = 1.0 / max_ratio
+    elif min_ratio > max_ratio:
+        raise ParameterError(
+            f"min_ratio={min_ratio} cannot exceed max_ratio={max_ratio}"
+        )
+
+    R = jnp.asarray(R, dtype=jnp.float32)
+    lead = R.shape[:-2]
+    Rb = R.reshape((-1, 1) + R.shape[-2:])  # NCHW
+
+    R_smooth = None
+    for ratio in np.logspace(
+        np.log2(min_ratio), np.log2(max_ratio), num=n_filters, base=2
+    ):
+        kernel = diagonal_filter(window, n, slope=ratio, zero_mean=zero_mean)
+        kh, kw = kernel.shape
+        # scipy.ndimage.convolve: true convolution with 'reflect' boundary
+        kflip = jnp.asarray(kernel[::-1, ::-1], dtype=jnp.float32)[None, None]
+        pad_h = ((kh - 1) // 2, kh // 2)
+        pad_w = ((kw - 1) // 2, kw // 2)
+        Rp = jnp.pad(
+            Rb, ((0, 0), (0, 0), pad_h, pad_w), mode="symmetric"
+        )
+        conv = jax.lax.conv_general_dilated(
+            Rp, kflip, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        R_smooth = conv if R_smooth is None else jnp.maximum(R_smooth, conv)
+
+    out = R_smooth.reshape(lead + R.shape[-2:]) if lead else R_smooth[0, 0]
+    if clip:
+        out = jnp.clip(out, 0, None)
+    return out
