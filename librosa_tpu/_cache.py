@@ -1,0 +1,60 @@
+"""Opt-in on-disk caching, joblib-backed.
+
+Parity: reference ``librosa/_cache.py`` — the decorator only applies when
+``LIBROSA_CACHE_DIR`` is set and the function's level is at or below
+``LIBROSA_CACHE_LEVEL``.  In this framework most hot results are already
+cached by jit compilation and the host-side lru caches; this layer exists
+for expensive host computations (filterbanks, interval tables) and API
+compatibility.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+__all__ = ["cache", "CacheManager"]
+
+
+class CacheManager:
+    """Wraps joblib.Memory with a level filter. Parity: _cache.py:24."""
+
+    def __init__(self, *args: Any, **kwargs: Any) -> None:
+        level = kwargs.pop("level", 10)
+        from joblib import Memory
+
+        self.memory = Memory(*args, **kwargs)
+        self.level = level
+
+    def __call__(self, level: int) -> Callable:
+        def wrapper(function: Callable) -> Callable:
+            if self.memory.location is not None and self.level >= level:
+                return self.memory.cache(function)
+            return function
+
+        return wrapper
+
+    def clear(self, *args: Any, **kwargs: Any) -> None:
+        self.memory.clear(*args, **kwargs)
+
+    def eval(self, *args: Any, **kwargs: Any):
+        return self.memory.eval(*args, **kwargs)
+
+    def format(self, *args: Any, **kwargs: Any):
+        return self.memory.format(*args, **kwargs)
+
+    def reduce_size(self, *args: Any, **kwargs: Any) -> None:
+        self.memory.reduce_size(*args, **kwargs)
+
+    def warn(self, *args: Any, **kwargs: Any) -> None:
+        self.memory.warn(*args, **kwargs)
+
+
+# Environment-configured instance (parity: _cache.py:85-91)
+cache = CacheManager(
+    os.environ.get("LIBROSA_CACHE_DIR", None),
+    mmap_mode=os.environ.get("LIBROSA_CACHE_MMAP", None),
+    compress=os.environ.get("LIBROSA_CACHE_COMPRESS", False),
+    verbose=int(os.environ.get("LIBROSA_CACHE_VERBOSE", 0)),
+    level=int(os.environ.get("LIBROSA_CACHE_LEVEL", 10)),
+)

@@ -1,0 +1,345 @@
+"""Extended spectral transforms: reassignment, Mellin transform, IIRT (L2).
+
+Parity citations refer to ``librosa/core/spectrum.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import filters
+from ..util import utils as util
+from ..util.exceptions import ParameterError
+from . import convert
+from .audio import resample
+from .spectrum import stft
+
+__all__ = ["reassigned_spectrogram", "fmt", "iirt"]
+
+
+def _reassign_frequencies(
+    y, sr, S, n_fft, hop_length, win_length, window, center, dtype, pad_mode
+):
+    """Instantaneous frequencies via S_dh/S_h. Parity: spectrum.py:646."""
+    if win_length is None:
+        win_length = n_fft
+
+    win = filters.get_window(window, win_length, fftbins=True)
+    win = np.asarray(util.pad_center(win, size=n_fft))
+
+    if S is None:
+        S_h = stft(
+            y, n_fft=n_fft, hop_length=hop_length, window=win, center=center,
+            dtype=dtype, pad_mode=pad_mode,
+        )
+    else:
+        S_h = jnp.asarray(S)
+
+    window_derivative = np.asarray(util.cyclic_gradient(win))
+    S_dh = stft(
+        y, n_fft=n_fft, hop_length=hop_length, window=window_derivative,
+        center=center, dtype=dtype, pad_mode=pad_mode,
+    )
+
+    correction = -jnp.imag(S_dh / S_h)
+    freqs = convert.fft_frequencies(sr=sr, n_fft=n_fft)
+    freqs = util.expand_to(
+        jnp.asarray(freqs), ndim=correction.ndim, axes=-2
+    ) + correction * (0.5 * sr / np.pi)
+    return freqs, S_h
+
+
+def _reassign_times(
+    y, sr, S, n_fft, hop_length, win_length, window, center, dtype, pad_mode
+):
+    """Reassigned times via S_th/S_h. Parity: spectrum.py:809."""
+    if win_length is None:
+        win_length = n_fft
+
+    win = filters.get_window(window, win_length, fftbins=True)
+    win = np.asarray(util.pad_center(win, size=n_fft))
+
+    if hop_length is None:
+        hop_length = int(win_length // 4)
+
+    if S is None:
+        S_h = stft(
+            y, n_fft=n_fft, hop_length=hop_length, window=win, center=center,
+            dtype=dtype, pad_mode=pad_mode,
+        )
+    else:
+        S_h = jnp.asarray(S)
+
+    half_width = n_fft // 2
+    if n_fft % 2:
+        window_times = np.arange(-half_width, half_width + 1)
+    else:
+        window_times = np.arange(0.5 - half_width, half_width)
+    window_time_weighted = win * window_times
+
+    S_th = stft(
+        y, n_fft=n_fft, hop_length=hop_length, window=window_time_weighted,
+        center=center, dtype=dtype, pad_mode=pad_mode,
+    )
+
+    correction = jnp.real(S_th / S_h)
+    pad_length = None if center else n_fft
+    times = convert.frames_to_time(
+        np.arange(S_h.shape[-1]), sr=sr, hop_length=hop_length, n_fft=pad_length
+    )
+    times = util.expand_to(
+        jnp.asarray(times), ndim=correction.ndim, axes=-1
+    ) + correction / sr
+    return times, S_h
+
+
+def reassigned_spectrogram(
+    y: Any,
+    *,
+    sr: float = 22050,
+    S: Optional[Any] = None,
+    n_fft: int = 2048,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    window: Any = "hann",
+    center: bool = True,
+    reassign_frequencies: bool = True,
+    reassign_times: bool = True,
+    ref_power: Union[float, Callable] = 1e-6,
+    fill_nan: bool = False,
+    clip: bool = True,
+    dtype: Any = None,
+    pad_mode: str = "constant",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Time-frequency reassigned spectrogram. Parity: spectrum.py:990."""
+    if not callable(ref_power) and ref_power < 0:
+        raise ParameterError("ref_power must be non-negative or callable.")
+    if not reassign_frequencies and not reassign_times:
+        raise ParameterError(
+            "reassign_frequencies or reassign_times must be True."
+        )
+
+    y = jnp.asarray(y)
+    if win_length is None:
+        win_length = n_fft
+    if hop_length is None:
+        hop_length = int(win_length // 4)
+
+    freqs = times = None
+    if reassign_frequencies:
+        freqs, S = _reassign_frequencies(
+            y, sr, S, n_fft, hop_length, win_length, window, center, dtype,
+            pad_mode,
+        )
+    if reassign_times:
+        times, S = _reassign_times(
+            y, sr, S, n_fft, hop_length, win_length, window, center, dtype,
+            pad_mode,
+        )
+
+    S = jnp.asarray(S)
+    mags = jnp.abs(S)
+
+    pad_length = None if center else n_fft
+    bin_freqs = convert.fft_frequencies(sr=sr, n_fft=n_fft)
+    frame_times = convert.frames_to_time(
+        frames=np.arange(S.shape[-1]), sr=sr, hop_length=hop_length,
+        n_fft=pad_length,
+    )
+
+    if callable(ref_power):
+        ref_p = float(ref_power(np.asarray(mags) ** 2))
+    else:
+        ref_p = ref_power
+    mags_low = (mags < ref_p**0.5) & ~jnp.isnan(mags)
+
+    if reassign_frequencies:
+        if ref_p > 0:
+            freqs = jnp.where(mags_low, jnp.nan, freqs)
+        if fill_nan:
+            freqs = jnp.where(
+                jnp.isnan(freqs),
+                util.expand_to(jnp.asarray(bin_freqs), ndim=freqs.ndim, axes=-2),
+                freqs,
+            )
+        if clip:
+            freqs = jnp.clip(freqs, 0, sr / 2.0)
+    else:
+        freqs = jnp.broadcast_to(
+            util.expand_to(jnp.asarray(bin_freqs), ndim=S.ndim, axes=-2), S.shape
+        )
+
+    if reassign_times:
+        if ref_p > 0:
+            times = jnp.where(mags_low, jnp.nan, times)
+        if fill_nan:
+            times = jnp.where(
+                jnp.isnan(times),
+                util.expand_to(
+                    jnp.asarray(frame_times), ndim=times.ndim, axes=-1
+                ),
+                times,
+            )
+        if clip:
+            times = jnp.clip(times, 0, y.shape[-1] / float(sr))
+    else:
+        times = jnp.broadcast_to(
+            util.expand_to(jnp.asarray(frame_times), ndim=S.ndim, axes=-1),
+            S.shape,
+        )
+
+    return freqs, times, mags
+
+
+def fmt(
+    y: Any,
+    *,
+    t_min: float = 0.5,
+    n_fmt: Optional[int] = None,
+    kind: str = "cubic",
+    beta: float = 0.5,
+    over_sample: float = 1,
+    axis: int = -1,
+) -> jax.Array:
+    """Fast Mellin transform: exponential resample + window + rFFT.
+
+    Parity: spectrum.py:2156.
+    """
+    import scipy.interpolate
+
+    y = np.asarray(y)
+    n = y.shape[axis]
+    if n < 3:
+        raise ParameterError(f"y.shape[{axis}]=={n} < 3")
+    if t_min <= 0:
+        raise ParameterError(f"t_min={t_min} must be a positive number")
+
+    if n_fmt is None:
+        if over_sample < 1:
+            raise ParameterError(f"over_sample={over_sample} must be >= 1")
+        log_base = np.log(n - 1) - np.log(n - 2)
+        n_fmt = int(
+            np.ceil(over_sample * (np.log(n - 1) - np.log(t_min)) / log_base)
+        )
+    elif n_fmt < 3:
+        raise ParameterError(f"n_fmt=={n_fmt} < 3")
+    else:
+        log_base = (np.log(n_fmt - 1) - np.log(n_fmt - 2)) / over_sample
+
+    if not np.all(np.isfinite(y)):
+        raise ParameterError("y must be finite everywhere")
+
+    base = np.exp(log_base)
+    x = np.linspace(0, 1, num=n, endpoint=False)
+    f_interp = scipy.interpolate.interp1d(x, y, kind=kind, axis=axis)
+
+    n_over = int(np.ceil(over_sample))
+    x_exp = np.logspace(
+        (np.log(t_min) - np.log(n)) / log_base, 0, num=n_fmt + n_over,
+        endpoint=False, base=base,
+    )[:-n_over]
+
+    if x_exp[0] < t_min or x_exp[-1] > float(n - 1.0) / n:
+        x_exp = np.clip(x_exp, float(t_min) / n, x[-1])
+
+    if len(np.unique(x_exp)) != len(x_exp):
+        raise ParameterError("Redundant sample positions in Mellin transform")
+
+    y_res = f_interp(x_exp)
+
+    shape = [1] * y_res.ndim
+    shape[axis] = -1
+    weighted = y_res * ((x_exp**beta).reshape(shape) * np.sqrt(n) / n_fmt)
+    return jnp.fft.rfft(jnp.asarray(weighted), axis=axis)
+
+
+def iirt(
+    y: Any,
+    *,
+    sr: float = 22050,
+    win_length: int = 2048,
+    hop_length: Optional[int] = None,
+    center: bool = True,
+    tuning: float = 0.0,
+    pad_mode: str = "constant",
+    flayout: str = "sos",
+    res_type: str = "soxr_hq",
+    **kwargs: Any,
+) -> jax.Array:
+    """Time-frequency representation via a multirate IIR semitone filterbank.
+
+    Parity: spectrum.py:1522 — per-band filtfilt at three sample rates,
+    floating-hop energy framing.  IIR filtering runs host-side (scipy
+    zero-phase filtfilt); the per-band energy framing is device work.
+    """
+    import scipy.signal
+
+    if flayout not in ("ba", "sos"):
+        raise ParameterError(f"Unsupported flayout={flayout}")
+
+    y = np.asarray(y)
+    if not np.issubdtype(y.dtype, np.floating):
+        raise ParameterError("Audio data must be floating-point")
+
+    if hop_length is None:
+        hop_length = win_length // 4
+
+    if center:
+        padding = [(0, 0) for _ in y.shape]
+        padding[-1] = (win_length // 2, win_length // 2)
+        y = np.pad(y, padding, mode=pad_mode)
+
+    filterbank_ct, sample_rates = filters.semitone_filterbank(
+        tuning=tuning, flayout=flayout, **kwargs
+    )
+
+    y_srs = np.unique(sample_rates)
+    y_resampled = [
+        np.asarray(resample(y, orig_sr=sr, target_sr=cur_sr, res_type=res_type))
+        for cur_sr in y_srs
+    ]
+
+    n_frames = int(1 + (y.shape[-1] - win_length) // hop_length)
+
+    shape = list(y.shape)
+    shape[-1] = n_frames
+    shape.insert(-1, len(filterbank_ct))
+    bands_power = np.empty(shape, dtype=y.dtype)
+
+    slices: list = [slice(None) for _ in bands_power.shape]
+    for i, (cur_sr, cur_filter) in enumerate(zip(sample_rates, filterbank_ct)):
+        slices[-2] = i
+        cur_sr_idx = int(np.flatnonzero(y_srs == cur_sr)[0])
+
+        if flayout == "ba":
+            cur_out = scipy.signal.filtfilt(
+                cur_filter[0], cur_filter[1], y_resampled[cur_sr_idx], axis=-1
+            )
+        else:
+            cur_out = scipy.signal.sosfiltfilt(
+                cur_filter, y_resampled[cur_sr_idx], axis=-1
+            )
+
+        factor = sr / cur_sr
+        hop_stmsp = hop_length / factor
+        win_stmsp = round(win_length / factor)
+
+        start_idx = np.arange(0, cur_out.shape[-1] - win_stmsp, hop_stmsp)
+        if len(start_idx) < n_frames:
+            min_length = int(np.ceil(n_frames * hop_stmsp)) + win_stmsp
+            cur_out = np.asarray(
+                util.fix_length(jnp.asarray(cur_out), size=min_length)
+            )
+            start_idx = np.arange(0, cur_out.shape[-1] - win_stmsp, hop_stmsp)
+        start_idx = np.round(start_idx).astype(int)[:n_frames]
+
+        idx = np.add.outer(start_idx, np.arange(win_stmsp))
+        bands_power[tuple(slices)] = factor * np.sum(
+            cur_out[..., idx] ** 2, axis=-1
+        )
+
+    return jnp.asarray(bands_power)

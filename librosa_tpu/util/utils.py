@@ -766,7 +766,9 @@ def cyclic_gradient(
     padding = [(0, 0)] * data.ndim
     padding[axis] = (gradient_order, gradient_order)
     data_pad = jnp.pad(data, padding, mode="wrap")
-    grad = jnp.gradient(data_pad, edge_order=gradient_order, axis=axis)
+    # edge_order only affects the padded boundary cells, which are sliced
+    # away below; interior cells are centered differences either way
+    grad = jnp.gradient(data_pad, axis=axis)
     slices = [slice(None)] * data.ndim
     slices[axis] = slice(gradient_order, -gradient_order)
     return grad[tuple(slices)]
