@@ -25,6 +25,7 @@ from .core.pitch import (  # noqa: F401
 )
 
 from .util.exceptions import LibrosaError, ParameterError  # noqa: F401
+from ._cache import cache  # noqa: F401
 from .version import version as __version__, show_versions  # noqa: F401
 
 # Subpackage namespaces

@@ -36,7 +36,10 @@ __all__ = [
     "SvaraFormatter",
     "TonnetzFormatter",
     "FJSFormatter",
+    "ChromaFJSFormatter",
     "AdaptiveWaveplot",
+    "Transformf0",
+    "infer_cmap",
 ]
 
 
@@ -243,6 +246,47 @@ class ChromaSvaraFormatter(Formatter):
         return self.names[int(x - self.Sa_idx) % 12]
 
 
+class ChromaFJSFormatter(Formatter):
+    """Chroma ticks in functional-just-system notation. Parity: display.py:758."""
+
+    def __init__(
+        self, *, intervals: Any, unison: str = "C", unicode: bool = True,
+        bins_per_octave: Optional[int] = None,
+    ):
+        from .core.intervals import interval_frequencies
+
+        self.unison = unison
+        self.unicode = unicode
+        self.intervals = intervals
+        try:
+            if not isinstance(intervals, str):
+                bins_per_octave = len(intervals)
+            if not isinstance(bins_per_octave, int):
+                raise ParameterError(
+                    f"bins_per_octave={bins_per_octave} must be integer-valued"
+                )
+            self.bins_per_octave = bins_per_octave
+            self.intervals_ = interval_frequencies(
+                self.bins_per_octave, fmin=1, intervals=intervals,
+                bins_per_octave=self.bins_per_octave,
+            )
+        except TypeError as exc:
+            raise ParameterError(
+                f"intervals={intervals} must be of type str or a collection "
+                "of numbers between 1 and 2"
+            ) from exc
+
+    def __call__(self, x: float, pos: Optional[int] = None) -> str:
+        from .core.notation import interval_to_fjs
+
+        return str(
+            interval_to_fjs(
+                self.intervals_[int(x) % self.bins_per_octave],
+                unison=self.unison, unicode=self.unicode,
+            )
+        )
+
+
 class TonnetzFormatter(Formatter):
     """Tonnetz dimension ticks. Parity: display.py:840."""
 
@@ -295,29 +339,121 @@ class AdaptiveWaveplot:
         )
 
 
+def _make_transformf0():
+    """Build the Transformf0 class lazily (needs matplotlib.transforms)."""
+    import matplotlib.transforms as mtransforms
+
+    class Transformf0(mtransforms.Transform):
+        """f0-displacement transform for pitch-relative waveform display.
+
+        Maps (time, value) pairs so that waveform samples ride the f0
+        contour: forward maps a pitch-relative offset to absolute Hz via
+        ``2**(v / norm / bins_per_octave) * f0(t)``; inverse maps back to
+        pitch-relative log2 offsets.  Unvoiced (NaN) frames pass NaN
+        through, hiding those samples.
+
+        Parity: display.py:1145 (Transformf0).
+        """
+
+        input_dims = 2
+        output_dims = 2
+        is_separable = False
+
+        def __init__(
+            self, f0, *, sr: float = 22050, hop_length: int = 512,
+            bins_per_octave: int = 12, norm: float = 1, offset: float = 0,
+            transpose: bool = False, is_inverted: bool = False,
+        ):
+            super().__init__(shorthand_name="Transformf0")
+            f0 = np.asarray(f0, dtype=float)
+            if not np.any(np.isfinite(f0)) or np.nanmin(f0) <= 0:
+                raise ParameterError(
+                    "f0 must be strictly positive (or NaN) and contain at "
+                    "least one finite value"
+                )
+
+            import scipy.interpolate
+
+            times = offset + convert.times_like(
+                f0, sr=sr, hop_length=hop_length
+            )
+            self.f0_interp = scipy.interpolate.interp1d(
+                np.asarray(times), f0, kind="previous", copy=False,
+                bounds_error=False, assume_sorted=True,
+            )
+            self.norm = norm
+            self.bins_per_octave = bins_per_octave
+            self.f0 = f0
+            self.sr = sr
+            self.hop_length = hop_length
+            self.offset = offset
+            self.transpose = transpose
+            self.is_inverted = is_inverted
+
+        def transform_non_affine(self, values):
+            values = np.asarray(values)
+            idx = (1, 0) if self.transpose else (0, 1)
+            times = values[:, idx[0]]
+            samples = values[:, idx[1]]
+            output = np.empty_like(values)
+            output[:, idx[0]] = times
+            if self.is_inverted:
+                output[:, idx[1]] = (
+                    (np.log2(samples) - np.log2(self.f0_interp(times)))
+                    * self.norm * self.bins_per_octave
+                )
+            else:
+                output[:, idx[1]] = 2.0 ** (
+                    samples / self.norm / self.bins_per_octave
+                ) * self.f0_interp(times)
+            return output
+
+        def inverted(self):
+            return Transformf0(
+                f0=self.f0, sr=self.sr, hop_length=self.hop_length,
+                bins_per_octave=self.bins_per_octave, norm=self.norm,
+                offset=self.offset, transpose=self.transpose,
+                is_inverted=not self.is_inverted,
+            )
+
+    return Transformf0
+
+
+Transformf0 = _make_transformf0()
+
+
 # ---------------------------------------------------------------------------
 # Colormap inference (reference display.py:1291)
 # ---------------------------------------------------------------------------
 
 
-def cmap(
+def infer_cmap(
     data: Any,
     *,
     robust: bool = True,
-    cmap_seq: str = "magma",
-    cmap_bool: str = "gray_r",
-    cmap_div: str = "coolwarm",
+    cmap_seq: Any = "magma",
+    cmap_bool: Any = "gray_r",
+    cmap_div: Any = "coolwarm",
+    div_thresh: float = 0.0,
 ) -> Any:
     """Data-driven colormap choice (sequential/diverging/boolean).
 
-    Parity: display.py:1291 (infer_cmap semantics).
+    Boolean data gets ``cmap_bool``; data straddling ``div_thresh`` gets
+    ``cmap_div``; everything else gets ``cmap_seq``.  With ``robust``, the
+    top and bottom 2% of values are discarded before the straddle test.
+
+    Parity: display.py:1291 (infer_cmap).
     """
     import matplotlib as mpl
+    from matplotlib import colors
 
     data = np.atleast_1d(np.asarray(data))
 
-    if data.dtype == bool:
-        return mpl.colormaps[cmap_bool]
+    def _resolve(c):
+        return c if isinstance(c, colors.Colormap) else mpl.colormaps[c]
+
+    if data.dtype.kind == "b":
+        return _resolve(cmap_bool)
 
     data = data[np.isfinite(data)]
     if robust:
@@ -330,9 +466,13 @@ def cmap(
     else:
         min_val = max_val = 0.0
 
-    if min_val >= 0 or max_val <= 0:
-        return mpl.colormaps[cmap_seq]
-    return mpl.colormaps[cmap_div]
+    if min_val >= div_thresh or max_val <= div_thresh:
+        return _resolve(cmap_seq)
+    return _resolve(cmap_div)
+
+
+# Deprecation rename (reference display.py:1366): cmap -> infer_cmap.
+cmap = infer_cmap
 
 
 # ---------------------------------------------------------------------------

@@ -62,3 +62,34 @@ def vectorize(*, otypes: Any = None, excluded: Any = None, signature: Any = None
         return functools.wraps(function)(vecfunc)  # type: ignore[return-value]
 
     return __wrapper
+
+
+def future_default(
+    *, param_name: str, old_default: Any, new_default: Any, version: str
+):
+    """Warn when a caller relies on a default value scheduled to change.
+
+    Parity: util/decorators.py:160 (future_default).
+    """
+    import inspect
+
+    def decorator(func):
+        sig = inspect.signature(func)
+
+        @functools.wraps(func)
+        def __wrapper(*args, **kwargs):
+            bound = sig.bind(*args, **kwargs)
+            if param_name not in bound.arguments:
+                warnings.warn(
+                    f"The default value of '{param_name}' will change from "
+                    f"{old_default!r} to {new_default!r} in version {version}. "
+                    f"To suppress this warning, explicitly pass "
+                    f"'{param_name}={old_default!r}'.",
+                    FutureWarning,
+                    stacklevel=2,
+                )
+            return func(*args, **kwargs)
+
+        return __wrapper
+
+    return decorator

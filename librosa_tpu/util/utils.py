@@ -51,6 +51,7 @@ __all__ = [
     "is_unique",
     "abs2",
     "phasor",
+    "interp_broadcast",
 ]
 
 # Kept for API parity with the reference (util/utils.py:41); XLA/Pallas tiling
@@ -902,3 +903,65 @@ def buf_to_float(
     scale = 1.0 / float(1 << ((8 * n_bytes) - 1))
     fmt = f"<i{n_bytes:d}"
     return scale * np.frombuffer(x, fmt).astype(dtype)
+
+
+def interp_broadcast(
+    *,
+    x1: np.ndarray,
+    x1_pos: np.ndarray,
+    x2: np.ndarray,
+    x2_pos: np.ndarray,
+    interp_pos: Optional[np.ndarray] = None,
+    op: Optional[Any] = np.multiply,
+    kind: str = "linear",
+    fill_value: float = 0,
+    axis: int = -2,
+):
+    """Interpolate two arrays onto a common grid and combine them.
+
+    Resamples ``x1`` (sampled at ``x1_pos``) and ``x2`` (sampled at
+    ``x2_pos``) along ``axis`` onto ``interp_pos`` (default: ``x1_pos``)
+    and applies ``op`` (default multiply); with ``op=None`` the two
+    interpolated arrays are returned separately.  Used by the metrogram /
+    hybrid tempogram to align autocorrelation and Fourier tempograms.
+
+    Parity: util/utils.py:2739 (interp_broadcast).
+    """
+    from .exceptions import ParameterError
+
+    x1 = np.asarray(x1)
+    x2 = np.asarray(x2)
+    if interp_pos is None:
+        interp_pos = x1_pos
+
+    min_ndim = min(x1.ndim, x2.ndim)
+    if axis < -min_ndim or axis >= min_ndim:
+        raise ParameterError(
+            f"axis={axis} is out of range for minimum ndim={min_ndim}"
+        )
+
+    import scipy.interpolate
+
+    def _resample(x, pos):
+        f = scipy.interpolate.interp1d(
+            pos, x, axis=axis, kind=kind, copy=False,
+            bounds_error=False, fill_value=fill_value,
+        )
+        return f(interp_pos)
+
+    y1 = _resample(x1, x1_pos)
+    y2 = _resample(x2, x2_pos)
+
+    if op is None:
+        return y1, y2
+
+    try:
+        np.broadcast_shapes(y1.shape, y2.shape)
+    except ValueError as exc:
+        raise ParameterError(
+            f"Interpolating x1.shape={x1.shape} and x2.shape={x2.shape} along "
+            f"axis={axis} gives y1.shape={y1.shape} and y2.shape={y2.shape}, "
+            "which are not broadcast compatible."
+        ) from exc
+
+    return op(y1, y2)

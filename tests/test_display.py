@@ -130,3 +130,30 @@ def test_cmap_inference(rng):
     assert seq.name == "magma"
     assert div.name == "coolwarm"
     assert b.name == "gray_r"
+
+
+def test_infer_cmap_div_thresh(rng):
+    data = np.abs(rng.randn(500)) + 1.0
+    assert display.infer_cmap(data).name == "magma"
+    # raising the threshold into the data range flips to diverging
+    assert display.infer_cmap(data, div_thresh=float(np.median(data))).name == "coolwarm"
+
+
+def test_chroma_fjs_formatter():
+    f = display.ChromaFJSFormatter(intervals="ji5", bins_per_octave=12)
+    assert f(0) == "C"
+    assert f(12) == f(0)
+    with pytest.raises(lt.ParameterError):
+        display.ChromaFJSFormatter(intervals="ji5", bins_per_octave=None)
+
+
+def test_transformf0_roundtrip():
+    f0 = np.array([110.0, 220.0, np.nan, 110.0])
+    t = display.Transformf0(f0)
+    vals = np.array([[0.0, 0.0], [0.023, 12.0]])
+    fwd = t.transform_non_affine(vals)
+    assert np.allclose(fwd[:, 1], [110.0, 220.0])
+    back = t.inverted().transform_non_affine(fwd)
+    assert np.allclose(back, vals)
+    with pytest.raises(lt.ParameterError):
+        display.Transformf0(np.array([np.nan, np.nan]))

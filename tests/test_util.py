@@ -235,3 +235,37 @@ def test_nnls():
     x = np.asarray(lt.util.nnls(A, B))
     assert x.min() >= 0
     assert np.linalg.norm(A @ x - B) / np.linalg.norm(B) < 1e-3
+
+
+def test_interp_broadcast():
+    x1 = np.array([1.0, 1.0, 1.0])
+    x1_pos = np.array([0.0, 0.5, 1.0])
+    x2 = np.array([5.0, 10.0])
+    x2_pos = np.array([0.0, 1.0])
+    out = lt.util.interp_broadcast(
+        x1=x1, x1_pos=x1_pos, x2=x2, x2_pos=x2_pos, axis=0
+    )
+    assert np.allclose(out, [5.0, 7.5, 10.0])
+    y1, y2 = lt.util.interp_broadcast(
+        x1=x1, x1_pos=x1_pos, x2=x2, x2_pos=x2_pos, axis=0, op=None
+    )
+    assert np.allclose(y1, 1.0) and np.allclose(y2, [5.0, 7.5, 10.0])
+    with pytest.raises(lt.ParameterError):
+        lt.util.interp_broadcast(
+            x1=x1, x1_pos=x1_pos, x2=x2, x2_pos=x2_pos, axis=3
+        )
+
+
+def test_future_default_warns():
+    from librosa_tpu.util.decorators import future_default
+
+    @future_default(param_name="x", old_default=1, new_default=2, version="9.9")
+    def g(x=1):
+        return x
+
+    with pytest.warns(FutureWarning):
+        assert g() == 1
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert g(x=5) == 5
