@@ -26,6 +26,24 @@ from .core.pitch import (  # noqa: F401
 
 from .util.exceptions import LibrosaError, ParameterError  # noqa: F401
 from ._cache import cache  # noqa: F401
+
+# The axon TPU tunnel cannot host-transfer complex buffers (and a failed
+# attempt poisons the runtime); fetch complex results as real/imag pairs.
+from . import _axon_compat as _axc
+
+
+def _maybe_install_axon_compat() -> None:
+    try:
+        import jax
+
+        platforms = str(getattr(jax.config, "jax_platforms", "") or "")
+        if "axon" in platforms:
+            _axc.install()
+    except Exception:
+        pass
+
+
+_maybe_install_axon_compat()
 from .version import version as __version__, show_versions  # noqa: F401
 
 # Subpackage namespaces

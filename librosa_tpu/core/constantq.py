@@ -654,10 +654,23 @@ def griffinlim_cqt(
     length: Optional[int] = None,
     momentum: float = 0.99,
     init: Optional[str] = "random",
+    rng: Optional[Any] = None,
     random_state: Optional[Any] = None,
 ) -> jax.Array:
     """Griffin-Lim phase recovery for CQT magnitudes. Parity: constantq.py:1285."""
     import warnings
+
+    if random_state is not None:
+        if rng is not None:
+            raise ParameterError(
+                f"Both random_state={random_state!r} and rng={rng!r} were "
+                "provided. Please use only the rng parameter."
+            )
+        warnings.warn(
+            "random_state is deprecated; use rng instead",
+            FutureWarning, stacklevel=2,
+        )
+        rng = random_state
 
     if momentum > 1:
         warnings.warn(
@@ -669,12 +682,14 @@ def griffinlim_cqt(
 
     C = jnp.asarray(C)
 
-    if random_state is None:
+    if rng is None:
         seed = 0
-    elif isinstance(random_state, int):
-        seed = random_state
+    elif isinstance(rng, (int, np.integer)):
+        seed = int(rng)
+    elif isinstance(rng, np.random.RandomState):
+        seed = int(rng.randint(2**31))
     else:
-        seed = int(np.asarray(random_state.randint(2**31)))
+        seed = int(np.random.default_rng(rng).integers(2**31))
 
     ang_dtype = util.dtype_r2c(C.dtype)
     if init == "random":
@@ -683,12 +698,20 @@ def griffinlim_cqt(
             2 * np.pi * jax.random.uniform(key, C.shape, dtype=jnp.float32)
         ).astype(ang_dtype)
     elif init is None:
-        angles = jnp.ones(C.shape, dtype=ang_dtype)
+        # Build complex constants via lax.complex of real zeros/ones: the
+        # axon backend cannot upload complex host constants (see _axon_compat).
+        rdt = np.zeros((), dtype=np.dtype(ang_dtype)).real.dtype
+        angles = jax.lax.complex(
+            jnp.ones(C.shape, dtype=rdt), jnp.zeros(C.shape, dtype=rdt)
+        )
     else:
         raise ParameterError(f"init={init} must either None or 'random'")
 
-    eps = util.tiny(jnp.zeros((), dtype=ang_dtype))
-    rebuilt = jnp.zeros_like(angles)
+    eps = util.tiny(np.zeros((), dtype=np.dtype(ang_dtype)))
+    rdt_r = np.zeros((), dtype=np.dtype(ang_dtype)).real.dtype
+    rebuilt = jax.lax.complex(
+        jnp.zeros(C.shape, dtype=rdt_r), jnp.zeros(C.shape, dtype=rdt_r)
+    )
 
     for _ in range(n_iter):
         tprev = rebuilt

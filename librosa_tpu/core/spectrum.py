@@ -424,14 +424,34 @@ def phase_vocoder(
 # ---------------------------------------------------------------------------
 
 
+def _db_axes(ndim: int, axes: Any) -> Any:
+    """Resolve the ``axes='auto'`` convention for dB reference/peak reduction.
+
+    Reference semantics (core/spectrum.py:1855-1861): scalar → None,
+    1-D → (-1,), ≥2-D → (-2, -1) so multichannel peaks are per-channel.
+    """
+    if axes == "auto":
+        if ndim >= 2:
+            return (-2, -1)
+        if ndim == 1:
+            return (-1,)
+        return None
+    return axes
+
+
 def power_to_db(
     S: Any,
     *,
     ref: Union[float, Callable] = 1.0,
     amin: float = 1e-10,
     top_db: Optional[float] = 80.0,
+    axes: Any = "auto",
 ) -> jax.Array:
-    """Convert a power spectrogram to dB. Parity: core/spectrum.py:1735."""
+    """Convert a power spectrogram to dB. Parity: core/spectrum.py:1735.
+
+    ``axes`` selects which trailing axes the callable ``ref`` and the
+    ``top_db`` peak reduce over (``'auto'`` → per-channel trailing 2 axes).
+    """
     S = jnp.asarray(S)
     if amin <= 0:
         raise ParameterError("amin must be strictly positive")
@@ -446,8 +466,17 @@ def power_to_db(
     else:
         magnitude = S
 
+    axes = _db_axes(magnitude.ndim, axes)
+
     if callable(ref):
-        ref_value = ref(magnitude)
+        try:
+            ref_value = ref(magnitude, axis=axes, keepdims=True)
+        except TypeError as e:
+            raise ParameterError(
+                "The provided reference function must support 'axis' and "
+                "'keepdims' arguments for proper multichannel processing."
+            ) from e
+        ref_value = jnp.asarray(ref_value)
     else:
         ref_value = jnp.abs(jnp.asarray(ref, dtype=magnitude.dtype))
 
@@ -457,7 +486,8 @@ def power_to_db(
     if top_db is not None:
         if top_db < 0:
             raise ParameterError("top_db must be non-negative")
-        log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - top_db)
+        peak = jnp.max(log_spec, axis=axes, keepdims=True)
+        log_spec = jnp.maximum(log_spec, peak - top_db)
     return log_spec
 
 
@@ -472,6 +502,7 @@ def amplitude_to_db(
     ref: Union[float, Callable] = 1.0,
     amin: float = 1e-5,
     top_db: Optional[float] = 80.0,
+    axes: Any = "auto",
 ) -> jax.Array:
     """Convert an amplitude spectrogram to dB. Parity: core/spectrum.py:1946."""
     S = jnp.asarray(S)
@@ -483,13 +514,20 @@ def amplitude_to_db(
             stacklevel=2,
         )
     magnitude = jnp.abs(S)
+    axes = _db_axes(magnitude.ndim, axes)
     if callable(ref):
-        ref_value = ref(magnitude)
+        try:
+            ref_value = jnp.asarray(ref(magnitude, axis=axes, keepdims=True))
+        except TypeError as e:
+            raise ParameterError(
+                "The provided reference function must support 'axis' and "
+                "'keepdims' arguments for proper multichannel processing."
+            ) from e
     else:
         ref_value = jnp.abs(jnp.asarray(ref))
     power = jnp.square(magnitude)
     db: jax.Array = power_to_db(
-        power, ref=ref_value**2, amin=amin**2, top_db=top_db
+        power, ref=ref_value**2, amin=amin**2, top_db=top_db, axes=axes
     )
     return db
 
@@ -672,12 +710,28 @@ def griffinlim(
     pad_mode: str = "constant",
     momentum: float = 0.99,
     init: Optional[str] = "random",
+    rng: Optional[Any] = None,
     random_state: Optional[Any] = None,
 ) -> jax.Array:
     """Griffin-Lim phase recovery with momentum (fast GL).
 
+    ``rng`` seeds the random phase init (int seed, numpy Generator /
+    RandomState, or None); ``random_state`` is the deprecated alias.
+
     Parity: core/spectrum.py:2669.
     """
+    if random_state is not None:
+        if rng is not None:
+            raise ParameterError(
+                f"Both random_state={random_state!r} and rng={rng!r} were "
+                "provided. Please use only the rng parameter."
+            )
+        warnings.warn(
+            "random_state is deprecated; use rng instead",
+            FutureWarning, stacklevel=2,
+        )
+        rng = random_state
+
     if momentum > 1:
         warnings.warn(
             f"Griffin-Lim with momentum={momentum} > 1 can be unstable. "
@@ -695,12 +749,14 @@ def griffinlim(
     if hop_length is None:
         hop_length = int(win_length // 4)
 
-    if random_state is None:
+    if rng is None:
         seed = 0
-    elif isinstance(random_state, int):
-        seed = random_state
+    elif isinstance(rng, (int, np.integer)):
+        seed = int(rng)
+    elif isinstance(rng, np.random.RandomState):
+        seed = int(rng.randint(2**31))
     else:
-        seed = int(np.asarray(random_state.randint(2**31)))
+        seed = int(np.random.default_rng(rng).integers(2**31))
 
     ang_dtype = util.dtype_r2c(S.dtype)
     if init == "random":
@@ -709,12 +765,20 @@ def griffinlim(
             2 * np.pi * jax.random.uniform(key, S.shape, dtype=jnp.float32)
         ).astype(ang_dtype)
     elif init is None:
-        angles = jnp.ones(S.shape, dtype=ang_dtype)
+        # Build complex constants via lax.complex of real zeros/ones: the
+        # axon backend cannot upload complex host constants (see _axon_compat).
+        rdt = np.zeros((), dtype=np.dtype(ang_dtype)).real.dtype
+        angles = jax.lax.complex(
+            jnp.ones(S.shape, dtype=rdt), jnp.zeros(S.shape, dtype=rdt)
+        )
     else:
         raise ParameterError(f"init={init} must either None or 'random'")
 
-    eps = util.tiny(jnp.zeros((), dtype=ang_dtype))
-    rebuilt = jnp.zeros_like(angles)
+    eps = util.tiny(np.zeros((), dtype=np.dtype(ang_dtype)))
+    rdt_r = np.zeros((), dtype=np.dtype(ang_dtype)).real.dtype
+    rebuilt = jax.lax.complex(
+        jnp.zeros(S.shape, dtype=rdt_r), jnp.zeros(S.shape, dtype=rdt_r)
+    )
 
     for _ in range(n_iter):
         tprev = rebuilt

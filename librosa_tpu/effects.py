@@ -31,33 +31,60 @@ __all__ = [
 ]
 
 
+def _hpss_stft_pipeline(
+    y: Any,
+    *,
+    kernel_size: Any = 31,
+    power: float = 2.0,
+    mask: bool = False,
+    margin: Any = 1.0,
+    n_fft: int = 2048,
+    hop_length: Any = None,
+    win_length: Any = None,
+    window: Any = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> Tuple[jax.Array, jax.Array]:
+    """stft → decompose.hpss → istft with length matched to ``y``."""
+    y = jnp.asarray(y)
+    D = core.stft(
+        y, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window=window, center=center, pad_mode=pad_mode,
+    )
+    stft_harm, stft_perc = decompose.hpss(
+        D, kernel_size=kernel_size, power=power, mask=mask, margin=margin
+    )
+    istft_kw = dict(
+        dtype=y.dtype, n_fft=n_fft, hop_length=hop_length,
+        win_length=win_length, window=window, center=center,
+        length=y.shape[-1],
+    )
+    y_harm = core.istft(stft_harm, **istft_kw)
+    y_perc = core.istft(stft_perc, **istft_kw)
+    return y_harm, y_perc
+
+
 def hpss(y: Any, **kwargs: Any) -> Tuple[jax.Array, jax.Array]:
     """Decompose audio into harmonic and percussive components.
 
+    Accepts the median-filter/mask parameters of :func:`decompose.hpss`
+    (``kernel_size, power, mask, margin``) plus the STFT analysis
+    parameters (``n_fft, hop_length, win_length, window, center,
+    pad_mode``) that are threaded through the round trip.
+
     Parity: effects.py:70 — stft → decompose.hpss → istft.
     """
-    y = jnp.asarray(y)
-    stft = core.stft(y)
-    stft_harm, stft_perc = decompose.hpss(stft, **kwargs)
-    y_harm = core.istft(stft_harm, dtype=y.dtype, length=y.shape[-1])
-    y_perc = core.istft(stft_perc, dtype=y.dtype, length=y.shape[-1])
-    return y_harm, y_perc
+    return _hpss_stft_pipeline(y, **kwargs)
 
 
 def harmonic(y: Any, **kwargs: Any) -> jax.Array:
     """Extract harmonic elements. Parity: effects.py:198."""
-    y = jnp.asarray(y)
-    stft = core.stft(y)
-    stft_harm = decompose.hpss(stft, **kwargs)[0]
-    return core.istft(stft_harm, dtype=y.dtype, length=y.shape[-1])
+    return _hpss_stft_pipeline(y, **kwargs)[0]
 
 
 def percussive(y: Any, **kwargs: Any) -> jax.Array:
     """Extract percussive elements. Parity: effects.py:312."""
-    y = jnp.asarray(y)
-    stft = core.stft(y)
-    stft_perc = decompose.hpss(stft, **kwargs)[1]
-    return core.istft(stft_perc, dtype=y.dtype, length=y.shape[-1])
+    return _hpss_stft_pipeline(y, **kwargs)[1]
 
 
 def time_stretch(y: Any, *, rate: float, **kwargs: Any) -> jax.Array:

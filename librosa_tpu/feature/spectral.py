@@ -576,6 +576,7 @@ def chroma_vqt(
     intervals: Any = None,
     norm: Optional[float] = np.inf,
     threshold: float = 0.0,
+    n_octaves: int = 7,
     gamma: Optional[float] = None,
     bins_per_octave: int = 12,
 ) -> jax.Array:
@@ -597,7 +598,7 @@ def chroma_vqt(
                 fmin=fmin,
                 intervals=intervals,
                 gamma=gamma,
-                n_bins=int(np.ceil(bins_per_octave * np.log2((sr / 2) / fmin))),
+                n_bins=n_octaves * bins_per_octave,
                 bins_per_octave=bins_per_octave,
             )
         )

@@ -263,3 +263,16 @@ def test_mfcc_to_mel_shape(tone_440):
     M = np.asarray(lt.feature.mfcc_to_mel(mf, n_mels=128))
     assert M.shape == (128, mf.shape[-1])
     assert np.all(M >= 0)
+
+
+def test_effects_hpss_stft_params(tone_440):
+    # STFT parameters thread through the round trip (reference effects.py:70)
+    yh, yp = lt.effects.hpss(tone_440, n_fft=512, hop_length=128)
+    assert np.asarray(yh).shape == np.asarray(tone_440).shape
+    rec = np.asarray(yh) + np.asarray(yp)
+    # harmonic+percussive approximately reconstructs the input
+    err = np.max(np.abs(rec - np.asarray(tone_440)))
+    assert err < 0.15
+    # harmonic/percussive shortcuts accept the same params
+    h = lt.effects.harmonic(tone_440, n_fft=512, hop_length=128, margin=2.0)
+    assert np.asarray(h).shape == np.asarray(tone_440).shape

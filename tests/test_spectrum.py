@@ -139,3 +139,39 @@ def test_spectrogram_helper(tone_440):
     S2, n2 = lt.core.spectrum._spectrogram(S=S, power=2)
     assert n2 == 1024
     assert S2 is S
+
+
+def test_power_to_db_axes_per_channel(rng):
+    # multichannel: with axes='auto', callable ref and top_db peak are
+    # computed per channel (trailing 2 axes), matching the reference.
+    S = np.abs(rng.randn(2, 16, 20)).astype(np.float32)
+    S[1] *= 1000.0
+    out = np.asarray(lt.power_to_db(S, ref=np.max, top_db=80.0))
+    per = np.stack(
+        [np.asarray(lt.power_to_db(S[i], ref=np.max, top_db=80.0)) for i in range(2)]
+    )
+    assert np.allclose(out, per, atol=1e-5)
+    # axes=None reverts to a global reduction
+    glob = np.asarray(lt.power_to_db(S, ref=np.max, top_db=80.0, axes=None))
+    assert not np.allclose(out, glob)
+
+
+def test_amplitude_to_db_axes(rng):
+    S = np.abs(rng.randn(2, 16, 20)).astype(np.float32)
+    S[0] *= 100.0
+    out = np.asarray(lt.amplitude_to_db(S, ref=np.max))
+    per = np.stack(
+        [np.asarray(lt.amplitude_to_db(S[i], ref=np.max)) for i in range(2)]
+    )
+    assert np.allclose(out, per, atol=1e-4)
+
+
+def test_griffinlim_rng_and_deprecated_random_state(rng):
+    S = np.abs(rng.randn(33, 12)).astype(np.float32)
+    y1 = np.asarray(lt.griffinlim(S, n_iter=2, rng=7, n_fft=64))
+    y2 = np.asarray(lt.griffinlim(S, n_iter=2, rng=7, n_fft=64))
+    assert np.allclose(y1, y2)
+    with pytest.warns(FutureWarning):
+        lt.griffinlim(S, n_iter=1, random_state=1, n_fft=64)
+    with pytest.raises(lt.ParameterError):
+        lt.griffinlim(S, n_iter=1, rng=1, random_state=1, n_fft=64)
