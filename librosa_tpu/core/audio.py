@@ -79,15 +79,15 @@ def load(
 
 
 def loadx(
-    name: str,
+    key: str,
     *,
-    hq: bool = False,
+    hq: Optional[bool] = None,
     **kwargs: Any,
 ) -> Tuple[np.ndarray, Union[int, float]]:
-    """Load an example recording by name. Parity: core/audio.py:535 (loadx)."""
+    """Load an example recording by key. Parity: core/audio.py:535 (loadx)."""
     from ..util.files import example
 
-    return load(example(name, hq=hq), **kwargs)
+    return load(example(key, hq=bool(hq)), **kwargs)
 
 
 def stream(

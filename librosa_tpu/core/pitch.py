@@ -279,6 +279,7 @@ def pyin(
     fill_na: Optional[float] = np.nan,
     center: bool = True,
     pad_mode: str = "constant",
+    transition_min_prob: Optional[float] = 1e-4,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Probabilistic YIN (pYIN). Parity: core/pitch.py:631.
 
@@ -389,7 +390,12 @@ def pyin(
     p_init = np.zeros(2 * n_pitch_bins)
     p_init[n_pitch_bins:] = 1 / n_pitch_bins
 
-    states = viterbi(obs_full, jnp.asarray(transition), p_init=jnp.asarray(p_init))
+    states = viterbi(
+        obs_full,
+        jnp.asarray(transition),
+        p_init=jnp.asarray(p_init),
+        transition_min_prob=transition_min_prob,
+    )
 
     # Decode: state < n_pitch_bins → voiced at that bin
     freqs = fmin * 2 ** (jnp.arange(n_pitch_bins) / (12 * n_bins_per_semitone))

@@ -351,18 +351,32 @@ def magphase(D: Any, *, power: float = 1) -> Tuple[jax.Array, jax.Array]:
     return mag**power, phase
 
 
+_PV_DEPRECATED = object()
+
+
 def phase_vocoder(
     D: Any,
     *,
     rate: Optional[float] = None,
     t_out: Optional[np.ndarray] = None,
     kind: str = "linear",
+    hop_length: Any = _PV_DEPRECATED,
+    n_fft: Any = _PV_DEPRECATED,
 ) -> jax.Array:
     """Interpolation-based phase vocoder (time stretch by ``rate``).
 
     Parity: reference ``core/spectrum.py:1364`` — cumulative phase from
     frame-pair differences, interpolated magnitudes, arbitrary ``t_out``.
+    ``hop_length``/``n_fft`` are deprecated and unused (as in the reference).
     """
+    for _name, _val in (("hop_length", hop_length), ("n_fft", n_fft)):
+        if _val is not _PV_DEPRECATED:
+            warnings.warn(
+                f"The `{_name}` parameter is deprecated and unused in the "
+                "current implementation.",
+                FutureWarning,
+                stacklevel=2,
+            )
     D = jnp.asarray(D)
     n_frames = D.shape[-1]
 

@@ -308,16 +308,28 @@ class AdaptiveWaveplot:
     callback swaps envelope and sample renderings based on the view width.
     """
 
-    def __init__(self, times, y, steps, envelope, sr=22050, max_points=11025,
-                 transpose=False):
+    def __init__(self, times, y, steps, envelope, sr=22050,
+                 max_samples=11025, transpose=False, label=None,
+                 max_points=None):
         self.times = times
         self.y = y
         self.steps = steps
         self.envelope = envelope
         self.sr = sr
-        self.max_points = max_points
+        # max_points kept as a deprecated alias of max_samples
+        self.max_samples = max_points if max_points is not None else max_samples
         self.transpose = transpose
+        self.label = label
         self.cid = None
+        self._ax = None
+
+    @property
+    def max_points(self):
+        return self.max_samples
+
+    @property
+    def ax(self):
+        return self._ax
 
     def update(self, ax) -> None:
         """Re-render according to the current view limits."""
@@ -326,17 +338,42 @@ class AdaptiveWaveplot:
         else:
             lims = ax.get_xlim()
         n_view = int((lims[1] - lims[0]) * self.sr)
-        if n_view <= self.max_points:
+        if n_view <= self.max_samples:
             self.steps.set_visible(True)
             self.envelope.set_visible(False)
         else:
             self.steps.set_visible(False)
             self.envelope.set_visible(True)
 
-    def connect(self, ax) -> None:
-        self.cid = ax.figure.canvas.mpl_connect(
-            "draw_event", lambda event: self.update(ax)
-        )
+    def connect(self, ax, signal: str = "xlim_changed") -> None:
+        """Register the zoom-adaptive callback on ``ax``.
+
+        ``signal`` may be an axes callback name (``xlim_changed`` /
+        ``ylim_changed``) or a canvas event name.
+        """
+        self._ax = ax
+        if signal in ("xlim_changed", "ylim_changed"):
+            self.cid = ax.callbacks.connect(
+                signal, lambda a: self.update(a)
+            )
+        else:
+            self.cid = ax.figure.canvas.mpl_connect(
+                signal, lambda event: self.update(ax)
+            )
+
+    def disconnect(self, *, strict: bool = False) -> None:
+        """Remove the registered callback (no-op if never connected)."""
+        if self.cid is None:
+            if strict:
+                raise ParameterError("AdaptiveWaveplot is not connected")
+            return
+        if self._ax is not None:
+            try:
+                self._ax.callbacks.disconnect(self.cid)
+            except Exception:
+                self._ax.figure.canvas.mpl_disconnect(self.cid)
+        self.cid = None
+        self._ax = None
 
 
 def _make_transformf0():
@@ -612,6 +649,92 @@ def _decorate_axis(
 _LOG_SCALED = {"log", "cqt", "cqt_hz", "cqt_note", "cqt_svara", "vqt_fjs",
                "tempo", "fourier_tempo"}
 
+# vscale grammar (reference display.py:2625): dBFS | dB, optional
+# [power], [ref], or [power,ref] suffix.
+import re as _re
+
+_VSCALE_PATTERN = _re.compile(
+    r"^(?P<mode>dBFS|dB)"
+    r"(?:\[(?:(?P<type>power)"
+    r"(?:,(?P<ref_power>[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?))?"
+    r"|(?P<ref>[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?))\])?$"
+)
+
+
+def _parse_vscale(vscale: str):
+    """'dBFS' → ('dBFS','amplitude','max'); 'dB[power,0.1]' → ('dB','power',0.1).
+
+    Parity: display.py:2633 (__parse_vscale).
+    """
+    match = _VSCALE_PATTERN.fullmatch(vscale)
+    if not match:
+        raise ParameterError(f"Invalid vscale specification: {vscale}")
+    mode = match.group("mode")
+    scale_type = "power" if match.groupdict().get("type") else "amplitude"
+    ref = match.groupdict().get("ref") or match.groupdict().get("ref_power")
+    if mode == "dBFS":
+        if ref is not None:
+            raise ParameterError(
+                "dBFS vscale cannot have an explicit reference value"
+            )
+        ref = "max"
+    elif ref is not None:
+        ref = float(ref)
+    return mode, scale_type, ref
+
+
+def _scale_data(data, *, vscale, top_db, x_coords, y_coords, cmap_seq,
+                cmap_cyclic):
+    """Apply the vscale transform; return (data, cmap-or-None).
+
+    Parity: display.py:2544 (__scale_data) — phase/dphase/dphase_t use the
+    cyclic colormap; dB modes use power/amplitude_to_db with the requested
+    reference and the sequential colormap.
+    """
+    if vscale is None:
+        return data, None
+
+    if vscale == "phase":
+        return np.angle(data), cmap_cyclic
+
+    if vscale == "dphase":
+        diff = np.diff(np.unwrap(np.angle(data), axis=-1), axis=-1, prepend=0.0)
+        diff -= np.multiply.outer(
+            2 * np.pi * y_coords[: data.shape[0]],
+            np.diff(x_coords[: data.shape[1]], prepend=0.0),
+        )
+        diff += np.pi
+        np.mod(diff, 2 * np.pi, out=diff)
+        diff -= np.pi
+        return diff, cmap_cyclic
+
+    if vscale == "dphase_t":
+        diff = np.diff(np.unwrap(np.angle(data), axis=0), axis=0, prepend=0.0)
+        diff -= np.multiply.outer(
+            np.diff(y_coords[: data.shape[0]], prepend=0.0),
+            2 * np.pi * x_coords[: data.shape[1]],
+        )
+        diff += np.pi
+        np.mod(diff, 2 * np.pi, out=diff)
+        diff -= np.pi
+        return diff, cmap_cyclic
+
+    _mode, scale_type, ref_ = _parse_vscale(vscale)
+    if ref_ == "max":
+        ref = float(np.max(np.abs(data)))
+    elif ref_ is None:
+        ref = 1.0
+    else:
+        ref = float(ref_)
+
+    if scale_type == "power":
+        data = np.asarray(core.power_to_db(np.abs(data), top_db=top_db, ref=ref))
+    else:
+        data = np.asarray(
+            core.amplitude_to_db(np.abs(data), top_db=top_db, ref=ref)
+        )
+    return data, cmap_seq
+
 
 def specshow(
     data: Any,
@@ -620,12 +743,15 @@ def specshow(
     y_coords: Optional[np.ndarray] = None,
     x_axis: Optional[str] = None,
     y_axis: Optional[str] = None,
+    vscale: Optional[str] = None,
     sr: float = 22050,
     hop_length: int = 512,
     n_fft: Optional[int] = None,
     win_length: Optional[int] = None,
     fmin: Optional[float] = None,
     fmax: Optional[float] = None,
+    tempo_min: Optional[float] = 16,
+    tempo_max: Optional[float] = 480,
     tuning: float = 0.0,
     bins_per_octave: int = 12,
     key: str = "C:maj",
@@ -637,21 +763,27 @@ def specshow(
     unicode: bool = True,
     intervals: Optional[Any] = None,
     unison: Optional[str] = None,
+    top_db: Optional[float] = 80.0,
+    cmap_seq: Any = "magma",
+    cmap_bool: Any = "gray_r",
+    cmap_div: Any = "coolwarm",
+    cmap_cyclic: Any = "twilight_shifted",
+    div_thresh: float = 0.0,
     ax: Optional[Any] = None,
     **kwargs: Any,
 ):
     """Display a spectrogram/chromagram/cqt/etc. Parity: display.py:1441.
 
-    Returns the QuadMesh artist.
+    ``vscale`` applies a value transform before display: ``'dBFS'`` /
+    ``'dB'`` (optionally ``[power]`` / ``[ref]``) for decibel scaling,
+    ``'phase'`` / ``'dphase'`` / ``'dphase_t'`` for phase displays with a
+    cyclic colormap.  Returns the QuadMesh artist.
     """
     plt = _mpl()
+    import matplotlib as mpl
+    from matplotlib import colors
 
     data = np.atleast_2d(np.asarray(data))
-
-    kwargs.setdefault("cmap", cmap(data))
-    kwargs.setdefault("rasterized", True)
-    kwargs.setdefault("edgecolors", "None")
-    kwargs.setdefault("shading", "auto")
 
     all_params = dict(
         sr=sr, hop_length=hop_length, n_fft=n_fft, fmin=fmin, fmax=fmax,
@@ -663,6 +795,59 @@ def specshow(
     if x_coords is None:
         x_coords = _coords(x_axis, data.shape[1], **all_params)[: data.shape[1] + 1]
 
+    data, norm_cmap = _scale_data(
+        data, vscale=vscale, top_db=top_db, x_coords=np.asarray(x_coords),
+        y_coords=np.asarray(y_coords), cmap_seq=cmap_seq,
+        cmap_cyclic=cmap_cyclic,
+    )
+
+    if np.issubdtype(data.dtype, np.complexfloating):
+        import warnings
+
+        warnings.warn(
+            "Trying to display complex-valued input. "
+            "Showing magnitude instead.",
+            stacklevel=2,
+        )
+        data = np.abs(data)
+
+    if norm_cmap is not None:
+        kwargs.setdefault("cmap", norm_cmap)
+    elif "cmap" not in kwargs:
+        kwargs["cmap"] = infer_cmap(
+            data, cmap_seq=cmap_seq, cmap_bool=cmap_bool, cmap_div=cmap_div,
+            div_thresh=div_thresh,
+        )
+
+        def _same(c):
+            if isinstance(c, colors.Colormap):
+                return kwargs["cmap"] == c
+            return kwargs["cmap"] == mpl.colormaps.get(c, None)
+
+        if _same(cmap_div):
+            kwargs.setdefault(
+                "norm",
+                colors.TwoSlopeNorm(
+                    vcenter=div_thresh,
+                    vmin=kwargs.pop("vmin", None),
+                    vmax=kwargs.pop("vmax", None),
+                ),
+            )
+        elif _same(cmap_bool) and data.dtype.kind == "b":
+            kwargs.setdefault(
+                "norm",
+                colors.BoundaryNorm(
+                    boundaries=[0, 0.5, 1], ncolors=kwargs["cmap"].N
+                ),
+            )
+
+    kwargs.setdefault("rasterized", True)
+    kwargs.setdefault("edgecolors", "None")
+    kwargs.setdefault("shading", "auto")
+    if vscale is not None and "phase" in vscale:
+        kwargs.setdefault("vmin", -np.pi)
+        kwargs.setdefault("vmax", np.pi)
+
     if ax is None:
         ax = plt.gca()
 
@@ -673,12 +858,20 @@ def specshow(
     ax.set_xlim(x_coords.min(), x_coords.max())
     ax.set_ylim(y_coords.min(), y_coords.max())
 
-    # scaling
-    if y_axis in _LOG_SCALED:
+    # scaling; tempo axes clip to [tempo_min, tempo_max] (display.py:2015)
+    if y_axis in ("tempo", "fourier_tempo"):
+        ax.set_yscale("log", base=2)
+        if tempo_min is not None or tempo_max is not None:
+            ax.set_ylim(tempo_min, tempo_max)
+    elif y_axis in _LOG_SCALED:
         pos = y_coords[y_coords > 0]
         if len(pos):
             ax.set_yscale("symlog", linthresh=float(pos.min()), base=2)
-    if x_axis in _LOG_SCALED:
+    if x_axis in ("tempo", "fourier_tempo"):
+        ax.set_xscale("log", base=2)
+        if tempo_min is not None or tempo_max is not None:
+            ax.set_xlim(tempo_min, tempo_max)
+    elif x_axis in _LOG_SCALED:
         pos = x_coords[x_coords > 0]
         if len(pos):
             ax.set_xscale("symlog", linthresh=float(pos.min()), base=2)
@@ -694,66 +887,114 @@ def specshow(
 
     return out
 
+def _envelope(x: np.ndarray, hop: int) -> np.ndarray:
+    """Max-envelope of non-overlapping hop-length frames of (ch, n) audio.
+
+    Parity: display.py:1371 (__envelope).
+    """
+    n = x.shape[-1] // hop
+    if n == 0:
+        return np.zeros(x.shape[:-1] + (0,), dtype=x.dtype)
+    return np.abs(x[..., : n * hop]).reshape(x.shape[:-1] + (n, hop)).max(
+        axis=-1
+    )
+
 
 def waveshow(
     y: Any,
     *,
     sr: float = 22050,
     max_points: int = 11025,
-    axis: str = "time",
+    axis: Optional[str] = "time",
     offset: float = 0.0,
-    marker: str = "",
+    marker: Any = "",
     where: str = "post",
     label: Optional[str] = None,
     transpose: bool = False,
+    mask: Optional[Any] = None,
     ax: Optional[Any] = None,
-    x_axis: Optional[str] = None,
+    invert: bool = False,
+    invert_color: Optional[Any] = None,
     **kwargs: Any,
-) -> AdaptiveWaveplot:
-    """Adaptive waveform display (envelope ↔ samples). Parity: display.py:2673."""
+) -> "AdaptiveWaveplot":
+    """Adaptive waveform display (envelope ↔ samples).
+
+    Parity: display.py:2673 — step plot for zoomed-in sample views,
+    max-envelope fill for wide views, with ``mask`` (envelope-only sample
+    visibility), ``invert`` (swap fg/bg colors), and ``transform``
+    passthrough for f0-displaced rendering (see :func:`wavef0`).
+    """
     plt = _mpl()
 
     y = np.asarray(y)
-    if y.ndim > 1:
-        y = np.asarray(core.to_mono(y))
     if not np.issubdtype(y.dtype, np.floating):
         raise ParameterError("Waveform data must be floating-point")
+    if y.ndim == 1:
+        y = y[np.newaxis, :]
+    if y.ndim > 2:
+        y = np.asarray(core.to_mono(y))[np.newaxis, :]
 
     if max_points <= 0:
-        raise ParameterError("max_points must be strictly positive")
+        raise ParameterError(
+            f"max_points={max_points} must be strictly positive"
+        )
 
-    if ax is None:
-        ax = plt.gca()
+    axes = plt.gca() if ax is None else ax
 
-    times = offset + np.arange(len(y)) / sr
+    hop_length = max(1, y.shape[-1] // max_points)
+    y_env = _envelope(y, hop_length)
+    y_bottom, y_top = -y_env[-1], y_env[0]
 
-    # envelope via max-pooling into ~max_points bins
-    hop = max(1, len(y) // max_points)
-    n_env = len(y) // hop
-    env = np.abs(y[: n_env * hop]).reshape(n_env, hop).max(axis=1)
-    env_times = offset + np.arange(n_env) * hop / sr
+    times = offset + np.arange(y.shape[-1]) / sr
 
+    xdata, ydata = times[:max_points], y[0, :max_points]
     if transpose:
-        (steps,) = ax.step(y, times, where=where, marker=marker, **kwargs)
-        envelope = ax.fill_betweenx(
-            env_times, -env, env, label=label, **kwargs
-        )
+        ydata, xdata = xdata, ydata
+        filler = axes.fill_betweenx
+        signal = "ylim_changed"
+        dec_axis = axes.yaxis
     else:
-        (steps,) = ax.step(times, y, where=where, marker=marker, **kwargs)
-        envelope = ax.fill_between(
-            env_times, -env, env, label=label, **kwargs
-        )
+        filler = axes.fill_between
+        signal = "xlim_changed"
+        dec_axis = axes.xaxis
 
-    awp = AdaptiveWaveplot(
-        times, y, steps, envelope, sr=sr, max_points=max_points,
-        transpose=transpose,
+    if mask is not None:
+        mask = np.asarray(mask, dtype=bool)[
+            : len(y_top) * hop_length : hop_length
+        ]
+
+    (steps,) = axes.step(xdata, ydata, marker=marker, where=where, **kwargs)
+
+    if "color" not in kwargs:
+        kwargs.setdefault("color", steps.get_color())
+
+    envelope = filler(
+        times[: len(y_top) * hop_length : hop_length],
+        y_bottom,
+        y_top,
+        step=where,
+        where=mask,
+        label=label,
+        **kwargs,
     )
-    awp.update(ax)
-    awp.connect(ax)
 
-    taxis = ax.yaxis if transpose else ax.xaxis
-    _decorate_axis(taxis, x_axis or axis)
-    return awp
+    adaptor = AdaptiveWaveplot(
+        times, y[0], steps, envelope, sr=sr, max_samples=max_points,
+        transpose=transpose, label=label,
+    )
+    adaptor.connect(axes, signal=signal)
+    adaptor.update(axes)
+
+    if invert:
+        if invert_color is None:
+            invert_color = axes.patch.get_facecolor()
+        color = steps.get_color()
+        axes.patch.set_facecolor(color)
+        steps.set_color(invert_color)
+        envelope.set_color(invert_color)
+
+    _decorate_axis(dec_axis, axis)
+    return adaptor
 
 
 def wavebars(
@@ -761,125 +1002,494 @@ def wavebars(
     *,
     sr: float = 22050,
     n_bars: int = 100,
+    gap_ratio: float = 0.4,
+    rounding_ratio: float = 0.5,
+    axis: Optional[str] = "time",
+    offset: float = 0.0,
+    invert: bool = False,
+    invert_color: Optional[Any] = None,
+    transpose: bool = False,
+    label: Optional[str] = None,
     ax: Optional[Any] = None,
-    color: Any = None,
-    **kwargs: Any,
+    **patch_kwargs: Any,
 ):
-    """Bar-style waveform summary. Parity: display.py:2992."""
-    plt = _mpl()
-    y = np.asarray(y)
-    if y.ndim > 1:
-        y = np.asarray(core.to_mono(y))
-    if ax is None:
-        ax = plt.gca()
+    """Rounded-bar amplitude envelope ("soundbars") display.
 
-    hop = max(1, len(y) // n_bars)
-    n = len(y) // hop
-    env = np.abs(y[: n * hop]).reshape(n, hop).max(axis=1)
-    times = (np.arange(n) + 0.5) * hop / sr
-    width = 0.8 * hop / sr
-    bars = ax.bar(times, 2 * env, width=width, bottom=-env, color=color,
-                  **kwargs)
-    ax.set_xlabel("Time")
-    return bars
+    Parity: display.py:2992 — ``n_bars`` FancyBboxPatch bars of width
+    ``(hop/sr)·(1-gap_ratio)`` with corner rounding ``rounding_ratio``,
+    spanning the per-bar max envelope (top channel up, bottom channel
+    down for stereo).
+    """
+    plt = _mpl()
+    import matplotlib.patches as mpatches
+    import matplotlib.collections as mcollections
+
+    y = np.asarray(y)
+    if not np.issubdtype(y.dtype, np.floating):
+        raise ParameterError("Waveform data must be floating-point")
+    if y.ndim == 1:
+        y = y[np.newaxis, :]
+    if y.ndim > 2:
+        y = np.asarray(core.to_mono(y))[np.newaxis, :]
+
+    patch_kwargs.setdefault("linewidth", 0)
+    axes = plt.gca() if ax is None else ax
+
+    hop = max(1, y.shape[-1] // n_bars)
+    env = _envelope(y, hop)
+    env_bottom, env_top = env[-1], env[0]
+
+    bar_width = (hop / sr) * (1 - gap_ratio)
+    rounding_size = bar_width * rounding_ratio
+
+    times = offset + np.arange(env.shape[-1]) * hop / sr
+
+    patches = []
+    boxstyle = f"round,pad=0,rounding_size={rounding_size}"
+    for t, a0, a1 in zip(times, env_bottom, env_top):
+        base = min(-rounding_size, -a0)
+        top = max(rounding_size, a1)
+        if transpose:
+            xy, width, height = (base, t), top - base, bar_width
+        else:
+            xy, width, height = (t, base), bar_width, top - base
+        patches.append(
+            mpatches.FancyBboxPatch(xy, width, height, boxstyle=boxstyle)
+        )
+
+    patch_kwargs.setdefault("transform", axes.transData)
+    coll = mcollections.PatchCollection(patches, **patch_kwargs)
+    axes.add_collection(coll)
+
+    proxy = mpatches.FancyBboxPatch(
+        (np.nan, np.nan), 1, 1, boxstyle=boxstyle, label=label, **patch_kwargs
+    )
+    proxy.set_in_layout(False)
+    if label is not None:
+        axes.add_patch(proxy)
+
+    axes.autoscale_view()
+
+    if invert:
+        if invert_color is None:
+            invert_color = axes.patch.get_facecolor()
+        color = coll.get_facecolor()
+        axes.patch.set_facecolor(color)
+        proxy.set_facecolor(color)
+        coll.set_facecolor(invert_color)
+
+    _decorate_axis(axes.yaxis if transpose else axes.xaxis, axis)
+    return coll
 
 
 def wavef0(
     y: Any,
-    f0: Any,
     *,
+    f0: Any,
     sr: float = 22050,
-    ax: Optional[Any] = None,
     hop_length: int = 512,
+    bins_per_octave: int = 12,
+    time_axis: str = "time",
+    freq_axis: str = "cqt_note",
+    offset: float = 0.0,
+    key: str = "C:maj",
+    Sa: Optional[float] = None,
+    mela: Optional[Any] = None,
+    thaat: Optional[str] = None,
+    unicode: bool = True,
+    ax: Optional[Any] = None,
+    method: str = "waveshow",
+    transpose: bool = False,
     **kwargs: Any,
 ):
-    """Waveform with overlaid f0 contour. Parity: display.py:3176."""
+    """Waveform display displaced along an f0 contour.
+
+    Parity: display.py:3176 — the waveform rides its fundamental frequency
+    on a log-frequency axis via the :class:`Transformf0` data transform;
+    unvoiced (NaN) regions are masked out.  ``method`` selects
+    :func:`waveshow` or :func:`wavebars` rendering.
+    """
     plt = _mpl()
-    if ax is None:
-        _, ax = plt.subplots()
-    waveshow(y, sr=sr, ax=ax)
-    ax2 = ax.twinx()
-    f0 = np.asarray(f0)
-    times = convert.frames_to_time(
-        np.arange(len(f0)), sr=sr, hop_length=hop_length
+    import matplotlib.lines as mlines
+
+    from .util import utils as _util
+
+    y = np.asarray(y)
+    f0 = np.asarray(f0, dtype=float)
+    axes = plt.gca() if ax is None else ax
+
+    if method not in ("waveshow", "wavebars"):
+        raise ParameterError(f"Invalid display method={method}.")
+
+    norm = float(np.asarray(_util.tiny(y)))
+    if y.size > 0:
+        norm += max(float(y.max()), -float(y.min()))
+
+    trans = Transformf0(
+        f0, sr=sr, hop_length=hop_length, bins_per_octave=bins_per_octave,
+        norm=norm, offset=offset, transpose=transpose,
     )
-    (line,) = ax2.plot(times, f0, color="r", **kwargs)
-    ax2.set_ylabel("f0 (Hz)")
-    return line
+
+    _decorate_axis(
+        axes.xaxis if transpose else axes.yaxis, freq_axis, key=key, Sa=Sa,
+        mela=mela, thaat=thaat, unicode=unicode,
+    )
+
+    if method == "waveshow":
+        times = offset + np.arange(y.shape[-1]) / sr
+        mask = np.isfinite(trans.f0_interp(times))
+
+        adaptor = waveshow(
+            y, sr=sr, axis=time_axis, offset=offset, mask=mask, ax=axes,
+            transform=trans + axes.transData, transpose=transpose, **kwargs,
+        )
+
+        # fill_between collections don't update data limits through a
+        # custom transform; expand them manually to cover the f0 range.
+        envelope = adaptor.envelope
+        xy = envelope.get_datalim(trans + axes.transData).get_points()
+        f0min = np.nanmin(f0)
+        f0max = np.nanmax(f0)
+        if transpose:
+            handle = mlines.Line2D(
+                [xy[0, 0] + f0min, xy[1, 0] + f0max], xy[:, 1]
+            )
+        else:
+            handle = mlines.Line2D(
+                xy[:, 0], [xy[0, 1] + f0min, xy[1, 1] + f0max]
+            )
+        axes.add_line(handle)
+        axes.autoscale_view()
+        handle.remove()
+        return adaptor
+
+    return wavebars(
+        y, sr=sr, axis=time_axis, offset=offset, ax=axes,
+        transform=trans + axes.transData, transpose=transpose, **kwargs,
+    )
 
 
-def colorbar_db(mappable, *, ax: Optional[Any] = None, **kwargs: Any):
+def _radian_formatter(x: float, pos: Optional[int] = None) -> str:
+    """Format radians as rational multiples of π. Parity: display.py:3440."""
+    from fractions import Fraction
+
+    m = x / np.pi
+    frac = Fraction(m).limit_denominator(16)
+    num, den = frac.numerator, frac.denominator
+    if num == 0:
+        return " 0"
+    sign = "-" if num * den < 0 else " "
+    num_abs = abs(num)
+    coeff = "" if num_abs == 1 else str(num_abs)
+    if den == 1:
+        return f"{sign}{coeff}π"
+    return f"{sign}{coeff}π/{den}"
+
+
+def colorbar_phase(
+    im: Any,
+    *,
+    numticks: int = 9,
+    ax: Optional[Any] = None,
+    fig: Optional[Any] = None,
+    **kwargs: Any,
+):
+    """Colorbar with radian (π-multiple) tick labels. Parity: display.py:3461."""
+    plt = _mpl()
+    from matplotlib.ticker import FuncFormatter, LinearLocator
+
+    if fig is None:
+        fig = plt.gcf() if ax is None else None
+    kwargs.setdefault("format", FuncFormatter(_radian_formatter))
+    kwargs.setdefault("ticks", LinearLocator(numticks=numticks))
+    if fig is not None:
+        return fig.colorbar(im, ax=ax, **kwargs)
+    return plt.colorbar(im, ax=ax, **kwargs)
+
+
+def colorbar_db(
+    im: Any,
+    *,
+    ax: Optional[Any] = None,
+    fig: Optional[Any] = None,
+    format: Any = "% -3.f",
+    **kwargs: Any,
+):
     """dB-formatted colorbar. Parity: display.py:3544."""
     plt = _mpl()
-    kwargs.setdefault("format", "%+2.0f dB")
-    return plt.colorbar(mappable, ax=ax, **kwargs)
+    kwargs.setdefault("format", format)
+    if fig is None and ax is None:
+        fig = plt.gcf()
+    if fig is not None:
+        return fig.colorbar(im, ax=ax, **kwargs)
+    return plt.colorbar(im, ax=ax, **kwargs)
 
 
-def colorbar_phase(mappable, *, ax: Optional[Any] = None, **kwargs: Any):
-    """Phase-formatted colorbar (−π..π). Parity: display.py:3461."""
-    plt = _mpl()
-    from matplotlib.ticker import FixedLocator, FixedFormatter
-
-    cbar = plt.colorbar(mappable, ax=ax, **kwargs)
-    cbar.set_ticks(
-        FixedLocator([-np.pi, -np.pi / 2, 0, np.pi / 2, np.pi])
-    )
-    cbar.ax.yaxis.set_major_formatter(
-        FixedFormatter([r"$-\pi$", r"$-\pi/2$", "$0$", r"$\pi/2$", r"$\pi$"])
-    )
-    return cbar
+_MULTIPLOT_FUNCS = {
+    # name → (function getter, per-datum dims, props that don't apply)
+    "waveshow": (lambda: waveshow, 1, ()),
+    "wavebars": (lambda: wavebars, 1, ()),
+    "specshow": (lambda: specshow, 2, ("color", "linestyle", "marker")),
+}
 
 
 def multiplot(
-    data: Sequence[Any],
-    *,
-    n_cols: int = 2,
-    figsize: Optional[Any] = None,
-    specshow_kw: Optional[Sequence[dict]] = None,
+    func: str,
+    *data: Any,
+    axes: Optional[Any] = None,
+    fig: Optional[Any] = None,
+    orient: str = "v",
+    share_properties: Optional[Any] = None,
+    fig_kw: Optional[dict] = None,
+    sharex: bool = True,
+    sharey: bool = True,
+    label_outer: bool = True,
+    labels: Optional[Sequence[Optional[str]]] = None,
+    titles: Optional[Sequence[Optional[str]]] = None,
+    prop_cycle: Optional[Any] = None,
     **kwargs: Any,
 ):
-    """Grid of spectrogram displays. Parity: display.py:3939."""
+    """Display multiple signals/spectrograms on a synchronized grid.
+
+    Parity: display.py:3939 — ``func`` names the display function
+    (``'waveshow'``, ``'wavebars'``, or ``'specshow'``); data may be
+    variadic (one array per subplot) or a single stacked array whose
+    leading dims index subplots.  Returns an object array of artists
+    shaped like the axes grid.
+    """
     plt = _mpl()
-    n = len(data)
-    n_rows = int(np.ceil(n / n_cols))
-    fig, axes = plt.subplots(
-        nrows=n_rows, ncols=n_cols, figsize=figsize, squeeze=False
-    )
-    arts = []
-    for i, d in enumerate(data):
-        ax = axes[i // n_cols][i % n_cols]
-        kws = dict(kwargs)
-        if specshow_kw is not None:
-            kws.update(specshow_kw[i])
-        arts.append(specshow(d, ax=ax, **kws))
-    for j in range(n, n_rows * n_cols):
-        axes[j // n_cols][j % n_cols].set_axis_off()
-    return fig, axes, arts
+
+    if func not in _MULTIPLOT_FUNCS:
+        raise ParameterError(
+            f"Invalid multiplot function={func}; expected one of "
+            f"{sorted(_MULTIPLOT_FUNCS)}"
+        )
+    getter, dims, badprops = _MULTIPLOT_FUNCS[func]
+    function = getter()
+
+    if len(data) == 0:
+        raise ParameterError("multiplot requires at least one data input")
+
+    # Layout: variadic inputs → one subplot each; a single stacked array →
+    # leading (ndim - dims) axes index the grid.
+    if len(data) > 1:
+        multi_input = True
+        axshape: tuple = (len(data),)
+    else:
+        d0 = np.asarray(data[0])
+        lead = d0.ndim - dims
+        if lead <= 0:
+            multi_input = True
+            axshape = (1,)
+        else:
+            multi_input = False
+            axshape = d0.shape[:lead]
+
+    if len(axshape) == 1:
+        nrows, ncols = (
+            (axshape[0], 1) if orient == "v" else (1, axshape[0])
+        )
+    elif len(axshape) == 2:
+        nrows, ncols = axshape
+        if orient == "h":
+            nrows, ncols = ncols, nrows
+    else:
+        raise ParameterError(
+            f"multiplot supports at most 2 leading grid dims, got {axshape}"
+        )
+
+    if axes is None:
+        fig_kw = dict(fig_kw or {})
+        fig_kw.setdefault("squeeze", False)
+        if fig is None:
+            fig, axarr = plt.subplots(
+                nrows=nrows, ncols=ncols, sharex=sharex, sharey=sharey,
+                **fig_kw,
+            )
+        else:
+            axarr = fig.subplots(
+                nrows=nrows, ncols=ncols, sharex=sharex, sharey=sharey,
+                **fig_kw,
+            )
+        axes = np.asarray(axarr, dtype=object)
+    else:
+        axes = np.atleast_1d(np.asarray(axes, dtype=object))
+
+    n_plots = int(np.prod(axshape))
+    if axes.size < n_plots:
+        raise ParameterError(
+            f"Provided axes (size {axes.size}) are incompatible with "
+            f"data layout {axshape}"
+        )
+
+    def _labels_array(seq):
+        out = np.full(n_plots, None, dtype=object)
+        if seq is not None:
+            for i, s in enumerate(seq[:n_plots]):
+                out[i] = s
+        return out
+
+    labels_arr = _labels_array(labels)
+    titles_arr = _labels_array(titles)
+
+    # Property cycling: each subplot (or property group) takes the next
+    # entry of the prop cycle, minus properties the function can't use.
+    if prop_cycle is None:
+        prop_cycle = plt.rcParams["axes.prop_cycle"]
+    cycle_iter = iter(prop_cycle)
+
+    if share_properties in (None, False):
+        group_of = list(range(n_plots))
+    elif share_properties is True:
+        group_of = [0] * n_plots
+    elif share_properties in ("row", "col"):
+        grid = np.arange(n_plots).reshape(axshape if len(axshape) == 2
+                                          else (n_plots, 1))
+        if share_properties == "row":
+            group_of = list(np.repeat(np.arange(grid.shape[0]),
+                                      grid.shape[1]))
+        else:
+            group_of = list(np.tile(np.arange(grid.shape[1]),
+                                    grid.shape[0]))
+    else:
+        group_of = list(np.asarray(share_properties).reshape(-1)[:n_plots])
+
+    group_props: dict = {}
+    output = np.empty(n_plots, dtype=object)
+    for flat_idx in range(n_plots):
+        g = group_of[flat_idx]
+        if g not in group_props:
+            try:
+                props = dict(next(cycle_iter))
+            except StopIteration:
+                props = {}
+            group_props[g] = {
+                k: v for k, v in props.items() if k not in badprops
+            }
+        axx = axes.flat[flat_idx]
+        if multi_input:
+            datum = np.asarray(data[flat_idx]) if len(data) > 1 else np.asarray(data[0])
+        else:
+            datum = np.asarray(data[0]).reshape((-1,) + np.asarray(data[0]).shape[-dims:])[flat_idx]
+        call_kw = dict(group_props[g])
+        call_kw.update(kwargs)
+        if func != "specshow" and labels_arr[flat_idx] is not None:
+            call_kw["label"] = labels_arr[flat_idx]
+        output[flat_idx] = function(datum, ax=axx, **call_kw)
+        if titles_arr[flat_idx] is not None:
+            axx.set_title(titles_arr[flat_idx])
+        if label_outer and hasattr(axx, "label_outer"):
+            axx.label_outer()
+
+    return output.reshape(axes.shape if axes.size == n_plots else (n_plots,))
 
 
-def legend_for_axes(ax, **kwargs: Any):
-    """Build a legend for all labeled artists on an axes. Parity: display.py:4122."""
-    handles, labels = ax.get_legend_handles_labels()
-    return ax.legend(handles, labels, **kwargs)
+def legend_for_axes(
+    axes: Optional[Any] = None,
+    *,
+    fig: Optional[Any] = None,
+    **kwargs: Any,
+):
+    """Aggregate labeled artists from several axes into one figure legend.
+
+    Parity: display.py:4122.
+    """
+    plt = _mpl()
+
+    if axes is None:
+        if fig is None:
+            fig = plt.gcf()
+        axes = fig.axes
+
+    axes_array = np.atleast_1d(np.asarray(axes, dtype=object))
+    if len(axes_array.flat) == 0:
+        raise ParameterError("No axes provided for legend aggregation")
+
+    if fig is None:
+        fig = axes_array.flat[0].figure
+
+    for ax in axes_array.flat:
+        if ax.figure is not fig:
+            raise ParameterError("All axes must belong to the same figure")
+
+    handles: List[Any] = []
+    labels: List[str] = []
+    for ax in axes_array.flat:
+        hlist, llist = ax.get_legend_handles_labels()
+        handles.extend(hlist)
+        labels.extend(llist)
+
+    return fig.legend(handles, labels, **kwargs)
+
+
+def _ax_wants_bright_highlight(ax, luminance_threshold: float = 0.5) -> bool:
+    """True if the axes' dominant color is dark (→ use a bright stroke).
+
+    Parity: display.py:4205 (__get_ax_bright_highlight) — median of the
+    first mappable's data through its norm+cmap, else the axes (or figure)
+    facecolor; luminance via RGB→YIQ.
+    """
+    import colorsys
+    from matplotlib import cm
+
+    mappable = None
+    for child in ax.get_children():
+        if isinstance(child, cm.ScalarMappable) and child.get_array() is not None:
+            mappable = child
+            break
+
+    if mappable is not None:
+        data = mappable.get_array()
+        median_val = np.nanmedian(np.asarray(data))
+        rgba = mappable.get_cmap()(mappable.norm(median_val))
+    else:
+        rgba = ax.get_facecolor()
+        if len(rgba) == 4 and rgba[3] == 0.0:
+            rgba = ax.figure.get_facecolor()
+
+    luminance = colorsys.rgb_to_yiq(*rgba[:3])[0]
+    return luminance <= luminance_threshold
 
 
 def highlight(
-    intervals: Any,
     *,
+    artist: Optional[Any] = None,
     ax: Optional[Any] = None,
-    axis: str = "x",
-    color: Any = "C1",
-    alpha: float = 0.3,
+    color: Optional[Any] = None,
+    bright_color: Any = "white",
+    dark_color: Any = "black",
+    luminance_threshold: float = 0.5,
     **kwargs: Any,
 ) -> List[Any]:
-    """Highlight time intervals on an axes. Parity: display.py:4251."""
+    """Add a contrast-stroke path effect so overlays stay visible.
+
+    Parity: display.py:4251 — picks ``bright_color`` or ``dark_color``
+    based on the luminance of the underlying axes content, builds a
+    ``withStroke`` path effect, and applies it to ``artist`` in place when
+    given.
+    """
     plt = _mpl()
+    import matplotlib.patheffects as mpe
+
     if ax is None:
-        ax = plt.gca()
-    spans = []
-    for lo, hi in np.atleast_2d(np.asarray(intervals, dtype=float)):
-        if axis == "x":
-            spans.append(ax.axvspan(lo, hi, color=color, alpha=alpha, **kwargs))
+        if artist is not None and getattr(artist, "axes", None) is not None:
+            ax = artist.axes
         else:
-            spans.append(ax.axhspan(lo, hi, color=color, alpha=alpha, **kwargs))
-    return spans
+            ax = plt.gca()
+
+    color = kwargs.pop("foreground", color)
+    if color is None:
+        if _ax_wants_bright_highlight(ax, luminance_threshold):
+            stroke_color = bright_color
+        else:
+            stroke_color = dark_color
+    else:
+        stroke_color = color
+
+    kwargs.setdefault("linewidth", 2)
+    kwargs.setdefault("alpha", 1.0)
+
+    effects = [mpe.withStroke(foreground=stroke_color, **kwargs)]
+    if artist is not None:
+        artist.set_path_effects(effects)
+    return effects

@@ -73,8 +73,8 @@ def test_waveshow_short():
 
 def test_wavebars(tone_440):
     fig, ax = plt.subplots()
-    bars = display.wavebars(tone_440, ax=ax)
-    assert len(bars) > 0
+    bars = display.wavebars(np.asarray(tone_440), ax=ax, n_bars=40)
+    assert len(bars.get_paths()) == 40
 
 
 def test_colorbars(tone_440):
@@ -93,14 +93,22 @@ def test_colorbars(tone_440):
 
 def test_multiplot(tone_440):
     S = np.asarray(lt.power_to_db(lt.feature.melspectrogram(y=tone_440)))
-    fig, axes, arts = display.multiplot([S, S, S], n_cols=2)
-    assert len(arts) == 3
+    arts = display.multiplot("specshow", S, S, S, x_axis="time", y_axis="mel")
+    assert arts.size == 3
+    # stacked-array input: leading dim indexes subplots
+    arts2 = display.multiplot("specshow", np.stack([S, S]), x_axis="time")
+    assert arts2.size == 2
 
 
 def test_highlight():
     fig, ax = plt.subplots()
-    spans = display.highlight([[0.5, 1.0], [2.0, 2.5]], ax=ax)
-    assert len(spans) == 2
+    (line,) = ax.plot([0, 1], [0, 1])
+    effects = display.highlight(artist=line)
+    assert len(effects) == 1
+    assert line.get_path_effects() == effects
+    # explicit color bypasses luminance inference
+    effects2 = display.highlight(ax=ax, color="red")
+    assert len(effects2) == 1
 
 
 def test_time_formatter():
@@ -157,3 +165,63 @@ def test_transformf0_roundtrip():
     assert np.allclose(back, vals)
     with pytest.raises(lt.ParameterError):
         display.Transformf0(np.array([np.nan, np.nan]))
+
+
+def test_specshow_vscale_dbfs(tone_440):
+    D = np.asarray(lt.stft(np.asarray(tone_440)))
+    fig, ax = plt.subplots()
+    img = display.specshow(D, x_axis="time", y_axis="log", vscale="dBFS", ax=ax)
+    # dBFS: max-referenced dB, so the top of the color range is 0
+    assert float(img.get_array().max()) <= 1e-5
+    with pytest.raises(lt.ParameterError):
+        display.specshow(D, vscale="dBFS[0.5]", ax=ax)
+    with pytest.raises(lt.ParameterError):
+        display.specshow(D, vscale="nonsense", ax=ax)
+
+
+def test_specshow_vscale_phase(tone_440):
+    D = np.asarray(lt.stft(np.asarray(tone_440)))
+    fig, ax = plt.subplots()
+    img = display.specshow(D, vscale="phase", ax=ax)
+    arr = np.asarray(img.get_array())
+    assert arr.min() >= -np.pi - 1e-6 and arr.max() <= np.pi + 1e-6
+    cb = display.colorbar_phase(img, ax=ax)
+    assert cb is not None
+
+
+def test_waveshow_mask_and_invert(tone_440):
+    y = np.asarray(tone_440)
+    fig, ax = plt.subplots()
+    mask = np.zeros(len(y), dtype=bool)
+    mask[len(y) // 2:] = True
+    ad = display.waveshow(y, ax=ax, mask=mask, invert=True)
+    assert ad.envelope is not None
+    ad.disconnect()
+    ad.disconnect()  # idempotent
+    with pytest.raises(lt.ParameterError):
+        ad.disconnect(strict=True)
+
+
+def test_wavef0_displacement(tone_440):
+    y = np.asarray(tone_440)
+    n_frames = 1 + len(y) // 512
+    f0 = np.full(n_frames, 440.0)
+    f0[:2] = np.nan
+    fig, ax = plt.subplots()
+    ad = display.wavef0(y, f0=f0, sr=22050, ax=ax)
+    assert isinstance(ad, display.AdaptiveWaveplot)
+    fig, ax = plt.subplots()
+    pc = display.wavef0(y, f0=f0, sr=22050, ax=ax, method="wavebars", n_bars=32)
+    assert len(pc.get_paths()) == 32
+    with pytest.raises(lt.ParameterError):
+        display.wavef0(y, f0=f0, method="bogus")
+
+
+def test_legend_for_axes_collects_labels():
+    fig, axes = plt.subplots(nrows=2)
+    axes[0].plot([0, 1], label="a")
+    axes[1].plot([1, 0], label="b")
+    leg = display.legend_for_axes(axes=axes)
+    assert len(leg.get_texts()) == 2
+    with pytest.raises(lt.ParameterError):
+        display.legend_for_axes(axes=[])
