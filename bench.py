@@ -100,42 +100,28 @@ def main() -> None:
     dt = time.perf_counter() - t0
     api_samples_per_s = n * iters / dt
 
-    # Steady-state device throughput: the same pipeline looped inside ONE
-    # program (production streaming form — no host round trips per block)
-    from librosa_tpu.core.spectrum import _win_device
-    from librosa_tpu.ops.fft import dft_mats_device, frames_power_spectrum
-    from librosa_tpu.ops.framing import frame_signal
-
-    K, chunk = 16, 1 << 22
-    ys = jnp.asarray(
-        np.resize(y, K * chunk).reshape(K, chunk).astype(np.float32)
-    )
-    w_dev = jnp.asarray(window)
-    mats = dft_mats_device(N_FFT, jnp.float32)
-    mb_dev = jnp.asarray(mel_basis)
+    # Steady-state device throughput: one jitted program over a large
+    # buffer, exactly the production API path (on TPU this dispatches the
+    # fused Pallas frame→window→CT-DFT→|·|²→mel kernel).
+    big_n = 1 << 26  # 64M samples ≈ 50 min of audio
+    y_big = jnp.asarray(np.resize(y, big_n).astype(np.float32))
 
     @jax.jit
-    def scan_pipeline(ys, w, mats, mb):
-        def body(acc, yk):
-            yk = jnp.pad(yk, (N_FFT // 2, N_FFT // 2))
-            fr = frame_signal(yk, frame_length=N_FFT, hop_length=HOP)
-            pw = frames_power_spectrum(fr * w, n_fft=N_FFT, dft_mats=mats)
-            M = jnp.einsum(
-                "tf,mf->mt", pw, mb, precision=jax.lax.Precision.HIGHEST
+    def steady(yb):
+        return jnp.sum(
+            lt.feature.melspectrogram(
+                y=yb, sr=SR, n_fft=N_FFT, hop_length=HOP, n_mels=N_MELS
             )
-            return acc + jnp.sum(M), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), ys)
-        return acc
+        )
 
-    r = scan_pipeline(ys, w_dev, mats, mb_dev)
-    _ = float(r)
-    iters2 = 4
+    _ = float(steady(y_big))
+    iters2 = 5
     t0 = time.perf_counter()
     for _ in range(iters2):
-        r = scan_pipeline(ys, w_dev, mats, mb_dev)
+        r = steady(y_big)
     _ = float(r)
     dt2 = (time.perf_counter() - t0) / iters2
-    samples_per_s = K * chunk / dt2
+    samples_per_s = big_n / dt2
 
     # --- SNR vs float64 CPU reference on a slice --------------------------
     m = SR * 4

@@ -688,6 +688,29 @@ def melspectrogram(
         )
         window_dev = _win_device(window, win_length, n_fft, real_dtype)
         mel_basis = filters.mel(sr=sr, n_fft=n_fft, **kwargs)
+
+        # On TPU with standard pow2 configurations, the fused Pallas
+        # kernel (frame→window→CT-DFT→|·|²→mel entirely in VMEM) is the
+        # fastest path; otherwise the XLA-fused matmul pipeline.
+        from ..ops import pallas_stft as _pstft
+        from ..ops.fft import _resolved_backend
+
+        if (
+            _resolved_backend() == "matmul"
+            and real_dtype == jnp.float32
+            and pad_mode in ("constant", "reflect")
+            and _pstft.pallas_supported(n_fft, hop_length)
+        ):
+            try:
+                return _pstft.stft_mel_pallas(
+                    y, window_dev, mel_basis,
+                    n_fft=n_fft, hop_length=hop_length, power=float(power),
+                    center=center, pad_mode=pad_mode,
+                )
+            except Exception:
+                # fall back to the XLA path on any kernel-support gap
+                pass
+
         return _stft_mel_core(
             y,
             window_dev,

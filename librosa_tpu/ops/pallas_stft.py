@@ -1,0 +1,368 @@
+"""Fused STFT-power→mel Pallas kernel (TPU).
+
+The feature-extraction hot path (BASELINE configs 1/2) as ONE kernel:
+
+    y --DMA--> VMEM: frame → window → 2-stage Cooley-Tukey real DFT
+               (matmuls on the MXU) → |·|² → mel projection → out
+
+Why this beats the XLA-fused pipeline (ops/fft.py matmul backend):
+
+- **No HBM intermediates.**  XLA materializes the windowed frame matrix
+  (n_fft/hop × input bytes) and the power spectrum in HBM; on a
+  bandwidth-limited part that alone caps throughput.  Here frames, DFT
+  stages, and the power spectrum live only in VMEM; HBM traffic is the
+  input samples (once) plus the tiny mel output.
+- **O(n·(√n)) DFT instead of O(n²).**  The direct DFT-as-matmul costs
+  2·n_fft·(1+n_fft/2) MACs per frame (~4.2M at n_fft=2048).  Factoring
+  n_fft = N1·N2 (Cooley-Tukey, decimation-in-frequency) costs
+  N2·n_fft + 2·N1·n_fft + n_fft·n_mels MACs (~1.4M) — all still MXU
+  matmuls, sized (·,128) for full lane utilization.
+
+Math (DIF factorization, real input).  With t = t1 + N1·t2 and
+k = N2·k1 + k2:
+
+    X[k] = Σ_{t1} W_N^{t1 k2} · W_{N1}^{t1 k1} · A[t1, k2]
+    A[t1, k2] = Σ_{t2} x[t1 + N1 t2] · W_{N2}^{t2 k2}
+
+so stage A contracts the frame tensor (T, N2, N1) over t2 (axis −2),
+the twiddle is an elementwise complex rotation over (t1, k2), and stage
+B contracts over t1 (axis −2) — both contractions leave a 128-wide axis
+in the lanes.  Real input means stage A is two real matmuls; stage B is
+four.  The full 2048-bin power grid comes out indexed [k2, k1]; instead
+of reordering, the mel basis is pre-permuted host-side (bins above
+Nyquist zeroed — they mirror bins below and must not double count).
+
+Reference parity: this computes exactly |stft(y)|**power · mel
+(librosa core/spectrum.py:58 + feature/spectral.py:2160 semantics) for
+hann-family windows with center padding done by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["stft_mel_pallas", "pallas_supported"]
+
+
+def _factor(n_fft: int) -> tuple[int, int]:
+    """Split n_fft = N1·N2 with N1 = 128 (lane-width stages)."""
+    if n_fft % 128 == 0 and n_fft >= 256:
+        return 128, n_fft // 128
+    if n_fft == 128:
+        return 64, 2
+    raise ValueError(f"n_fft={n_fft} not supported by the pallas kernel")
+
+
+def pallas_supported(n_fft: int, hop_length: int) -> bool:
+    """The kernel handles the standard pow2 configurations."""
+    if n_fft < 256 or n_fft & (n_fft - 1):
+        return False
+    if hop_length <= 0 or n_fft % hop_length:
+        return False
+    if hop_length % 128:
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=32)
+def _host_tables(n_fft: int, n2: int):
+    """Stage/twiddle DFT factor tables (float32, host-cached)."""
+    n1 = n_fft // n2
+    t2k2 = np.outer(np.arange(n2), np.arange(n2)) * (2 * np.pi / n2)
+    t1k2 = np.outer(np.arange(n1), np.arange(n2)) * (2 * np.pi / n_fft)
+    t1k1 = np.outer(np.arange(n1), np.arange(n1)) * (2 * np.pi / n1)
+    return (
+        np.cos(t2k2).astype(np.float32), np.sin(t2k2).astype(np.float32),
+        np.cos(t1k2).astype(np.float32), np.sin(t1k2).astype(np.float32),
+        np.cos(t1k1).astype(np.float32), np.sin(t1k1).astype(np.float32),
+    )
+
+
+def _remap_basis(basis: np.ndarray, n_fft: int, n1: int, n2: int) -> np.ndarray:
+    """Fold a (n_bins_out, 1+n_fft/2) basis into the kernel's bin grid.
+
+    The kernel computes power only for k2 ∈ [0, n2/2] (real input ⇒
+    |X[k]| = |X[n_fft−k]|, and n_fft−k lands at (n2−k2, n1−1−k1)), so
+    bins whose k2 exceeds n2/2 are folded onto their computed mirror
+    slot.  Output layout: [k2, k1, m] with k = n2·k1 + k2.
+    """
+    n_out = basis.shape[0]
+    kh = n2 // 2 + 1
+    out = np.zeros((kh, n1, n_out), dtype=np.float32)
+    for k in range(n_fft // 2 + 1):
+        k1, k2 = divmod(k, n2)
+        if k2 < kh:
+            out[k2, k1] += basis[:, k]
+        else:
+            out[n2 - k2, n1 - 1 - k1] += basis[:, k]
+    return out
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
+                 precision, interpret):
+    """Build (and cache) the jitted pallas_call for one configuration.
+
+    pallas_call returns a fresh callable each time; without this cache an
+    eager caller would re-lower and re-compile the kernel per invocation.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = n_fft // hop_length
+    rpad = ((r - 1 + 7) // 8) * 8
+    kern = functools.partial(
+        _kernel, tt=tt, hop=hop_length, n_fft=n_fft, n1=n1, n2=n2,
+        power=power, precision=precision,
+    )
+    call = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # rows (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # window
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # c2
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # s2
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # ctw
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # stw
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # c1
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # s1
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # basis
+        ],
+        out_specs=pl.BlockSpec(
+            (n_out, tt), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_out, n_tiles * tt), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tt + rpad, hop_length), jnp.float32),
+            pltpu.VMEM((tt, n2, n1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def _kernel(rows_hbm, win_ref, c2_ref, s2_ref, ctw_ref, stw_ref,
+            c1_ref, s1_ref, basis_ref, out_ref, ybufs, xstack, sems,
+            *, tt: int, hop: int, n_fft: int, n1: int, n2: int,
+            power: float, precision):
+    """One grid step = one tile of ``tt`` frames.
+
+    Frames are never assembled: frame t spans r = n_fft/hop consecutive
+    hop-rows (rows t..t+r-1 of the (·, hop) row matrix), and each hop-row
+    block j covers the t2 range [j·q, (j+1)·q) of the (n2, n1) frame
+    tensor.  Stage A is therefore a sum of r partial contractions, one per
+    DMA'd block — no cross-offset concatenation (which Mosaic rejects) and
+    r overlapped DMAs per tile.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    r = n_fft // hop
+    q = hop // n1
+    rpad = ((r - 1 + 7) // 8) * 8
+
+    # Double-buffered input DMA: tile i computes from slot i%2 while the
+    # DMA for tile i+1 streams into the other slot.  Tile i reads rows
+    # [i*tt, i*tt + tt + rpad) — start aligned because tt is 8-aligned.
+    def _start(tile, slot):
+        pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(tile * tt, tt + rpad), :],
+            ybufs.at[slot], sems.at[slot],
+        ).start()
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        _start(0, 0)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        _start(i + 1, jax.lax.rem(i + 1, 2))
+
+    pltpu.make_async_copy(
+        rows_hbm.at[pl.ds(i * tt, tt + rpad), :],
+        ybufs.at[slot], sems.at[slot],
+    ).wait()
+    ybuf = ybufs.at[slot]
+
+    # Keep n1 = 128 in the LANES of every intermediate: tensors are laid
+    # out (n2, tt, n1) so nothing pads a 16-wide axis up to 128 lanes.
+
+    # ---- assemble the windowed frame tensor in VMEM ---------------------
+    # xstack[t, t2, t1] = win[t2, t1] · y[t·hop + n1·t2 + t1]: hop-row
+    # block j of frame t is ybuf row t+j and covers t2 ∈ [j·q, (j+1)·q).
+    # Staging through VMEM keeps stage A as ONE dot pair (K = n2) — per-j
+    # partial dots each cost a full MXU pass regardless of their tiny K.
+    for j in range(r):
+        xstack[:, pl.ds(j * q, q), :] = (
+            ybuf[pl.ds(j, tt), :].reshape(tt, q, n1)
+            * win_ref[pl.ds(j * q, q), :]
+        )
+
+    # ---- stage A: contract t2: A[k2, t, t1] = Σ_{t2} W2[t2,k2]·x[t,t2,t1]
+    # Real input ⇒ conjugate symmetry in k2; only k2 ∈ [0, n2/2] is
+    # computed (kh rows) — the mirror bins are folded into the basis.
+    dn_a = (((1,), (1,)), ((), ()))        # lhs c2ᵀ (kh, n2) × (tt, n2, n1)
+    ar = jax.lax.dot_general(
+        c2_ref[:], xstack[:], dn_a,
+        preferred_element_type=jnp.float32, precision=precision,
+    )                                       # (kh, tt, n1) = [k2, t, t1]
+    ai = -jax.lax.dot_general(
+        s2_ref[:], xstack[:], dn_a,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    # ---- twiddle: × W_N^{t1 k2} = cos − i·sin, over (k2, 1, t1) ---------
+    kh = n2 // 2 + 1
+    ctw = ctw_ref[:].reshape(kh, 1, n1)
+    stw = stw_ref[:].reshape(kh, 1, n1)
+    br = ar * ctw + ai * stw
+    bi = ai * ctw - ar * stw
+
+    # ---- stage B: contract t1 (last axis): X[k2, t, k1] -----------------
+    dn_b = (((2,), (0,)), ((), ()))
+    xrr = jax.lax.dot_general(
+        br, c1_ref[:], dn_b, preferred_element_type=jnp.float32,
+        precision=precision,
+    ) + jax.lax.dot_general(
+        bi, s1_ref[:], dn_b, preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                      # (n2, tt, n1) = [k2, t, k1]
+    xii = jax.lax.dot_general(
+        bi, c1_ref[:], dn_b, preferred_element_type=jnp.float32,
+        precision=precision,
+    ) - jax.lax.dot_general(
+        br, s1_ref[:], dn_b, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    pw = xrr * xrr + xii * xii             # (kh, tt, n1)
+    if power == 1:
+        pw = jnp.sqrt(pw)
+    elif power != 2:
+        pw = pw ** (power / 2)
+
+    # ---- basis projection, accumulated per k2 block ---------------------
+    # out[t, m] = Σ_{k2} pw[k2, t, :] @ basis[k2, :, m]
+    acc = jax.lax.dot_general(
+        pw[0], basis_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    for k2 in range(1, n2 // 2 + 1):
+        acc = acc + jax.lax.dot_general(
+            pw[k2], basis_ref[k2], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+    # write (n_out, tt): the public layout is (..., n_out, T), so emit it
+    # directly instead of transposing the whole output in HBM afterwards
+    out_ref[:] = acc.T
+
+
+def stft_mel_pallas(
+    y: jax.Array,
+    window: Any,
+    basis: Any,
+    *,
+    n_fft: int,
+    hop_length: int,
+    power: float = 2.0,
+    center: bool = True,
+    pad_mode: str = "constant",
+    tile_frames: int = 128,
+    precision: Any = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused |STFT|^power → basis projection.  Returns (..., n_out, T).
+
+    ``basis`` is (n_out, 1 + n_fft//2) — a mel filterbank, chroma map, or
+    identity-like selector.  ``window`` is the length-n_fft analysis
+    window.  Leading dims of ``y`` are vmapped.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not pallas_supported(n_fft, hop_length):
+        raise ValueError(
+            f"pallas stft kernel does not support n_fft={n_fft}, "
+            f"hop={hop_length}"
+        )
+
+    y = jnp.asarray(y, dtype=jnp.float32)
+    if y.ndim > 1:
+        fn = functools.partial(
+            stft_mel_pallas, window=window, basis=basis, n_fft=n_fft,
+            hop_length=hop_length, power=power, center=center,
+            pad_mode=pad_mode, tile_frames=tile_frames,
+            precision=precision, interpret=interpret,
+        )
+        for _ in range(y.ndim - 1):
+            fn = jax.vmap(fn)
+        return fn(y)
+
+    n1, n2 = _factor(n_fft)
+    c2, s2, ctw, stw, c1, s1 = _host_tables(n_fft, n2)
+
+    if hop_length % n1:
+        raise ValueError(
+            f"pallas stft kernel needs hop_length divisible by {n1}"
+        )
+
+    basis_np = np.asarray(basis, dtype=np.float32)
+    n_out = basis_np.shape[0]
+    remapped = _remap_basis(basis_np, n_fft, n1, n2)
+
+    # window in the (t2, t1) frame-tensor layout: win[t1 + n1*t2]
+    win = jnp.asarray(window, dtype=jnp.float32).reshape(n2, n1)
+
+    # One combined pad (center + tile rounding) — padding a large input
+    # twice would cost two full HBM copies.
+    lpad = n_fft // 2 if center else 0
+    n = y.shape[-1] + 2 * lpad
+    n_frames = 1 + (n - n_fft) // hop_length
+    if n_frames <= 0:
+        raise ValueError("input shorter than one frame")
+
+    tt = tile_frames
+    n_tiles = -(-n_frames // tt)
+    r = n_fft // hop_length
+    rpad = ((r - 1 + 7) // 8) * 8
+    # rows layout: tile i DMA-reads rows [i*tt, i*tt + tt + rpad)
+    rows_needed = n_tiles * tt + rpad
+    tail = max(0, rows_needed * hop_length - n) + lpad
+    if lpad > 0 or tail > 0:
+        if pad_mode == "reflect" and lpad > 0:
+            # reflect only applies to the centering portion
+            y = jnp.pad(y, (lpad, lpad), mode="reflect")
+            y = jnp.pad(y, (0, tail - lpad))
+        else:
+            y = jnp.pad(y, (lpad, tail))
+    rows = y[: rows_needed * hop_length].reshape(rows_needed, hop_length)
+
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    kh = n2 // 2 + 1
+
+    call = _cached_call(
+        n_fft, hop_length, n1, n2, tt, n_tiles, n_out, float(power),
+        precision, interpret,
+    )
+    out = call(
+        rows, win,
+        jnp.asarray(np.ascontiguousarray(c2.T[:kh])),   # [k2, t2], kh rows
+        jnp.asarray(np.ascontiguousarray(s2.T[:kh])),
+        jnp.asarray(np.ascontiguousarray(ctw.T[:kh])),  # [k2, t1]
+        jnp.asarray(np.ascontiguousarray(stw.T[:kh])),
+        jnp.asarray(c1), jnp.asarray(s1),               # [t1, k1]
+        jnp.asarray(remapped),                          # [k2, k1, m] folded
+    )
+    return out[:, :n_frames]

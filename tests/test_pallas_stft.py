@@ -1,0 +1,94 @@
+"""Fused Pallas STFT→mel kernel: numerics vs direct rfft reference.
+
+Runs in interpret mode on CPU (the driver's real-TPU bench exercises the
+compiled path); asserts the kernel's Cooley-Tukey factorization, window
+handling, conjugate-symmetry basis fold, and tiling edges are exact.
+"""
+
+import numpy as np
+import pytest
+
+import librosa_tpu as lt
+from librosa_tpu import filters
+from librosa_tpu.ops.pallas_stft import pallas_supported, stft_mel_pallas
+
+SR = 22050
+
+
+def _ref_mel(y, win, mb, n_fft, hop, power=2.0, center=True):
+    pad = n_fft // 2 if center else 0
+    fr = np.lib.stride_tricks.sliding_window_view(
+        np.pad(y, pad), n_fft
+    )[::hop].astype(np.float64)
+    spec = np.abs(np.fft.rfft(fr * win.astype(np.float64), axis=-1))
+    return ((spec**power) @ mb.astype(np.float64).T).T
+
+
+def _snr(a, b):
+    err = a.astype(np.float64) - b
+    return 10 * np.log10((b**2).sum() / max((err**2).sum(), 1e-300))
+
+
+@pytest.mark.parametrize("n_fft,hop", [(2048, 512), (1024, 256), (512, 128),
+                                       (2048, 2048)])
+def test_kernel_matches_rfft(rng, n_fft, hop):
+    y = (rng.randn(SR) * 0.1).astype(np.float32)
+    win = np.hanning(n_fft).astype(np.float32)
+    mb = filters.mel(sr=SR, n_fft=n_fft, n_mels=64).astype(np.float32)
+    out = np.asarray(
+        stft_mel_pallas(y, win, mb, n_fft=n_fft, hop_length=hop,
+                        interpret=True)
+    )
+    ref = _ref_mel(y, win, mb, n_fft, hop)
+    assert out.shape == ref.shape
+    assert _snr(out, ref) > 120
+
+
+def test_kernel_power_one(rng):
+    y = (rng.randn(SR // 2) * 0.1).astype(np.float32)
+    win = np.hanning(512).astype(np.float32)
+    mb = filters.mel(sr=SR, n_fft=512, n_mels=32).astype(np.float32)
+    out = np.asarray(
+        stft_mel_pallas(y, win, mb, n_fft=512, hop_length=128, power=1.0,
+                        interpret=True)
+    )
+    ref = _ref_mel(y, win, mb, 512, 128, power=1.0)
+    assert _snr(out, ref) > 110
+
+
+def test_kernel_multichannel_vmap(rng):
+    y = (rng.randn(2, SR // 2) * 0.1).astype(np.float32)
+    win = np.hanning(512).astype(np.float32)
+    mb = filters.mel(sr=SR, n_fft=512, n_mels=32).astype(np.float32)
+    out = np.asarray(
+        stft_mel_pallas(y, win, mb, n_fft=512, hop_length=128,
+                        interpret=True)
+    )
+    for ch in range(2):
+        ref = _ref_mel(y[ch], win, mb, 512, 128)
+        assert _snr(out[ch], ref) > 120
+
+
+def test_kernel_support_matrix():
+    assert pallas_supported(2048, 512)
+    assert pallas_supported(4096, 1024)
+    assert not pallas_supported(2048, 500)   # hop doesn't divide n_fft
+    assert not pallas_supported(2000, 512)   # not a power of two
+    assert not pallas_supported(2048, 64)    # hop not lane-aligned
+    assert not pallas_supported(128, 128)    # too small
+
+
+def test_melspectrogram_agrees_with_kernel(rng, tone_440):
+    # public API on CPU uses the XLA path; it must match the kernel's math
+    y = np.asarray(tone_440)
+    M_api = np.asarray(lt.feature.melspectrogram(y=y, sr=SR))
+    win = np.asarray(
+        lt.filters.get_window("hann", 2048, fftbins=True), dtype=np.float32
+    )
+    mb = filters.mel(sr=SR, n_fft=2048, n_mels=128).astype(np.float32)
+    M_kern = np.asarray(
+        stft_mel_pallas(y, win, mb, n_fft=2048, hop_length=512,
+                        interpret=True)
+    )
+    assert M_api.shape == M_kern.shape
+    assert _snr(M_kern, M_api.astype(np.float64)) > 110
