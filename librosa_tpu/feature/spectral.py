@@ -412,6 +412,35 @@ def chroma_stft(
     **kwargs: Any,
 ) -> jax.Array:
     """Chromagram from a power STFT. Parity: feature/spectral.py:1137."""
+    # Fused Pallas path when the full spectrogram isn't otherwise needed
+    # (explicit tuning, audio input): |STFT|² · chroma in one kernel.
+    if S is None and y is not None and tuning is not None:
+        from ..ops import pallas_stft as _pstft
+        from ..ops.fft import _resolved_backend
+
+        y_arr = jnp.asarray(y)
+        wl = n_fft if win_length is None else win_length
+        if (
+            _resolved_backend() == "matmul"
+            and y_arr.dtype == jnp.float32
+            and pad_mode in ("constant", "reflect")
+            and _pstft.pallas_supported(n_fft, hop_length)
+        ):
+            chromafb = filters.chroma(
+                sr=sr, n_fft=n_fft, tuning=tuning, n_chroma=n_chroma,
+                **kwargs,
+            )
+            window_dev = _win_device(window, wl, n_fft, jnp.float32)
+            try:
+                raw = _pstft.stft_mel_pallas(
+                    y_arr, window_dev, chromafb, n_fft=n_fft,
+                    hop_length=hop_length, power=2.0, center=center,
+                    pad_mode=pad_mode,
+                )
+                return util.normalize(raw, norm=norm, axis=-2)
+            except Exception:
+                pass
+
     S, n_fft = _spectrogram(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, power=2,
         win_length=win_length, window=window, center=center, pad_mode=pad_mode,

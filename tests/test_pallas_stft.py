@@ -92,3 +92,13 @@ def test_melspectrogram_agrees_with_kernel(rng, tone_440):
     )
     assert M_api.shape == M_kern.shape
     assert _snr(M_kern, M_api.astype(np.float64)) > 110
+
+
+def test_chroma_stft_kernel_path_matches_xla(rng, tone_440):
+    # with explicit tuning, chroma_stft may use the fused kernel on TPU;
+    # on CPU both take the XLA path — assert the two entry forms agree.
+    y = np.asarray(tone_440)
+    c1 = np.asarray(lt.feature.chroma_stft(y=y, sr=SR, tuning=0.0))
+    S = np.asarray(np.abs(np.asarray(lt.stft(y))) ** 2)
+    c2 = np.asarray(lt.feature.chroma_stft(S=S, sr=SR, tuning=0.0))
+    assert np.allclose(c1[:, : c2.shape[1]], c2, atol=1e-5)
