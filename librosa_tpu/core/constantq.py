@@ -142,20 +142,47 @@ def _vqt_filter_fft(
     return fb.astype(dtype), n_fft, lengths
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "mode", "phase")
+)
+def _cqt_response_core(
+    y, fft_basis, window_dev, dft_mats, *, n_fft, hop_length, mode, phase
+) -> jax.Array:
+    """stft × basis as ONE program.
+
+    Fusing matters beyond speed: across eager program boundaries the axon
+    backend rejects complex operands whose producing program chose a
+    transposed layout; inside one program XLA picks compatible layouts.
+    """
+    from .spectrum import _stft_core
+
+    D = _stft_core(
+        y, window_dev, dft_mats, n_fft=n_fft, hop_length=hop_length,
+        center=True, pad_mode=mode,
+    )
+    if not phase:
+        D = jnp.abs(D)
+    return jnp.einsum(
+        "cf,...ft->...ct", fft_basis.astype(D.dtype), D,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _cqt_response(
     y, n_fft, hop_length, fft_basis, mode, window="ones", phase=True, dtype=None
 ) -> jax.Array:
     """Framed-ones STFT × basis matmul. Parity: constantq.py:1197."""
-    D = stft(
-        y, n_fft=n_fft, hop_length=hop_length, window=window, pad_mode=mode,
-        dtype=dtype,
+    from .spectrum import _mats_arg, _win_device
+
+    window_dev = _win_device(window, n_fft, n_fft, jnp.float32)
+    out = _cqt_response_core(
+        jnp.asarray(y), jnp.asarray(fft_basis), window_dev,
+        _mats_arg(n_fft, window_dev.dtype),
+        n_fft=n_fft, hop_length=hop_length, mode=mode, phase=phase,
     )
-    if not phase:
-        D = jnp.abs(D)
-    basis = jnp.asarray(fft_basis, dtype=D.dtype)
-    return jnp.einsum(
-        "cf,...ft->...ct", basis, D, precision=jax.lax.Precision.HIGHEST
-    )
+    if dtype is not None:
+        out = out.astype(dtype)
+    return out
 
 
 def _trim_stack(

@@ -31,6 +31,43 @@ __all__ = [
 ]
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_size", "power", "mask", "margin", "n_fft", "hop_length",
+        "win_length", "window", "center", "pad_mode",
+    ),
+)
+def _hpss_stft_jit(
+    y, *, kernel_size, power, mask, margin, n_fft, hop_length, win_length,
+    window, center, pad_mode,
+):
+    """One program for stft → median-mask separation → 2× istft.
+
+    A single jit both removes per-op dispatch latency and keeps the
+    complex STFT inside one program (the axon backend rejects complex
+    operands crossing eager program boundaries with non-default layouts).
+    """
+    D = core.stft(
+        y, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window=window, center=center, pad_mode=pad_mode,
+    )
+    stft_harm, stft_perc = decompose.hpss(
+        D, kernel_size=kernel_size, power=power, mask=mask, margin=margin
+    )
+    istft_kw = dict(
+        dtype=y.dtype, n_fft=n_fft, hop_length=hop_length,
+        win_length=win_length, window=window, center=center,
+        length=y.shape[-1],
+    )
+    y_harm = core.istft(stft_harm, **istft_kw)
+    y_perc = core.istft(stft_perc, **istft_kw)
+    return y_harm, y_perc
+
+
 def _hpss_stft_pipeline(
     y: Any,
     *,
@@ -47,6 +84,26 @@ def _hpss_stft_pipeline(
 ) -> Tuple[jax.Array, jax.Array]:
     """stft → decompose.hpss → istft with length matched to ``y``."""
     y = jnp.asarray(y)
+
+    def _h(v):
+        """Hashable static form, preserving int-ness (kernel sizes)."""
+        def _scalar(x):
+            x = x.item() if hasattr(x, "item") else x
+            return int(x) if float(x).is_integer() else float(x)
+
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return tuple(_scalar(x) for x in np.asarray(v).ravel())
+        return _scalar(v)
+
+    if isinstance(window, (str, tuple)):
+        return _hpss_stft_jit(
+            y, kernel_size=_h(kernel_size), power=float(power),
+            mask=bool(mask), margin=_h(margin), n_fft=n_fft,
+            hop_length=hop_length, win_length=win_length, window=window,
+            center=bool(center), pad_mode=pad_mode,
+        )
+
+    # non-hashable window spec (array/callable): eager chain
     D = core.stft(
         y, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
         window=window, center=center, pad_mode=pad_mode,
@@ -59,9 +116,10 @@ def _hpss_stft_pipeline(
         win_length=win_length, window=window, center=center,
         length=y.shape[-1],
     )
-    y_harm = core.istft(stft_harm, **istft_kw)
-    y_perc = core.istft(stft_perc, **istft_kw)
-    return y_harm, y_perc
+    return (
+        core.istft(stft_harm, **istft_kw),
+        core.istft(stft_perc, **istft_kw),
+    )
 
 
 def hpss(y: Any, **kwargs: Any) -> Tuple[jax.Array, jax.Array]:

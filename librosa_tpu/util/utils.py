@@ -683,8 +683,12 @@ def softmask(
     X_ref = jnp.asarray(X_ref)
     if X.shape != X_ref.shape:
         raise ParameterError(f"Shape mismatch: {X.shape}!={X_ref.shape}")
-    if bool(jnp.any(X < 0)) or bool(jnp.any(X_ref < 0)):
-        raise ParameterError("X and X_ref must be non-negative")
+    # value validation only outside jit tracing (data-dependent)
+    if not isinstance(X, jax.core.Tracer) and not isinstance(
+        X_ref, jax.core.Tracer
+    ):
+        if bool(jnp.any(X < 0)) or bool(jnp.any(X_ref < 0)):
+            raise ParameterError("X and X_ref must be non-negative")
     if power <= 0:
         raise ParameterError("power must be strictly positive")
 
