@@ -7,3 +7,4 @@ from .matching import match_intervals, match_events  # noqa: F401
 from ._nnls import nnls  # noqa: F401
 from .deprecation import Deprecated, rename_kw  # noqa: F401
 from . import decorators, deprecation, exceptions, files  # noqa: F401
+from . import profiling  # noqa: F401

@@ -1,0 +1,191 @@
+"""Tracing and roofline accounting.
+
+The reference library has no instrumentation (SURVEY §5); this subsystem is
+new.  Three pieces:
+
+- :func:`trace` / :func:`annotate` — thin wrappers over ``jax.profiler``
+  so pipelines can emit TensorBoard-compatible traces.
+- :func:`calibrate` — measures THIS device's achievable matmul FLOP/s and
+  HBM bandwidth (the tunnel-attached TPU in this environment runs well
+  below datasheet numbers, so rooflines must be measured, not assumed).
+- :func:`roofline` — times a jitted function, pulls FLOP/byte counts from
+  XLA's cost analysis, and reports utilization against the calibrated
+  (or supplied) ceilings.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+__all__ = [
+    "trace",
+    "annotate",
+    "calibrate",
+    "roofline",
+    "DeviceCeilings",
+    "RooflineReport",
+]
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Profile a block into ``log_dir`` (view with TensorBoard/XProf)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region for the device trace timeline."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+@dataclass
+class DeviceCeilings:
+    """Measured achievable peaks for one device."""
+
+    matmul_f32_flops: float      # HIGHEST-precision f32 matmul FLOP/s
+    matmul_bf16_flops: float     # default-precision matmul FLOP/s
+    hbm_bytes_per_s: float       # elementwise read+write bandwidth
+
+
+def calibrate(device: Any = None, *, size: int = 4096) -> DeviceCeilings:
+    """Measure matmul throughput and HBM bandwidth on ``device``."""
+    import jax
+    import jax.numpy as jnp
+
+    if device is None:
+        device = jax.devices()[0]
+
+    rng = np.random.RandomState(0)
+    a = jax.device_put(rng.randn(size, size).astype(np.float32), device)
+    b = jax.device_put(rng.randn(size, size).astype(np.float32), device)
+
+    def _time(f, iters=4):
+        r = f()
+        _ = float(jnp.sum(r))
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            r = f()
+        _ = float(jnp.sum(r))
+        return (time.perf_counter() - t0) / iters
+
+    mm_hi = jax.jit(
+        lambda: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    )
+    mm_lo = jax.jit(lambda: jnp.matmul(a, b))
+    flops = 2 * size**3
+    t_hi = _time(mm_hi)
+    t_lo = _time(mm_lo)
+
+    x = jax.device_put(rng.randn(1 << 25).astype(np.float32), device)
+    ew = jax.jit(lambda: x * 1.0001 + 1.0)
+    t_ew = _time(ew, iters=6)
+
+    return DeviceCeilings(
+        matmul_f32_flops=flops / t_hi,
+        matmul_bf16_flops=flops / t_lo,
+        hbm_bytes_per_s=2 * x.nbytes / t_ew,
+    )
+
+
+@dataclass
+class RooflineReport:
+    seconds: float
+    flops: Optional[float]
+    bytes_accessed: Optional[float]
+    achieved_flops: Optional[float]
+    achieved_bandwidth: Optional[float]
+    compute_utilization: Optional[float]   # vs matmul_f32 ceiling
+    bandwidth_utilization: Optional[float]
+    bound: str                             # 'compute' | 'memory' | 'unknown'
+
+    def __str__(self) -> str:
+        def fmt(v, unit, scale):
+            return "n/a" if v is None else f"{v / scale:.2f} {unit}"
+
+        return (
+            f"time {self.seconds * 1e3:.2f} ms | "
+            f"{fmt(self.achieved_flops, 'TF/s', 1e12)} "
+            f"({'' if self.compute_utilization is None else f'{100 * self.compute_utilization:.0f}%'} of ceiling) | "
+            f"{fmt(self.achieved_bandwidth, 'GB/s', 1e9)} "
+            f"({'' if self.bandwidth_utilization is None else f'{100 * self.bandwidth_utilization:.0f}%'}) | "
+            f"{self.bound}-bound"
+        )
+
+
+def roofline(
+    fn: Callable,
+    *args: Any,
+    ceilings: Optional[DeviceCeilings] = None,
+    iters: int = 3,
+    **kwargs: Any,
+) -> RooflineReport:
+    """Time ``jit(fn)(*args)`` and relate it to the device rooflines.
+
+    FLOP/byte counts come from XLA's compiled cost analysis; ``ceilings``
+    defaults to a fresh :func:`calibrate` run.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    jfn = jax.jit(fn)
+    lowered = jfn.lower(*args, **kwargs)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    flops = cost.get("flops")
+    bytes_accessed = cost.get("bytes accessed")
+
+    out = jfn(*args, **kwargs)
+    _ = jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _i in range(iters):
+        out = jfn(*args, **kwargs)
+    _ = jax.block_until_ready(out)
+    seconds = (time.perf_counter() - t0) / iters
+
+    if ceilings is None:
+        ceilings = calibrate()
+
+    achieved_flops = None if flops is None else flops / seconds
+    achieved_bw = None if bytes_accessed is None else bytes_accessed / seconds
+    cu = (
+        None
+        if achieved_flops is None
+        else achieved_flops / ceilings.matmul_f32_flops
+    )
+    bu = (
+        None
+        if achieved_bw is None
+        else achieved_bw / ceilings.hbm_bytes_per_s
+    )
+    if cu is None and bu is None:
+        bound = "unknown"
+    elif (cu or 0) >= (bu or 0):
+        bound = "compute"
+    else:
+        bound = "memory"
+
+    return RooflineReport(
+        seconds=seconds,
+        flops=flops,
+        bytes_accessed=bytes_accessed,
+        achieved_flops=achieved_flops,
+        achieved_bandwidth=achieved_bw,
+        compute_utilization=cu,
+        bandwidth_utilization=bu,
+        bound=bound,
+    )

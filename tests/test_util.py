@@ -269,3 +269,27 @@ def test_future_default_warns():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert g(x=5) == 5
+
+
+def test_roofline_report():
+    from librosa_tpu.util import profiling
+    import jax.numpy as jnp
+
+    x = np.random.RandomState(0).randn(256, 256).astype(np.float32)
+    ceil = profiling.DeviceCeilings(
+        matmul_f32_flops=1e12, matmul_bf16_flops=2e12, hbm_bytes_per_s=1e11
+    )
+    rep = profiling.roofline(
+        lambda a: jnp.matmul(a, a), jnp.asarray(x), ceilings=ceil, iters=1
+    )
+    assert rep.seconds > 0
+    assert rep.bound in ("compute", "memory", "unknown")
+    assert "ms" in str(rep)
+
+
+def test_calibrate_runs_on_cpu():
+    from librosa_tpu.util import profiling
+
+    c = profiling.calibrate(size=256)
+    assert c.matmul_f32_flops > 0
+    assert c.hbm_bytes_per_s > 0
