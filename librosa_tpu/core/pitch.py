@@ -347,16 +347,20 @@ def pyin(
     )
     f0_cands = sr / period_cands  # (..., n_periods, n_frames)
 
-    # Map candidate frequencies to pitch bins
+    # Map candidate frequencies to pitch bins.  Clip to n_pitch_bins
+    # INCLUSIVE (reference core/pitch.py:921): candidates above fmax land
+    # in an overflow bin whose mass is discarded below, exactly as the
+    # reference's uniform unvoiced fill overwrites it.
     bin_index = 12 * n_bins_per_semitone * jnp.log2(f0_cands / fmin)
-    bin_index = jnp.clip(jnp.round(bin_index), 0, n_pitch_bins - 1).astype(jnp.int32)
+    bin_index = jnp.clip(jnp.round(bin_index), 0, n_pitch_bins).astype(jnp.int32)
 
     # Scatter-add probabilities into pitch-bin observation matrix
-    # (..., n_pitch_bins, n_frames)
+    # (..., n_pitch_bins + 1, n_frames); last row = overflow, dropped.
     def scatter_obs(probs, bins):
         # probs, bins: (n_periods, n_frames)
-        out = jnp.zeros((n_pitch_bins, probs.shape[-1]), dtype=probs.dtype)
-        return out.at[bins, jnp.arange(probs.shape[-1])[None, :]].add(probs)
+        out = jnp.zeros((n_pitch_bins + 1, probs.shape[-1]), dtype=probs.dtype)
+        out = out.at[bins, jnp.arange(probs.shape[-1])[None, :]].add(probs)
+        return out[:n_pitch_bins]
 
     lead_shape = yin_probs.shape[:-2]
     flatp = yin_probs.reshape((-1,) + yin_probs.shape[-2:])
@@ -456,13 +460,18 @@ def _pyin_trough_probs(
 
     yin_probs = jnp.sum(weighted, axis=0)  # (..., P, T)
 
-    # Thresholds with no troughs below: add no_trough_prob * beta mass to the
-    # global minimum trough
-    global_min = jnp.argmin(yin_frames, axis=-2, keepdims=True)  # (..., 1, T)
+    # Thresholds with no troughs below: add no_trough_prob * beta mass to
+    # the global minimum TROUGH (reference core/pitch.py:901-907).  Frames
+    # with no troughs at all (e.g. silence → flat CMND) receive nothing —
+    # the reference skips them entirely, leaving voiced probability zero.
+    masked = jnp.where(is_trough, yin_frames, jnp.inf)
+    global_min = jnp.argmin(masked, axis=-2, keepdims=True)  # (..., 1, T)
+    has_trough = jnp.any(is_trough, axis=-2, keepdims=True)  # (..., 1, T)
     empty = (n_below[..., 0:1, :] == 0)  # (n_thresh, ..., 1, T)
     empty_mass = jnp.sum(
         jnp.where(empty, beta_w, 0.0), axis=0
     )  # (..., 1, T)
+    empty_mass = jnp.where(has_trough, empty_mass, 0.0)
     onehot = jax.nn.one_hot(
         global_min[..., 0, :], P, axis=-2, dtype=yin_frames.dtype
     )
