@@ -444,6 +444,11 @@ def resample(
     - ``'kaiser_best'``/``'kaiser_fast'`` — device windowed-sinc polyphase
       approximations of resampy's modes
     """
+    if orig_sr <= 0 or target_sr <= 0:
+        raise ParameterError(
+            f"Invalid sample rates: orig_sr={orig_sr}, target_sr={target_sr} "
+            "(must be strictly positive)"
+        )
     y = jnp.asarray(y)
     if not jnp.issubdtype(y.dtype, jnp.floating):
         raise ParameterError("Audio data must be floating-point")
