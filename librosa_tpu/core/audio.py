@@ -327,32 +327,77 @@ def _upfirdn_len(len_h: int, n_in: int, up: int, down: int) -> int:
     return ((n_in - 1) * up + len_h - 1) // down + 1
 
 
-@functools.partial(jax.jit, static_argnames=("up", "down", "n_pre_remove", "n_out"))
+@functools.lru_cache(maxsize=64)
+def _upfirdn_matrix(h_key: tuple, up: int, down: int):
+    """Host-cached polyphase filter matrix F (W, up).
+
+    With t = m·down, m = q·up + p:
+        upfirdn(h, x)[m] = Σ_j x[⌊t/up⌋ − j] · h[(t mod up) + j·up]
+                         = Σ_j x[q·down + c_p − j] · Hp[p, j]
+    where c_p = (p·down) // up and Hp[p, j] = h[((p·down) mod up) + j·up].
+    Writing xs[q, k] = x_zpad[q·down + k] with L−1 left zeros and
+    W = down + L − 1, the whole transform is ONE matmul  xs @ F.
+    """
+    h_host = np.asarray(h_key, dtype=np.float64)
+    len_h = len(h_host)
+    L = -(-len_h // up)
+    h_np = np.zeros(L * up)
+    h_np[:len_h] = h_host
+
+    W = down + L - 1
+    F = np.zeros((W, up), dtype=np.float32)
+    for p in range(up):
+        t_mod = (p * down) % up
+        c_p = (p * down) // up
+        for j in range(L):
+            F[(L - 1) + c_p - j, p] = h_np[t_mod + j * up]
+    return jnp.asarray(F), L, W
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("down", "W", "q_blocks", "lpad", "rpad", "lo", "hi"),
+)
+def _upfirdn_matmul(
+    x, F, *, down: int, W: int, q_blocks: int, lpad: int, rpad: int,
+    lo: int, hi: int,
+):
+    """Pad → xs[q, k] = x_pad[q·down + k] (slice-concat) → xs @ F → slice."""
+    pad = [(0, 0)] * x.ndim
+    pad[-1] = (lpad, rpad)
+    x_pad = jnp.pad(x, pad)
+    rows = x_pad[..., : (q_blocks + (W - 1) // down + 1) * down]
+    lead = rows.shape[:-1]
+    rows = rows.reshape(*lead, -1, down)
+    parts = [rows[..., s : s + q_blocks, :] for s in range((W - 1) // down + 1)]
+    xs = jnp.concatenate(parts, axis=-1)[..., :W]     # (..., Q, W)
+    y = jnp.matmul(xs, F, precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(*lead, -1)[..., lo:hi]           # (..., n_out)
+
+
 def _upfirdn_conv(
     x: jax.Array, h: jax.Array, *, up: int, down: int, n_pre_remove: int, n_out: int
 ) -> jax.Array:
-    """Polyphase resampling as one dilated, strided convolution.
+    """Polyphase resampling as one MXU matmul (no gathers, no dilated conv).
 
-    ``upfirdn(h, x, up, down)`` ≡ cross-correlation of the up-dilated input
-    with the flipped filter at stride ``down`` and full padding — exactly
-    what ``lax.conv_general_dilated`` computes, and exactly what the MXU
-    likes: a big strided FIR.
+    ``lax.conv_general_dilated`` with large ``lhs_dilation`` (e.g. 320/441)
+    takes minutes to compile on TPU and XLA gathers run scalar-slow; the
+    blocked polyphase matrix form compiles in seconds and is a single
+    (Q, down+L−1) × (down+L−1, up) matmul.
     """
-    lead = x.shape[:-1]
-    n = x.shape[-1]
-    xb = x.reshape((-1, 1, n))  # (batch, channel=1, time)
-    len_h = h.shape[0]
-    kern = h[::-1].reshape((1, 1, len_h)).astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        xb,
-        kern,
-        window_strides=(down,),
-        padding=[(len_h - 1, len_h - 1)],
-        lhs_dilation=(up,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
+    h_key = tuple(np.asarray(h, dtype=np.float32).tolist())
+    F, L, W = _upfirdn_matrix(h_key, up, down)
+
+    M = _upfirdn_len(h.shape[0], x.shape[-1], up, down)
+    q_blocks = -(-M // up)
+
+    # zero-pad: L−1 on the left (j lookback), right to cover the last block
+    need = (q_blocks + (W - 1) // down + 1) * down
+    return _upfirdn_matmul(
+        x, F, down=down, W=W, q_blocks=q_blocks, lpad=L - 1,
+        rpad=max(0, need - (L - 1) - x.shape[-1]),
+        lo=n_pre_remove, hi=n_pre_remove + n_out,
     )
-    y = y.reshape(*lead, y.shape[-1])
-    return y[..., n_pre_remove : n_pre_remove + n_out]
 
 
 def resample_poly(
