@@ -8,6 +8,7 @@ shift-compare stencil.  Parity citations: ``librosa/core/pitch.py``.
 
 from __future__ import annotations
 
+import functools
 import warnings
 from typing import Any, Callable, Optional, Tuple, Union
 
@@ -298,23 +299,12 @@ def pyin(
         hop_length = frame_length // 4
 
     y = jnp.asarray(y)
-    if center:
-        padding = [(0, 0)] * y.ndim
-        padding[-1] = (frame_length // 2, frame_length // 2)
-        y = jnp.pad(y, padding, mode=pad_mode)
-
-    y_frames = util.frame(y, frame_length=frame_length, hop_length=hop_length)
 
     min_period = int(np.floor(sr / fmax))
     max_period = min(int(np.ceil(sr / fmin)), frame_length - 1)
 
-    yin_frames = _cumulative_mean_normalized_difference(
-        y_frames, min_period, max_period
-    )
-    parabolic_shifts = _parabolic_interpolation(yin_frames)
-
     # ------------------------------------------------------------------
-    # Trough prior over thresholds (reference __pyin_helper, vectorized)
+    # Host-side constants (reference __pyin_helper priors + HMM matrices)
     # ------------------------------------------------------------------
     import scipy.stats
 
@@ -324,6 +314,79 @@ def pyin(
 
     n_bins_per_semitone = int(np.ceil(1.0 / resolution))
     n_pitch_bins = int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
+
+    max_semitones_per_frame = round(max_transition_rate * 12 * hop_length / sr)
+    transition_width = max_semitones_per_frame * n_bins_per_semitone + 1
+    transition = transition_local(
+        n_pitch_bins, transition_width, window="triangle", wrap=False
+    )
+    t_switch = transition_loop(2, 1 - switch_prob)
+    transition = np.kron(t_switch, np.asarray(transition))
+
+    p_init = np.zeros(2 * n_pitch_bins)
+    p_init[n_pitch_bins:] = 1 / n_pitch_bins
+
+    eps = np.finfo(np.float64).tiny
+    log_trans = np.log(transition + eps)
+    if transition_min_prob is not None and transition_min_prob > 0:
+        feasible = log_trans >= np.log(transition_min_prob + eps)
+        log_trans = np.where(feasible, log_trans, -np.inf)
+    log_p_init = np.log(p_init + eps)
+
+    f0, voiced_flag, voiced_prob = _pyin_core(
+        y,
+        jnp.asarray(thresholds),
+        jnp.asarray(beta_probs),
+        jnp.asarray(log_trans, dtype=jnp.float32),
+        jnp.asarray(log_p_init, dtype=jnp.float32),
+        sr=float(sr), fmin=float(fmin),
+        frame_length=frame_length, hop_length=hop_length,
+        min_period=min_period, max_period=max_period,
+        n_pitch_bins=n_pitch_bins, n_bins_per_semitone=n_bins_per_semitone,
+        boltzmann_parameter=float(boltzmann_parameter),
+        no_trough_prob=float(no_trough_prob),
+        center=bool(center), pad_mode=pad_mode,
+    )
+
+    if fill_na is not None:
+        f0 = jnp.where(voiced_flag, f0, fill_na)
+
+    return f0, voiced_flag, voiced_prob
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sr", "fmin", "frame_length", "hop_length", "min_period",
+        "max_period", "n_pitch_bins", "n_bins_per_semitone",
+        "boltzmann_parameter", "no_trough_prob", "center", "pad_mode",
+    ),
+)
+def _pyin_core(
+    y, thresholds, beta_probs, log_trans, log_p_init, *, sr, fmin,
+    frame_length, hop_length, min_period, max_period, n_pitch_bins,
+    n_bins_per_semitone, boltzmann_parameter, no_trough_prob, center,
+    pad_mode,
+):
+    """The full pYIN device pipeline as ONE program.
+
+    frame → CMND → parabolic interpolation → batched trough priors →
+    observation scatter → max-plus Viterbi scan → decode.  Fusing removes
+    ~30 per-op dispatches (22 ms each over the axon tunnel) per call.
+    """
+    from ..sequence import _viterbi_scan
+
+    if center:
+        padding = [(0, 0)] * y.ndim
+        padding[-1] = (frame_length // 2, frame_length // 2)
+        y = jnp.pad(y, padding, mode=pad_mode)
+
+    y_frames = util.frame(y, frame_length=frame_length, hop_length=hop_length)
+
+    yin_frames = _cumulative_mean_normalized_difference(
+        y_frames, min_period, max_period
+    )
+    parabolic_shifts = _parabolic_interpolation(yin_frames)
 
     is_trough = util.localmin(yin_frames, axis=-2)
     is_trough = is_trough.at[..., 0, :].set(
@@ -382,32 +445,17 @@ def pyin(
         axis=-2,
     )
 
-    # Transition matrix: local pitch transitions ⊗ voicing switch
-    max_semitones_per_frame = round(max_transition_rate * 12 * hop_length / sr)
-    transition_width = max_semitones_per_frame * n_bins_per_semitone + 1
-    transition = transition_local(
-        n_pitch_bins, transition_width, window="triangle", wrap=False
-    )
-    t_switch = transition_loop(2, 1 - switch_prob)
-    transition = np.kron(t_switch, np.asarray(transition))
-
-    p_init = np.zeros(2 * n_pitch_bins)
-    p_init[n_pitch_bins:] = 1 / n_pitch_bins
-
-    states = viterbi(
-        obs_full,
-        jnp.asarray(transition),
-        p_init=jnp.asarray(p_init),
-        transition_min_prob=transition_min_prob,
+    # Max-plus Viterbi over the (precomputed, possibly pruned) transition
+    log_prob = jnp.log(obs_full + np.finfo(np.float64).tiny)
+    log_prob = jnp.swapaxes(log_prob, -2, -1)  # (..., T, S)
+    states, _ = _viterbi_scan(
+        log_prob.astype(jnp.float32), log_trans, log_p_init
     )
 
     # Decode: state < n_pitch_bins → voiced at that bin
     freqs = fmin * 2 ** (jnp.arange(n_pitch_bins) / (12 * n_bins_per_semitone))
     f0 = freqs[states % n_pitch_bins]
     voiced_flag = states < n_pitch_bins
-
-    if fill_na is not None:
-        f0 = jnp.where(voiced_flag, f0, fill_na)
 
     return f0, voiced_flag, voiced_prob[..., 0, :]
 
