@@ -7,6 +7,7 @@ citations refer to ``librosa/feature/rhythm.py``.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -54,9 +55,19 @@ def tempogram(
             raise ParameterError("Either y or onset_envelope must be provided")
         onset_envelope = onset_strength(y=y, sr=sr, hop_length=hop_length)
     onset_envelope = jnp.asarray(onset_envelope)
+    norm_key = None if norm is None else float(norm)
+    return _tempogram_core(
+        onset_envelope, jnp.asarray(ac_window, dtype=onset_envelope.dtype),
+        win_length=win_length, center=bool(center), norm=norm_key,
+    )
 
+
+@functools.partial(
+    jax.jit, static_argnames=("win_length", "center", "norm")
+)
+def _tempogram_core(onset_envelope, ac_window, *, win_length, center, norm):
+    """Pad → hop-1 framing → windowed FFT autocorrelation → normalize, fused."""
     n = onset_envelope.shape[-1]
-
     if center:
         padding = [(0, 0)] * onset_envelope.ndim
         padding[-1] = (int(win_length // 2),) * 2
@@ -72,8 +83,7 @@ def tempogram(
         odf_frame = odf_frame[..., :n]
 
     ac_win = util.expand_to(
-        jnp.asarray(ac_window, dtype=odf_frame.dtype),
-        ndim=odf_frame.ndim, axes=-2,
+        ac_window.astype(odf_frame.dtype), ndim=odf_frame.ndim, axes=-2
     )
     return util.normalize(
         autocorrelate(odf_frame * ac_win, axis=-2), norm=norm, axis=-2
