@@ -105,7 +105,7 @@ def _remap_basis(basis: np.ndarray, n_fft: int, n1: int, n2: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=128)
 def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
-                 precision, interpret):
+                 precision, interpret, n_tracks=1):
     """Build (and cache) the jitted pallas_call for one configuration.
 
     pallas_call returns a fresh callable each time; without this cache an
@@ -118,11 +118,11 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
     rpad = ((r - 1 + 7) // 8) * 8
     kern = functools.partial(
         _kernel, tt=tt, hop=hop_length, n_fft=n_fft, n1=n1, n2=n2,
-        power=power, precision=precision,
+        power=power, precision=precision, tiles_per_track=n_tiles,
     )
     call = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
+        grid=(n_tracks * n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),          # rows (manual DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),         # window
@@ -137,7 +137,9 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
         out_specs=pl.BlockSpec(
             (n_out, tt), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_out, n_tiles * tt), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out, n_tracks * n_tiles * tt), jnp.float32
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, tt + rpad, hop_length), jnp.float32),
             pltpu.VMEM((tt, n2, n1), jnp.float32),
@@ -151,7 +153,7 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
 def _kernel(rows_hbm, win_ref, c2_ref, s2_ref, ctw_ref, stw_ref,
             c1_ref, s1_ref, basis_ref, out_ref, ybufs, xstack, sems,
             *, tt: int, hop: int, n_fft: int, n1: int, n2: int,
-            power: float, precision):
+            power: float, precision, tiles_per_track: int):
     """One grid step = one tile of ``tt`` frames.
 
     Frames are never assembled: frame t spans r = n_fft/hop consecutive
@@ -165,17 +167,25 @@ def _kernel(rows_hbm, win_ref, c2_ref, s2_ref, ctw_ref, stw_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
+    n_total = pl.num_programs(0)
     r = n_fft // hop
     q = hop // n1
     rpad = ((r - 1 + 7) // 8) * 8
+    rows_per_track = tiles_per_track * tt + rpad
+
+    # Tile i belongs to track i // tiles_per_track; its rows start at
+    # track*rows_per_track + (i mod tiles_per_track)*tt.  Both terms are
+    # 8-aligned (tt and rows_per_track are multiples of 8).
+    def _row_start(tile):
+        track = tile // tiles_per_track
+        within = tile % tiles_per_track
+        return pl.multiple_of(track * rows_per_track + within * tt, 8)
 
     # Double-buffered input DMA: tile i computes from slot i%2 while the
-    # DMA for tile i+1 streams into the other slot.  Tile i reads rows
-    # [i*tt, i*tt + tt + rpad) — start aligned because tt is 8-aligned.
+    # DMA for tile i+1 streams into the other slot.
     def _start(tile, slot):
         pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(tile * tt, tt + rpad), :],
+            rows_hbm.at[pl.ds(_row_start(tile), tt + rpad), :],
             ybufs.at[slot], sems.at[slot],
         ).start()
 
@@ -185,12 +195,12 @@ def _kernel(rows_hbm, win_ref, c2_ref, s2_ref, ctw_ref, stw_ref,
     def _():
         _start(0, 0)
 
-    @pl.when(i + 1 < n_tiles)
+    @pl.when(i + 1 < n_total)
     def _():
         _start(i + 1, jax.lax.rem(i + 1, 2))
 
     pltpu.make_async_copy(
-        rows_hbm.at[pl.ds(i * tt, tt + rpad), :],
+        rows_hbm.at[pl.ds(_row_start(i), tt + rpad), :],
         ybufs.at[slot], sems.at[slot],
     ).wait()
     ybuf = ybufs.at[slot]
@@ -298,16 +308,11 @@ def stft_mel_pallas(
         )
 
     y = jnp.asarray(y, dtype=jnp.float32)
+    lead_shape = y.shape[:-1]
     if y.ndim > 1:
-        fn = functools.partial(
-            stft_mel_pallas, window=window, basis=basis, n_fft=n_fft,
-            hop_length=hop_length, power=power, center=center,
-            pad_mode=pad_mode, tile_frames=tile_frames,
-            precision=precision, interpret=interpret,
-        )
-        for _ in range(y.ndim - 1):
-            fn = jax.vmap(fn)
-        return fn(y)
+        # fold leading (track/channel) dims into the kernel grid — Mosaic
+        # cannot lower a vmapped ANY-memory-space operand under jit
+        y = y.reshape(-1, y.shape[-1])
 
     n1, n2 = _factor(n_fft)
     c2, s2, ctw, stw, c1, s1 = _host_tables(n_fft, n2)
@@ -336,17 +341,20 @@ def stft_mel_pallas(
     n_tiles = -(-n_frames // tt)
     r = n_fft // hop_length
     rpad = ((r - 1 + 7) // 8) * 8
-    # rows layout: tile i DMA-reads rows [i*tt, i*tt + tt + rpad)
+    # rows layout per track: tile i DMA-reads rows [i*tt, i*tt + tt + rpad)
     rows_needed = n_tiles * tt + rpad
     tail = max(0, rows_needed * hop_length - n) + lpad
+    batched = y.ndim > 1
+    pads = [(0, 0)] * (y.ndim - 1)
     if lpad > 0 or tail > 0:
         if pad_mode == "reflect" and lpad > 0:
             # reflect only applies to the centering portion
-            y = jnp.pad(y, (lpad, lpad), mode="reflect")
-            y = jnp.pad(y, (0, tail - lpad))
+            y = jnp.pad(y, pads + [(lpad, lpad)], mode="reflect")
+            y = jnp.pad(y, pads + [(0, tail - lpad)])
         else:
-            y = jnp.pad(y, (lpad, tail))
-    rows = y[: rows_needed * hop_length].reshape(rows_needed, hop_length)
+            y = jnp.pad(y, pads + [(lpad, tail)])
+    rows = y[..., : rows_needed * hop_length].reshape(-1, hop_length)
+    n_tracks = int(np.prod(lead_shape)) if batched else 1
 
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
@@ -354,7 +362,7 @@ def stft_mel_pallas(
 
     call = _cached_call(
         n_fft, hop_length, n1, n2, tt, n_tiles, n_out, float(power),
-        precision, interpret,
+        precision, interpret, n_tracks,
     )
     out = call(
         rows, win,
@@ -365,4 +373,9 @@ def stft_mel_pallas(
         jnp.asarray(c1), jnp.asarray(s1),               # [t1, k1]
         jnp.asarray(remapped),                          # [k2, k1, m] folded
     )
-    return out[:, :n_frames]
+    if not lead_shape:
+        return out[:, :n_frames]
+    # (n_out, n_tracks·n_tiles·tt) → (..., n_out, n_frames)
+    out = out.reshape(n_out, n_tracks, n_tiles * tt)
+    out = jnp.moveaxis(out, 0, 1)[..., :n_frames]
+    return out.reshape(lead_shape + (n_out, n_frames))
