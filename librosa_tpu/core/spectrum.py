@@ -868,6 +868,29 @@ def _spectrogram(
             raise ParameterError("Audio data must be floating-point")
         real_dtype = y.dtype if y.dtype in (jnp.float32, jnp.float64) else jnp.float32
         window_dev = _win_device(window, win_length, n_fft, real_dtype)
+
+        # On TPU, the fused Pallas kernel with an identity basis computes
+        # the full |STFT|^power ~1.5× faster than the XLA pipeline (no
+        # frame matrix in HBM).
+        from ..ops import pallas_stft as _pstft
+        from ..ops.fft import _resolved_backend
+
+        if (
+            _resolved_backend() == "matmul"
+            and real_dtype == jnp.float32
+            and pad_mode in ("constant", "reflect")
+            and _pstft.pallas_supported(n_fft, hop_length)
+        ):
+            try:
+                S = _pstft.stft_mel_pallas(
+                    y, window_dev, _eye_basis(n_fft), n_fft=n_fft,
+                    hop_length=hop_length, power=float(power),
+                    center=center, pad_mode=pad_mode,
+                )
+                return S, n_fft
+            except Exception:
+                pass
+
         S = _stft_power_core(
             y,
             window_dev,
@@ -879,3 +902,8 @@ def _spectrogram(
             power=float(power),
         )
     return S, n_fft
+
+
+@functools.lru_cache(maxsize=8)
+def _eye_basis(n_fft: int) -> np.ndarray:
+    return np.eye(n_fft // 2 + 1, dtype=np.float32)
