@@ -371,7 +371,16 @@ def _upfirdn_matmul(
     rows = rows.reshape(*lead, -1, down)
     parts = [rows[..., s : s + q_blocks, :] for s in range((W - 1) // down + 1)]
     xs = jnp.concatenate(parts, axis=-1)[..., :W]     # (..., Q, W)
-    y = jnp.matmul(xs, F, precision=jax.lax.Precision.HIGHEST)
+    if F.shape[-1] >= 8:
+        y = jnp.matmul(xs, F, precision=jax.lax.Precision.HIGHEST)
+    else:
+        # tiny `up` makes a pathological N<8 matmul on the MXU; a VPU
+        # broadcast-reduce is far faster for pure downsampling
+        y = jnp.einsum(
+            "...qk,kp->...qp", xs, F, precision=jax.lax.Precision.HIGHEST
+        ) if F.shape[-1] > 1 else jnp.sum(
+            xs * F[:, 0], axis=-1, keepdims=True
+        )
     return y.reshape(*lead, -1)[..., lo:hi]           # (..., n_out)
 
 
