@@ -788,6 +788,17 @@ def griffinlim(
     else:
         raise ParameterError(f"init={init} must either None or 'random'")
 
+    if isinstance(window, (str, tuple)):
+        # entire iteration as ONE program (scan over n_iter): removes
+        # 4·n_iter per-op dispatches and keeps the complex spectra inside
+        # a single XLA program (axon layout constraint)
+        return _griffinlim_scan(
+            S, angles, n_iter=n_iter, hop_length=hop_length,
+            win_length=win_length, n_fft=n_fft, window=window,
+            center=center, pad_mode=pad_mode, momentum=float(momentum),
+            length=length,
+        )
+
     eps = util.tiny(np.zeros((), dtype=np.dtype(ang_dtype)))
     rdt_r = np.zeros((), dtype=np.dtype(ang_dtype)).real.dtype
     rebuilt = jax.lax.complex(
@@ -827,6 +838,48 @@ def griffinlim(
         center=center,
         dtype=dtype,
         length=length,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_iter", "hop_length", "win_length", "n_fft", "window", "center",
+        "pad_mode", "momentum", "length",
+    ),
+)
+def _griffinlim_scan(
+    S, angles, *, n_iter, hop_length, win_length, n_fft, window, center,
+    pad_mode, momentum, length,
+):
+    """Momentum Griffin-Lim as a single scanned program."""
+    eps = util.tiny(np.zeros((), dtype=np.dtype(np.float32)))
+    rdt = jnp.zeros((), dtype=angles.dtype).real.dtype
+    rebuilt0 = jax.lax.complex(
+        jnp.zeros(S.shape, dtype=rdt), jnp.zeros(S.shape, dtype=rdt)
+    )
+
+    def body(carry, _):
+        angles, tprev = carry
+        inverse = istft(
+            S * angles, hop_length=hop_length, win_length=win_length,
+            n_fft=n_fft, window=window, center=center, length=length,
+        )
+        rebuilt = stft(
+            inverse, n_fft=n_fft, hop_length=hop_length,
+            win_length=win_length, window=window, center=center,
+            pad_mode=pad_mode,
+        )
+        new_angles = rebuilt - (momentum / (1 + momentum)) * tprev
+        new_angles = new_angles / (jnp.abs(new_angles) + eps)
+        return (new_angles, rebuilt), None
+
+    (angles, _), _ = jax.lax.scan(
+        body, (angles, rebuilt0), None, length=n_iter
+    )
+    return istft(
+        S * angles, hop_length=hop_length, win_length=win_length,
+        n_fft=n_fft, window=window, center=center, length=length,
     )
 
 
