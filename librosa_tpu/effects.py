@@ -145,14 +145,24 @@ def percussive(y: Any, **kwargs: Any) -> jax.Array:
     return _hpss_stft_pipeline(y, **kwargs)[1]
 
 
+@functools.partial(jax.jit, static_argnames=("rate", "len_stretch"))
+def _time_stretch_jit(y, *, rate: float, len_stretch: int):
+    D = core.stft(y)
+    D_stretch = core.phase_vocoder(D, rate=rate)
+    return core.istft(D_stretch, dtype=y.dtype, length=len_stretch)
+
+
 def time_stretch(y: Any, *, rate: float, **kwargs: Any) -> jax.Array:
     """Time-stretch by ``rate`` via phase vocoding. Parity: effects.py:426."""
     if rate <= 0:
         raise ParameterError("rate must be a positive number")
     y = jnp.asarray(y)
+    len_stretch = round(y.shape[-1] / rate)
+    if not kwargs:
+        # default configuration: one fused program
+        return _time_stretch_jit(y, rate=float(rate), len_stretch=len_stretch)
     stft = core.stft(y, **kwargs)
     stft_stretch = core.phase_vocoder(stft, rate=rate)
-    len_stretch = round(y.shape[-1] / rate)
     return core.istft(stft_stretch, dtype=y.dtype, length=len_stretch, **kwargs)
 
 
