@@ -55,3 +55,15 @@ def test_stft_sharded_rejects_bad_length(mesh8):
     y = np.zeros(1000, dtype=np.float32)
     with pytest.raises(lt.ParameterError):
         stft_sharded(y, mesh=mesh8)
+
+
+def test_scaling_report_runs(mesh8):
+    from librosa_tpu.parallel.scaling import scaling_report
+
+    pts = scaling_report(
+        device_counts=[1, 2, 4], seconds_per_device=1.0, iters=1
+    )
+    assert [p.n_devices for p in pts] == [1, 2, 4]
+    assert pts[0].efficiency == 1.0
+    for p in pts:
+        assert p.samples_per_s > 0
