@@ -145,6 +145,73 @@ def main() -> None:
     cpu_dt = time.perf_counter() - t0
     baseline_sps = nb / cpu_dt
 
+    # --- secondary metrics: the other BASELINE configs --------------------
+    def _timeit(fn, iters=3):
+        r = fn()
+        try:
+            jnp.asarray(r if not isinstance(r, tuple) else r[0]).block_until_ready()
+        except Exception:
+            pass
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn()
+        try:
+            jnp.asarray(r if not isinstance(r, tuple) else r[0]).block_until_ready()
+        except Exception:
+            pass
+        return (time.perf_counter() - t0) / iters
+
+    y30 = jnp.asarray(np.resize(y, SR * 30).astype(np.float32))
+    secondary = {}
+    try:
+        batch = jnp.asarray(
+            np.resize(y, 8 * SR * 8).reshape(8, SR * 8).astype(np.float32)
+        )
+
+        def cfg2():
+            m = lt.feature.mfcc(y=batch, sr=SR)
+            c = lt.feature.chroma_stft(y=batch, sr=SR, tuning=0.0)
+            s = lt.feature.spectral_centroid(y=batch, sr=SR)
+            return jnp.sum(m) + jnp.sum(c) + jnp.sum(s)
+
+        secondary["cfg2_feature_stack_Msps"] = round(
+            batch.size / _timeit(jax.jit(cfg2)) / 1e6
+        )
+    except Exception as e:  # pragma: no cover
+        secondary["cfg2_error"] = str(e)[:60]
+    try:
+        S30 = jnp.abs(lt.stft(y30))
+
+        def cfg3():
+            yr = lt.resample(y30, orig_sr=SR, target_sr=16000,
+                             res_type="polyphase")
+            g = lt.griffinlim(S30, n_iter=8)
+            return yr, g
+
+        secondary["cfg3_resample_griffinlim_ms"] = round(
+            _timeit(cfg3) * 1000, 1
+        )
+    except Exception as e:  # pragma: no cover
+        secondary["cfg3_error"] = str(e)[:60]
+    try:
+        secondary["cfg4_cqt_hpss_ms"] = round(
+            _timeit(lambda: (lt.cqt(y30, sr=SR), lt.effects.hpss(y30)[0]))
+            * 1000, 1,
+        )
+    except Exception as e:  # pragma: no cover
+        secondary["cfg4_error"] = str(e)[:60]
+    try:
+        y5 = y30[: SR * 5]
+
+        def cfg5():
+            t_, b_ = lt.beat.beat_track(y=y30, sr=SR)
+            f0 = lt.pyin(y5, fmin=65, fmax=800, sr=SR)[0]
+            return jnp.sum(f0)
+
+        secondary["cfg5_beat_pyin_ms"] = round(_timeit(cfg5, iters=2) * 1000, 1)
+    except Exception as e:  # pragma: no cover
+        secondary["cfg5_error"] = str(e)[:60]
+
     result = {
         "metric": "audio samples/s/chip for STFT+mel (n_fft=2048, hop=512)",
         "value": round(samples_per_s),
@@ -154,6 +221,7 @@ def main() -> None:
         "device": str(dev),
         "cpu_baseline_samples_per_s": round(baseline_sps),
         "api_dispatch_samples_per_s": round(api_samples_per_s),
+        **secondary,
     }
     print(json.dumps(result))
 

@@ -844,7 +844,9 @@ def mu_compress(x: Any, *, mu: float = 255, quantize: bool = True) -> jax.Array:
             f"mu-law compression parameter mu={mu} must be strictly positive."
         )
     x = jnp.asarray(x)
-    if bool(jnp.any(x < -1)) or bool(jnp.any(x > 1)):
+    if not isinstance(x, jax.core.Tracer) and (
+        bool(jnp.any(x < -1)) or bool(jnp.any(x > 1))
+    ):
         raise ParameterError("mu-law input x must be in the range [-1, +1].")
 
     x_comp = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / np.log1p(mu)
@@ -866,6 +868,8 @@ def mu_expand(x: Any, *, mu: float = 255, quantize: bool = True) -> jax.Array:
     x = jnp.asarray(x)
     if quantize:
         x = x * 2.0 / (1 + mu)
-    if bool(jnp.any(x < -1)) or bool(jnp.any(x > 1)):
+    if not isinstance(x, jax.core.Tracer) and (
+        bool(jnp.any(x < -1)) or bool(jnp.any(x > 1))
+    ):
         raise ParameterError("Inverse mu-law input x must be in the range [-1, +1].")
     return jnp.sign(x) / mu * (jnp.power(1 + mu, jnp.abs(x)) - 1)

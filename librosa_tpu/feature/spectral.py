@@ -53,7 +53,8 @@ _WindowSpec = Any
 def _check_nonneg_real(S: jax.Array, name: str) -> None:
     if jnp.issubdtype(S.dtype, jnp.complexfloating):
         raise ParameterError(f"{name} is only defined with real-valued input")
-    if bool(jnp.any(S < 0)):
+    # data-dependent validation only outside jit tracing
+    if not isinstance(S, jax.core.Tracer) and bool(jnp.any(S < 0)):
         raise ParameterError(f"{name} is only defined with non-negative energies")
 
 

@@ -134,8 +134,10 @@ def valid_audio(y: _ArrayLike, *, mono: bool = False) -> bool:
             raise ParameterError(
                 f"Audio data must be at least one-dimensional, given y.shape={y.shape}"
             )
-        # Finite-ness check forces a sync; keep it cheap but faithful.
-        if not bool(jnp.all(jnp.isfinite(y))):
+        # Finite-ness check forces a sync; data-dependent, so skip under jit
+        if not isinstance(y, jax.core.Tracer) and not bool(
+            jnp.all(jnp.isfinite(y))
+        ):
             raise ParameterError("Audio buffer is not finite everywhere")
         return True
 
