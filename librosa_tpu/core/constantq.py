@@ -318,6 +318,45 @@ def vqt(
     vqt_resp = []
     my_y, my_sr, my_hop = y, sr, hop_length
 
+    # For host-side resamplers (soxr), precompute the whole downsample
+    # ladder in one host pass: per-octave device→host round trips cost
+    # ~40 ms each over remote links, while soxr itself is sub-millisecond.
+    host_ladder = None
+    if str(res_type).startswith("soxr"):
+        try:
+            from ..io import _soxr
+
+            if _soxr.available():
+                host_ladder = {}
+                cur = np.asarray(my_y)
+                cur_hop, cur_sr = my_hop, my_sr
+                for i in range(n_octaves - 1):
+                    if cur_hop % 2 == 0 and (
+                        freqs[
+                            (slice(-n_filters * (i + 1), -n_filters * i)
+                             if i else slice(-n_filters, None)).start - 1
+                        ] <= cur_sr / 5
+                    ):
+                        nxt = np.apply_along_axis(
+                            _soxr.resample, -1, cur, in_rate=2, out_rate=1,
+                            quality=res_type,
+                        )
+                        # fix_length + scale semantics, pure host numpy
+                        size = int(np.ceil(cur.shape[-1] / 2))
+                        if nxt.shape[-1] > size:
+                            nxt = nxt[..., :size]
+                        elif nxt.shape[-1] < size:
+                            padw = [(0, 0)] * (nxt.ndim - 1) + [
+                                (0, size - nxt.shape[-1])
+                            ]
+                            nxt = np.pad(nxt, padw)
+                        cur = (nxt * np.sqrt(2)).astype(np.float32)
+                        cur_hop //= 2
+                        cur_sr /= 2.0
+                        host_ladder[i + 1] = cur
+        except Exception:
+            host_ladder = None
+
     for i in range(n_octaves):
         if i == 0:
             sl = slice(-n_filters, None)
@@ -334,33 +373,65 @@ def vqt(
         # compensate for downsampling
         fft_basis = fft_basis * np.sqrt(sr / my_sr)
 
-        vqt_resp.append(
-            _cqt_response(my_y, n_fft, my_hop, fft_basis, pad_mode, dtype=dtype)
-        )
+        vqt_resp.append((my_y, n_fft, my_hop, fft_basis))
 
         if i < n_octaves - 1:
             f_max_next = freqs[sl.start - 1]
             if my_hop % 2 == 0 and f_max_next <= my_sr / 5:
                 my_hop //= 2
                 my_sr /= 2.0
-                my_y = audio.resample(
-                    my_y, orig_sr=2, target_sr=1, res_type=res_type, scale=True
-                )
-
-    V = _trim_stack(vqt_resp, n_bins, dtype)
+                if host_ladder is not None and (i + 1) in host_ladder:
+                    my_y = jnp.asarray(host_ladder[i + 1])
+                else:
+                    my_y = audio.resample(
+                        my_y, orig_sr=2, target_sr=1, res_type=res_type,
+                        scale=True,
+                    )
 
     if scale:
         lengths, _ = filters.wavelet_lengths(
             freqs=freqs, sr=sr, window=window, filter_scale=filter_scale,
             gamma=gamma, alpha=alpha,
         )
-        lengths_j = util.expand_to(
-            jnp.asarray(np.sqrt(lengths), dtype=V.real.dtype),
-            ndim=V.ndim, axes=-2,
-        )
-        V = V / lengths_j
+        scales = (1.0 / np.sqrt(lengths)).astype(np.float32)
+    else:
+        scales = np.ones(n_bins, dtype=np.float32)
 
-    return V
+    # One program for the whole ladder: all octave responses, the
+    # trim/stack, and the length scaling — ~15 eager dispatches become 1.
+    ys = tuple(jnp.asarray(t[0]) for t in vqt_resp)
+    bases = tuple(jnp.asarray(t[3]) for t in vqt_resp)
+    plan = tuple((t[1], t[2]) for t in vqt_resp)
+    return _vqt_ladder_core(
+        ys, bases, jnp.asarray(scales), plan=plan, n_bins=n_bins,
+        pad_mode=pad_mode, dtype=jnp.dtype(dtype).name,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "n_bins", "pad_mode", "dtype")
+)
+def _vqt_ladder_core(ys, bases, scales, *, plan, n_bins, pad_mode, dtype):
+    """All octave responses + trim/stack + scaling as ONE program."""
+    from .spectrum import _mats_arg, _stft_core, _win_device
+
+    resps = []
+    for (n_fft, hop), y_i, basis_i in zip(plan, ys, bases):
+        window_dev = _win_device("ones", n_fft, n_fft, jnp.float32)
+        D = _stft_core(
+            y_i, window_dev, _mats_arg(n_fft, window_dev.dtype),
+            n_fft=n_fft, hop_length=hop, center=True, pad_mode=pad_mode,
+        )
+        resps.append(
+            jnp.einsum(
+                "cf,...ft->...ct", basis_i.astype(D.dtype), D,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+
+    V = _trim_stack(resps, n_bins, jnp.dtype(dtype))
+    sc = util.expand_to(scales.astype(V.real.dtype), ndim=V.ndim, axes=-2)
+    return V * sc
 
 
 def cqt(
