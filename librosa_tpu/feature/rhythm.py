@@ -149,8 +149,8 @@ def tempo(
 
     tg = jnp.asarray(tg)
     if aggregate is not None:
-        if aggregate is np.mean:
-            tg = jnp.mean(tg, axis=-1, keepdims=True)
+        if aggregate is np.mean or aggregate is jnp.mean:
+            tg = _mean_last(tg)
         else:
             tg = jnp.asarray(
                 aggregate(np.asarray(tg), axis=-1, keepdims=True)
@@ -168,11 +168,21 @@ def tempo(
         max_idx = int(np.argmax(bpms < max_tempo))
         logprior[:max_idx] = -np.inf
 
-    logprior_j = util.expand_to(jnp.asarray(logprior), ndim=tg.ndim, axes=-2)
     best_period = np.asarray(
-        jnp.argmax(jnp.log1p(1e6 * tg) + logprior_j, axis=-2)
+        _tempo_pick(tg, jnp.asarray(logprior))
     )
     return np.take(bpms, best_period)
+
+
+@jax.jit
+def _mean_last(tg):
+    return jnp.mean(tg, axis=-1, keepdims=True)
+
+
+@jax.jit
+def _tempo_pick(tg, logprior):
+    lp = util.expand_to(logprior, ndim=tg.ndim, axes=-2)
+    return jnp.argmax(jnp.log1p(1e6 * tg) + lp, axis=-2)
 
 
 def tempogram_ratio(

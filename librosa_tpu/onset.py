@@ -5,6 +5,7 @@ Parity citations refer to ``librosa/onset.py``.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Sequence, Union
 
 import jax
@@ -80,6 +81,24 @@ def onset_strength_multi(
     if not util.is_positive_int(max_size):
         raise ParameterError(f"max_size={max_size} must be a positive integer")
 
+    # Fully-fused default path: mel → dB → flux → aggregate → pad in one
+    # program (the per-op dispatch chain dominates on remote TPU links).
+    if (
+        S is None
+        and y is not None
+        and feature is melspectrogram
+        and aggregate is jnp.mean
+        and ref is None
+        and channels is None
+        and not detrend
+        and tuple(sorted(kwargs)) == ("fmax",)
+    ):
+        return _onset_strength_default(
+            jnp.asarray(y), sr=float(sr), n_fft=n_fft,
+            hop_length=hop_length, lag=lag, max_size=max_size,
+            center=bool(center), fmax=float(kwargs["fmax"]),
+        )
+
     if S is None:
         S = jnp.abs(
             feature(y=y, sr=sr, n_fft=n_fft, hop_length=hop_length, **kwargs)
@@ -150,6 +169,51 @@ def onset_strength_multi(
             )
         )
 
+    if center:
+        onset_env = onset_env[..., : S.shape[-1]]
+    return onset_env
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "n_fft", "hop_length", "lag", "max_size",
+                     "center", "fmax"),
+)
+def _onset_strength_default(
+    y, *, sr, n_fft, hop_length, lag, max_size, center, fmax
+):
+    """Default-config onset_strength as ONE program."""
+    S = jnp.abs(
+        melspectrogram(
+            y=y, sr=sr, n_fft=n_fft, hop_length=hop_length, fmax=fmax
+        )
+    )
+    S = core.power_to_db(S)
+    S = jnp.atleast_2d(S)
+
+    if max_size == 1:
+        ref_arr = S
+    else:
+        lpad = max_size // 2
+        rpad = max_size - 1 - lpad
+        pads = [(0, 0)] * S.ndim
+        pads[-2] = (lpad, rpad)
+        window_dims = [1] * S.ndim
+        window_dims[-2] = max_size
+        ref_arr = jax.lax.reduce_window(
+            jnp.pad(S, pads, mode="edge"), -jnp.inf, jax.lax.max,
+            tuple(window_dims), (1,) * S.ndim, "valid",
+        )
+
+    onset_env = jnp.maximum(0.0, S[..., lag:] - ref_arr[..., :-lag])
+    onset_env = jnp.mean(onset_env, axis=-2, keepdims=True)
+
+    pad_width = lag
+    if center:
+        pad_width += n_fft // (2 * hop_length)
+    padding = [(0, 0)] * onset_env.ndim
+    padding[-1] = (int(pad_width), 0)
+    onset_env = jnp.pad(onset_env, padding, mode="constant")
     if center:
         onset_env = onset_env[..., : S.shape[-1]]
     return onset_env
