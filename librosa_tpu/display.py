@@ -67,7 +67,7 @@ class TimeFormatter(Formatter):
     """Adaptive time tick formatting (s/ms/h:m:s). Parity: display.py:182."""
 
     def __init__(self, lag: bool = False, unit: Optional[str] = None):
-        if unit not in ["s", "ms", None]:
+        if unit not in ["h", "m", "s", "ms", None]:
             raise ParameterError(f"Unknown time unit: {unit}")
         self.unit = unit
         self.lag = lag
@@ -87,6 +87,14 @@ class TimeFormatter(Formatter):
             s = f"{value:.3g}"
         elif self.unit == "ms":
             s = f"{value * 1000:.3g}"
+        elif self.unit == "h":
+            s = "{:d}:{:02d}:{:02d}".format(
+                int(value / 3600.0),
+                int(np.mod(value / 60.0, 60)),
+                int(np.mod(value, 60)),
+            )
+        elif self.unit == "m":
+            s = "{:d}:{:02d}".format(int(value / 60.0), int(np.mod(value, 60)))
         else:
             if vmax - vmin > 3600:
                 s = "{:d}:{:02d}:{:02d}".format(
@@ -512,6 +520,15 @@ def infer_cmap(
 cmap = infer_cmap
 
 
+# Nominal center frequencies for 1/3-octave bands (reference display.py:129)
+_OCT3_FREQUENCIES = np.array([
+    31.5, 40, 50, 63, 80, 100, 125, 160, 200, 250, 315, 400, 500, 630, 800,
+    1000, 1250, 1600, 2000, 2500, 3150, 4000, 5000, 6300, 8000, 10000,
+    12500, 16000, 20000, 25000, 31500, 40000, 50000, 63000, 80000, 100000,
+    125000, 160000, 200000, 250000, 315000, 400000, 500000, 630000, 800000,
+])
+
+
 # ---------------------------------------------------------------------------
 # Coordinate grids (reference display.py:1947 __mesh_coords)
 # ---------------------------------------------------------------------------
@@ -529,10 +546,11 @@ def _coords(
     bins_per_octave: int,
     win_length: Optional[int] = None,
     tempo_min: float = 16,
+    intervals: Optional[Any] = None,
 ) -> np.ndarray:
     if axis_type is None or axis_type in ("off", "none"):
         return np.arange(n + 1)
-    if axis_type in ("time", "s"):
+    if axis_type in ("time", "s", "h", "m"):
         return convert.frames_to_time(
             np.arange(n + 1), sr=sr, hop_length=hop_length
         )
@@ -540,25 +558,40 @@ def _coords(
         return 1000 * convert.frames_to_time(
             np.arange(n + 1), sr=sr, hop_length=hop_length
         )
-    if axis_type in ("lag", "lag_s", "lag_ms"):
+    if axis_type in ("lag", "lag_s", "lag_ms", "lag_h", "lag_m"):
         scale = 1000 if axis_type == "lag_ms" else 1
         return scale * convert.frames_to_time(
             np.arange(n + 1), sr=sr, hop_length=hop_length
         )
     if axis_type == "frames":
         return np.arange(n + 1)
-    if axis_type in ("linear", "hz", "fft", "fft_note", "fft_svara", "log"):
+    if axis_type in ("linear", "hz", "fft", "fft_note", "fft_svara", "log",
+                     "oct3", "log_oct3"):
         return np.linspace(0, sr / 2, num=n + 1)
-    if axis_type == "mel":
+    if axis_type in ("mel", "mel_oct3"):
         f_max = fmax if fmax is not None else sr / 2
         f_min = fmin if fmin is not None else 0
         return convert.mel_frequencies(n + 1, fmin=f_min, fmax=f_max)
-    if axis_type in ("cqt", "cqt_hz", "cqt_note", "cqt_svara", "vqt_fjs"):
+    if axis_type in ("cqt", "cqt_hz", "cqt_note", "cqt_svara", "cqt_oct3"):
         f_min = fmin if fmin is not None else float(convert.note_to_hz("C1"))
         return convert.cqt_frequencies(
             n + 1, fmin=f_min / 2.0 ** (0.5 / bins_per_octave),
             bins_per_octave=bins_per_octave,
         )
+    if axis_type in ("vqt_hz", "vqt_note", "vqt_oct3", "vqt_fjs"):
+        from .core.intervals import interval_frequencies
+
+        f_min = fmin if fmin is not None else float(convert.note_to_hz("C1"))
+        if intervals is None:
+            # fall back to equal temperament
+            return convert.cqt_frequencies(
+                n + 1, fmin=f_min / 2.0 ** (0.5 / bins_per_octave),
+                bins_per_octave=bins_per_octave,
+            )
+        return np.asarray(interval_frequencies(
+            n + 1, fmin=f_min, intervals=intervals,
+            bins_per_octave=bins_per_octave,
+        ))
     if axis_type in ("chroma", "chroma_h", "chroma_c", "chroma_fjs"):
         return np.linspace(0, 12, num=n + 1)
     if axis_type == "tempo":
@@ -579,7 +612,8 @@ def _decorate_axis(
     axis, ax_type: Optional[str], *, key: str = "C:maj",
     Sa: Optional[float] = None, mela: Optional[Any] = None,
     thaat: Optional[str] = None, unicode: bool = True,
-    fmin: Optional[float] = None,
+    fmin: Optional[float] = None, intervals: Optional[Any] = None,
+    unison: Optional[str] = None, bins_per_octave: int = 12,
 ) -> None:
     from matplotlib.ticker import (
         LogLocator, MaxNLocator, NullFormatter, ScalarFormatter,
@@ -589,12 +623,13 @@ def _decorate_axis(
     if ax_type in ("time", "lag"):
         axis.set_major_formatter(TimeFormatter(lag=(ax_type == "lag")))
         axis.set_label_text("Lag" if ax_type == "lag" else "Time")
-    elif ax_type in ("s", "ms", "lag_s", "lag_ms"):
-        unit = "s" if ax_type.endswith("s") and not ax_type.endswith("ms") else "ms"
+    elif ax_type in ("s", "ms", "h", "m", "lag_s", "lag_ms", "lag_h", "lag_m"):
         lag = ax_type.startswith("lag")
+        unit = ax_type[4:] if lag else ax_type
         axis.set_major_formatter(TimeFormatter(lag=lag, unit=unit))
+        label_unit = {"h": "h:m:s", "m": "m:s"}.get(unit, unit)
         axis.set_label_text(
-            ("Lag" if lag else "Time") + f" ({unit})"
+            ("Lag" if lag else "Time") + f" ({label_unit})"
         )
     elif ax_type == "frames":
         axis.set_label_text("Frames")
@@ -621,6 +656,38 @@ def _decorate_axis(
             FJSFormatter(fmin=fmin if fmin else 32.7, unicode=unicode)
         )
         axis.set_label_text("Note (FJS)")
+    elif ax_type in ("vqt_hz",):
+        axis.set_major_formatter(LogHzFormatter())
+        axis.set_label_text("Hz")
+    elif ax_type in ("vqt_note",):
+        axis.set_major_formatter(NoteFormatter(key=key, unicode=unicode))
+        axis.set_label_text("Note")
+    elif ax_type in ("oct3", "cqt_oct3", "vqt_oct3", "log_oct3", "mel_oct3"):
+        from matplotlib.ticker import EngFormatter, FixedLocator
+
+        # label once per octave; minor ticks at the 1/3 octaves
+        if ax_type == "mel_oct3":
+            axis.set_major_locator(FixedLocator(_OCT3_FREQUENCIES[5::3]))
+        else:
+            axis.set_major_locator(FixedLocator(_OCT3_FREQUENCIES[::3]))
+        axis.set_major_formatter(EngFormatter(unit="Hz", sep=" "))
+        axis.set_minor_locator(FixedLocator(_OCT3_FREQUENCIES))
+        axis.set_label_text("Frequency")
+    elif ax_type == "chroma_fjs":
+        from matplotlib.ticker import FixedLocator
+
+        axis.set_major_formatter(
+            ChromaFJSFormatter(
+                intervals=intervals if intervals is not None else "equal",
+                unison=unison if unison is not None else "C",
+                unicode=unicode,
+                bins_per_octave=bins_per_octave,
+            )
+        )
+        axis.set_major_locator(
+            FixedLocator(0.5 + np.arange(bins_per_octave))
+        )
+        axis.set_label_text("Pitch class")
     elif ax_type == "chroma":
         axis.set_major_formatter(ChromaFormatter(key=key, unicode=unicode))
         axis.set_major_locator(FixedLocator(0.5 + np.arange(12)))
@@ -646,7 +713,9 @@ def _decorate_axis(
         axis.set_ticks([])
 
 
-_LOG_SCALED = {"log", "cqt", "cqt_hz", "cqt_note", "cqt_svara", "vqt_fjs",
+_LOG_SCALED = {"log", "cqt", "cqt_hz", "cqt_note", "cqt_svara", "cqt_oct3",
+               "vqt_hz", "vqt_note", "vqt_oct3", "vqt_fjs",
+               "log_oct3", "oct3", "mel", "mel_oct3",
                "tempo", "fourier_tempo"}
 
 # vscale grammar (reference display.py:2625): dBFS | dB, optional
@@ -788,6 +857,7 @@ def specshow(
     all_params = dict(
         sr=sr, hop_length=hop_length, n_fft=n_fft, fmin=fmin, fmax=fmax,
         bins_per_octave=bins_per_octave, win_length=win_length,
+        intervals=intervals,
     )
 
     if y_coords is None:
@@ -878,11 +948,13 @@ def specshow(
 
     _decorate_axis(
         ax.yaxis, y_axis, key=key, Sa=Sa, mela=mela, thaat=thaat,
-        unicode=unicode, fmin=fmin,
+        unicode=unicode, fmin=fmin, intervals=intervals, unison=unison,
+        bins_per_octave=bins_per_octave,
     )
     _decorate_axis(
         ax.xaxis, x_axis, key=key, Sa=Sa, mela=mela, thaat=thaat,
-        unicode=unicode, fmin=fmin,
+        unicode=unicode, fmin=fmin, intervals=intervals, unison=unison,
+        bins_per_octave=bins_per_octave,
     )
 
     return out

@@ -225,3 +225,50 @@ def test_legend_for_axes_collects_labels():
     assert len(leg.get_texts()) == 2
     with pytest.raises(lt.ParameterError):
         display.legend_for_axes(axes=[])
+
+
+@pytest.mark.parametrize(
+    "y_axis,kw",
+    [
+        ("oct3", {}),
+        ("log_oct3", {}),
+        ("mel_oct3", {}),
+        ("cqt_oct3", {}),
+        ("vqt_hz", {"intervals": "ji5"}),
+        ("vqt_note", {"intervals": "ji5"}),
+        ("vqt_oct3", {"intervals": "ji5"}),
+    ],
+)
+def test_specshow_extended_freq_axes(tone_440, y_axis, kw):
+    S = np.abs(np.asarray(lt.stft(np.asarray(tone_440))))
+    fig, ax = plt.subplots()
+    display.specshow(S, sr=22050, y_axis=y_axis, x_axis="time", ax=ax, **kw)
+    fig.canvas.draw()
+    assert ax.get_ylabel() in ("Frequency", "Hz", "Note")
+
+
+def test_specshow_chroma_fjs_axis(tone_440):
+    S = np.abs(np.asarray(lt.stft(np.asarray(tone_440))))[:12]
+    fig, ax = plt.subplots()
+    display.specshow(
+        S, sr=22050, y_axis="chroma_fjs", intervals="ji5", ax=ax
+    )
+    fig.canvas.draw()
+    assert ax.get_ylabel() == "Pitch class"
+
+
+@pytest.mark.parametrize("unit", ["h", "m", "s", "ms"])
+def test_time_formatter_units(unit):
+    f = display.TimeFormatter(unit=unit)
+
+    class FakeAxis:
+        def get_data_interval(self):
+            return (0, 4000)
+
+        def get_view_interval(self):
+            return (0, 4000)
+
+    f.axis = FakeAxis()
+    assert isinstance(f(3725.0), str)
+    with pytest.raises(lt.ParameterError):
+        display.TimeFormatter(unit="days")
