@@ -183,6 +183,17 @@ def stft(
     Parity: reference ``core/spectrum.py:58`` — hann window padded to n_fft,
     centered pad (default ``constant``), output ``(..., 1 + n_fft//2, t)``.
     ``out=`` is accepted for API compatibility and ignored (JAX is functional).
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=1.0))
+    >>> D = lt.stft(y)
+    >>> D.shape
+    (1025, 44)
+    >>> y_hat = lt.istft(D, length=len(y))      # round trip
+    >>> float(np.max(np.abs(np.asarray(y_hat) - y))) < 1e-5
+    True
     """
     if win_length is None:
         win_length = n_fft

@@ -701,8 +701,20 @@ def melspectrogram(
 ) -> jax.Array:
     """Mel-scaled spectrogram ``(..., n_mels, t)``. Parity: feature/spectral.py:2022.
 
-    The mel projection is an MXU matmul; XLA fuses it with the preceding
-    |STFT|**power elementwise stage.
+    On TPU this dispatches one fused Pallas program (frame → window →
+    Cooley-Tukey DFT → |·|² → mel, all in VMEM); elsewhere an XLA-fused
+    matmul pipeline.  Leading dims batch into the kernel grid.
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=1.0))
+    >>> M = lt.feature.melspectrogram(y=y, sr=22050)
+    >>> M.shape
+    (128, 44)
+    >>> stereo = np.stack([y, y])
+    >>> lt.feature.melspectrogram(y=stereo, sr=22050).shape
+    (2, 128, 44)
     """
     if S is None and y is not None:
         # Fused single-program hot path: frame → window → DFT power → mel
