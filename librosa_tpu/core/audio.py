@@ -457,8 +457,37 @@ def resample_poly(
 
 @functools.partial(jax.jit, static_argnames=("num",))
 def _resample_fft(x: jax.Array, *, num: int) -> jax.Array:
-    """Fourier resampling along the last axis (scipy.signal.resample parity)."""
+    """Fourier resampling along the last axis (scipy.signal.resample parity).
+
+    On TPU, non-power-of-two FFTs lower to dense O(n²) DFT matrices (a
+    48 GB allocation for 5 s of audio), so composite lengths route through
+    the two-stage Cooley-Tukey matmul FFT (``ops.ctfft``).
+    """
+    from ..ops.ctfft import _is_pow2, fft_arbitrary, ifft_arbitrary
+    from ..ops.fft import _resolved_backend
+
     n = x.shape[-1]
+    if _resolved_backend() == "matmul" and not (_is_pow2(n) and _is_pow2(num)):
+        X_full = fft_arbitrary(x.astype(jnp.complex64), n)
+        n_bins_out = num // 2 + 1
+        n_min = min(num, n)
+        nyq = n_min // 2 + 1
+        Y = jnp.zeros(x.shape[:-1] + (n_bins_out,), dtype=X_full.dtype)
+        Y = Y.at[..., :nyq].set(X_full[..., :nyq])
+        if n_min % 2 == 0:
+            if num < n:
+                Y = Y.at[..., n_min // 2].multiply(2.0)
+            elif num > n:
+                Y = Y.at[..., n // 2].multiply(0.5)
+        # rebuild the conjugate-symmetric full spectrum of length num
+        if num % 2 == 0:
+            mid = jnp.conj(Y[..., 1:-1][..., ::-1])
+        else:
+            mid = jnp.conj(Y[..., 1:][..., ::-1])
+        Y_full = jnp.concatenate([Y, mid], axis=-1)
+        y = jnp.real(ifft_arbitrary(Y_full, num))
+        return y * (float(num) / float(n))
+
     X = jnp.fft.rfft(x, axis=-1)
     n_bins_out = num // 2 + 1
     n_min = min(num, n)

@@ -156,3 +156,35 @@ def test_get_duration(tone_440):
     S = lt.stft(tone_440)
     d = lt.get_duration(S=S, sr=22050)
     assert abs(d - 1.0) < 0.05
+
+
+def test_ctfft_matches_numpy(rng):
+    from librosa_tpu.ops.ctfft import fft_arbitrary, ifft_arbitrary
+
+    for n in (360, 1000, 55125):
+        x = (rng.randn(n) + 1j * rng.randn(n)).astype(np.complex64)
+        ours = np.asarray(fft_arbitrary(x, n))
+        ref = np.fft.fft(x)
+        assert np.abs(ours - ref).max() / np.abs(ref).max() < 1e-5
+        back = np.asarray(ifft_arbitrary(ours, n))
+        assert np.abs(back - x).max() < 1e-4
+
+
+def test_resample_fft_matmul_backend(rng):
+    # force the TPU code path (CT matmul FFT) on CPU and compare to scipy
+    import scipy.signal
+
+    from librosa_tpu.ops import fft as F
+
+    old = F.get_stft_backend()
+    F.set_stft_backend("matmul")
+    try:
+        x = rng.randn(22050).astype(np.float32)
+        ours = np.asarray(
+            lt.resample(x, orig_sr=22050, target_sr=16000, res_type="fft")
+        )
+        ref = scipy.signal.resample(x, 16000)
+        m = min(len(ours), len(ref))
+        assert np.abs(ours[:m] - ref[:m]).max() / np.abs(ref).max() < 1e-5
+    finally:
+        F.set_stft_backend(old)
