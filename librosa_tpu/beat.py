@@ -187,6 +187,58 @@ def _trim_beats(
     return out
 
 
+def _beat_dp_host(
+    localscore: np.ndarray, frames_per_beat: np.ndarray, tightness: float
+):
+    """Host-side beat DP (exactly the _beat_dp_scan recurrence).
+
+    Parity: beat.py:619 (__beat_track_dp).
+    """
+    T = localscore.shape[0]
+    backlink = np.full(T, -1, dtype=np.int64)
+    cumscore = np.zeros(T, dtype=np.float64)
+    score_thresh = 0.01 * localscore.max() if T else 0.0
+    first_beat = True
+    tv = frames_per_beat.shape[0] > 1
+    for i in range(T):
+        fpb = frames_per_beat[i if tv else 0]
+        lo = int(max(0, i - 2 * fpb))
+        hi = int(i - np.round(fpb / 2) + 1)
+        best_score = -np.inf
+        best_loc = -1
+        if hi > lo:
+            locs = np.arange(lo, hi)
+            d = i - locs
+            if len(locs):
+                scores = cumscore[locs] - tightness * (
+                    np.log(d) - np.log(fpb)
+                ) ** 2
+                k = int(np.argmax(scores))
+                if np.isfinite(scores[k]) and d[k] >= 1:
+                    best_score = scores[k]
+                    best_loc = locs[k]
+        if best_loc >= 0 and np.isfinite(best_score):
+            cumscore[i] = localscore[i] + best_score
+            beat_loc = best_loc
+        else:
+            cumscore[i] = localscore[i]
+            beat_loc = -1
+        if first_beat and localscore[i] < score_thresh:
+            backlink[i] = -1
+        else:
+            backlink[i] = beat_loc
+            first_beat = False
+    return backlink, cumscore
+
+
+def _fill_beats_from_backlink(beats, backlink, tail):
+    """Follow backlinks from the selected tail. Parity: beat.py:736."""
+    n = tail
+    while n >= 0:
+        beats[n] = True
+        n = backlink[n]
+
+
 def _beat_tracker(
     onset_envelope: np.ndarray,
     bpm: np.ndarray,
@@ -209,6 +261,27 @@ def _beat_tracker(
     localscore = _local_score(onset_envelope, frames_per_beat)
 
     tv = frames_per_beat.shape[-1] > 1
+
+    # Tiny sequential DPs are faster on host than as device scans (a
+    # T-step lax.scan pays per-step launch latency; onset envelopes are
+    # only ~40 frames/s).  Use numpy for the common single-envelope case,
+    # the vmapped device scan for batches.
+    if localscore.ndim == 1:
+        backlink, cumscore = _beat_dp_host(
+            np.asarray(localscore, dtype=np.float64),
+            np.asarray(
+                np.broadcast_to(
+                    frames_per_beat,
+                    localscore.shape if tv else (1,),
+                ),
+                dtype=np.float64,
+            ),
+            float(tightness),
+        )
+        tail = int(np.atleast_1d(_last_beat(cumscore)).reshape(-1)[0])
+        beats = np.zeros_like(localscore, dtype=bool)
+        _fill_beats_from_backlink(beats, backlink, tail)
+        return _trim_beats(localscore, beats, trim)
 
     # run the DP on device, vmapped over leading dims
     ls = jnp.asarray(localscore, dtype=jnp.float32)
