@@ -175,3 +175,47 @@ def test_griffinlim_rng_and_deprecated_random_state(rng):
         lt.griffinlim(S, n_iter=1, random_state=1, n_fft=64)
     with pytest.raises(lt.ParameterError):
         lt.griffinlim(S, n_iter=1, rng=1, random_state=1, n_fft=64)
+
+
+def test_pcen_streaming_state_seamless(rng):
+    # pcen(zi/return_zf) carries IIR state so blockwise == full
+    S = np.abs(rng.randn(40, 100)).astype(np.float32) * (2.0**31)
+    full = np.asarray(lt.pcen(S))
+    a, zf = lt.pcen(S[:, :60], return_zf=True)
+    b = lt.pcen(S[:, 60:], zi=zf)
+    joined = np.concatenate([np.asarray(a), np.asarray(b)], axis=-1)
+    np.testing.assert_allclose(joined, full, atol=1e-4)
+
+
+def test_stream_blockwise_stft_tiles(tmp_path, tone_440):
+    # stft(center=False) over stream blocks tiles exactly into the full stft
+    import wave
+
+    y = np.asarray(tone_440)
+    pcm = (np.clip(y, -1, 1) * 32767).astype("<i2")
+    path = str(tmp_path / "t.wav")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(pcm.tobytes())
+
+    frame_length, hop = 512, 128
+    blocks = [
+        np.abs(np.asarray(lt.stft(
+            np.asarray(b, dtype=np.float32),
+            n_fft=frame_length, hop_length=hop, center=False,
+        )))
+        for b in lt.stream(
+            path, block_length=16, frame_length=frame_length,
+            hop_length=hop, sr=None,
+        )
+        if len(b) >= frame_length
+    ]
+    tiled = np.concatenate(blocks, axis=-1)
+    yq = pcm.astype(np.float32) / 32768.0
+    full = np.abs(np.asarray(lt.stft(
+        yq, n_fft=frame_length, hop_length=hop, center=False
+    )))
+    T = min(tiled.shape[-1], full.shape[-1])
+    np.testing.assert_allclose(tiled[:, :T], full[:, :T], atol=1e-4)
