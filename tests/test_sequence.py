@@ -210,3 +210,18 @@ def test_pyin_silence():
     f0, voiced, vprob = lt.pyin(y, fmin=110, fmax=880)
     # silence carries almost no voicing evidence (only the no-trough prior)
     assert np.median(np.asarray(vprob)) < 0.05
+
+
+def test_viterbi_transition_pruning(rng):
+    # with a low threshold, pruning must not change the decoded path
+    n_states, T = 8, 60
+    prob = rng.dirichlet(np.ones(n_states), size=T).T
+    trans = rng.dirichlet(np.ones(n_states) * 5, size=n_states)
+    dense = np.asarray(lt.sequence.viterbi(prob, trans))
+    pruned = np.asarray(
+        lt.sequence.viterbi(prob, trans, transition_min_prob=1e-8)
+    )
+    assert np.array_equal(dense, pruned)
+    # an impossible threshold raises
+    with pytest.raises(lt.ParameterError):
+        lt.sequence.viterbi(prob, trans, transition_min_prob=0.99)
