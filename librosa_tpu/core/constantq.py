@@ -632,6 +632,31 @@ def hybrid_cqt(
     return _trim_stack(cqt_resp, n_bins, cqt_resp[-1].dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("plan_key",))
+def _icqt_ladder_core(C_octs, bases, coefs, *, plan_key):
+    """All inverse-octave products + istfts in one program."""
+    outs = []
+    for C_oct, basis, coef, (n_fft, hop) in zip(
+        C_octs, bases, coefs, plan_key
+    ):
+        D_oct = jnp.einsum(
+            "fc,c,...ct->...ft", basis, coef, C_oct,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        outs.append(istft(D_oct, window="ones", hop_length=hop))
+    return tuple(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length"))
+def _icqt_octave_core(C_oct, inv_basis, coef, *, n_fft, hop_length):
+    """One octave of the inverse ladder (basis product + istft), fused."""
+    D_oct = jnp.einsum(
+        "fc,c,...ct->...ft", inv_basis, coef, C_oct,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return istft(D_oct, window="ones", hop_length=hop_length)
+
+
 def icqt(
     C: Any,
     *,
@@ -676,6 +701,18 @@ def icqt(
     C_scale = np.sqrt(lengths)
 
     y: Optional[jax.Array] = None
+    host_acc = None
+    _soxr_mod = None
+    if str(res_type).startswith("soxr"):
+        try:
+            from ..io import _soxr as _soxr_mod
+
+            if _soxr_mod.available():
+                host_acc = []
+            else:
+                _soxr_mod = None
+        except Exception:
+            _soxr_mod = None
     srs = [sr]
     hops = [hop_length]
     for _ in range(n_octaves - 1):
@@ -686,6 +723,10 @@ def icqt(
             srs.insert(0, srs[0])
             hops.insert(0, hops[0])
 
+    # Build the static per-octave plan, run ALL octave inversions in one
+    # program, and fetch the results with one bulk transfer — the eager
+    # ladder otherwise pays per-octave dispatch + fetch latency.
+    plan = []
     for i, (my_sr, my_hop) in enumerate(zip(srs, hops)):
         n_filters = min(bins_per_octave, n_bins - bins_per_octave * i)
         sl = slice(bins_per_octave * i, bins_per_octave * i + n_filters)
@@ -699,32 +740,58 @@ def icqt(
         freq_power *= n_fft / lengths[sl]
 
         if scale:
-            D_oct = jnp.einsum(
-                "fc,c,...ct->...ft",
-                jnp.asarray(inv_basis),
-                jnp.asarray((C_scale[sl] * freq_power).astype(np.complex64)),
-                C[..., sl, :],
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            coef = (C_scale[sl] * freq_power).astype(np.complex64)
         else:
-            D_oct = jnp.einsum(
-                "fc,c,...ct->...ft",
-                jnp.asarray(inv_basis),
-                jnp.asarray(freq_power.astype(np.complex64)),
-                C[..., sl, :],
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            coef = freq_power.astype(np.complex64)
+        plan.append((sl, inv_basis, coef, n_fft, my_hop, my_sr))
 
-        y_oct = istft(D_oct, window="ones", hop_length=my_hop, dtype=dtype)
-        y_oct = audio.resample(
-            y_oct, orig_sr=1, target_sr=sr // my_sr, res_type=res_type,
-            scale=False, fix=False,
-        )
+    y_octs = _icqt_ladder_core(
+        tuple(jnp.asarray(C[..., t[0], :]) for t in plan),
+        tuple(jnp.asarray(t[1].astype(np.complex64)) for t in plan),
+        tuple(jnp.asarray(t[2]) for t in plan),
+        plan_key=tuple((t[3], t[4]) for t in plan),
+    )
+    if host_acc is not None:
+        # one bulk device→host transfer for the whole ladder
+        y_octs = jax.device_get(y_octs)
+
+    for (sl, inv_basis, coef, n_fft, my_hop, my_sr), y_oct in zip(
+        plan, y_octs
+    ):
+        if dtype is not None:
+            y_oct = y_oct.astype(dtype)
+
+        factor = int(sr // my_sr)
+        if host_acc is not None and factor > 1:
+            # host soxr upsample + host accumulation: one device fetch per
+            # octave instead of fetch + upload + device add
+            y_host = np.apply_along_axis(
+                _soxr_mod.resample, -1, np.asarray(y_oct),
+                in_rate=1, out_rate=factor, quality=res_type,
+            ).astype(np.float32)
+            host_acc.append(y_host)
+            continue
+        if factor > 1:
+            y_oct = audio.resample(
+                y_oct, orig_sr=1, target_sr=factor, res_type=res_type,
+                scale=False, fix=False,
+            )
         if y is None:
             y = y_oct
         else:
             n_min = min(y.shape[-1], y_oct.shape[-1])
             y = y.at[..., :n_min].add(y_oct[..., :n_min])
+
+    if host_acc is not None and host_acc:
+        acc = None
+        parts = host_acc + ([np.asarray(y)] if y is not None else [])
+        for part in parts:
+            if acc is None:
+                acc = part.astype(np.float64)
+            else:
+                n_min = min(acc.shape[-1], part.shape[-1])
+                acc = acc[..., :n_min] + part[..., :n_min]
+        y = jnp.asarray(acc.astype(np.float32 if dtype is None else dtype))
 
     assert y is not None
     if length:
