@@ -1,8 +1,14 @@
 """Just-intonation interval systems (L2, host math).
 
 The reference caches precomputed interval tables in a packaged msgpack file
-(``librosa/core/intervals.py:22-24``); here the crystal-growth construction
-runs directly (it is fast at the sizes used) with an lru cache.
+(``librosa/core/intervals.py:22-24``); here the construction runs directly
+(it is fast at the sizes used) with an lru cache.
+
+Implementation note: the reference computes Tenney harmonic distance through a
+rational num/den decomposition (``librosa/core/intervals.py:248-286``).  For
+exponent vectors that formula collapses to ``log2 ratio of a/b in lowest
+terms`` = ``logs . |a - b|``, which is what we use — it lets the crystal-growth
+candidate scoring be a vectorized distance matrix instead of a nested loop.
 
 Parity citations refer to ``librosa/core/intervals.py``.
 """
@@ -17,6 +23,16 @@ import numpy as np
 from ..util.exceptions import ParameterError
 
 __all__ = ["interval_frequencies", "pythagorean_intervals", "plimit_intervals"]
+
+
+def _fold_to_octave(log_ratio: np.ndarray) -> tuple:
+    """Fold log2-ratios into [0, 1), returning (folded, octaves_removed).
+
+    ``x - floor(x)`` is exactly the reference's modf-plus-correction dance
+    (core/intervals.py:437-446) for every sign of ``x``.
+    """
+    shift = np.floor(log_ratio)
+    return log_ratio - shift, shift.astype(int)
 
 
 def interval_frequencies(
@@ -74,88 +90,109 @@ def interval_frequencies(
 def pythagorean_intervals(
     *, bins_per_octave: int = 12, sort: bool = True, return_factors: bool = False
 ):
-    """Pythagorean (3-limit) intervals. Parity: core/intervals.py:146."""
-    pow3 = np.arange(bins_per_octave)
-    log_ratios, pow2 = np.modf(pow3 * np.log2(3))
-    too_small = log_ratios < 0
-    log_ratios[too_small] += 1
-    pow2[too_small] += 1
-    pow2 = pow2.astype(int)
+    """Pythagorean (3-limit) intervals: stacked fifths folded into one octave.
+
+    The k-th interval (circle-of-fifths order) is ``3**k / 2**m`` with ``m``
+    chosen so the ratio lands in [1, 2).  Parity: core/intervals.py:146.
+    """
+    fifths = np.arange(bins_per_octave)
+    folded_log, octs = _fold_to_octave(fifths * np.log2(3.0))
 
     if sort:
-        idx = np.argsort(log_ratios)
-        log_ratios = log_ratios[idx]
+        order = np.argsort(folded_log)
     else:
-        idx = range(bins_per_octave)
+        order = np.arange(bins_per_octave)
 
     if return_factors:
-        return [{2: -pow2[i], 3: int(pow3[i])} for i in idx]
-    return np.power(2, log_ratios)
+        return [{2: -int(octs[k]), 3: int(fifths[k])} for k in order]
+    return 2.0 ** folded_log[order]
 
 
-def _harmonic_distance(logs: np.ndarray, a, b) -> float:
-    """Tenney harmonic distance between two factored intervals.
+def _tenney_hd(points: np.ndarray, others: np.ndarray, logs: np.ndarray):
+    """Pairwise Tenney harmonic distance, rounded like the reference.
 
-    Parity: core/intervals.py:248.
+    ``points``: (m, P) exponent rows; ``others``: (n, P).  Returns (m, n).
+    Equivalent to core/intervals.py:248 (see module docstring); the 6-decimal
+    rounding before summation matters for tie behavior and is kept.
     """
-    a = np.array(a)
-    b = np.array(b)
-    a_num = np.maximum(a, 0)
-    a_den = a_num - a
-    b_num = np.maximum(b, 0)
-    b_den = b_num - b
-    gcd = np.minimum(a_num, b_num) - np.maximum(a_den, b_den)
-    return float(np.around(logs.dot(a + b - 2 * gcd), 6))
-
-
-def _crystal_tie_break(a, b, logs: np.ndarray) -> bool:
-    """Parity: core/intervals.py:280 — prefer simpler intervals on ties."""
-    return bool(logs.dot(np.abs(np.array(a))) < logs.dot(np.abs(np.array(b))))
+    diffs = np.abs(points[:, None, :] - others[None, :, :])
+    return np.around(diffs @ logs, 6)
 
 
 @functools.lru_cache(maxsize=64)
-def _plimit_cached(primes: tuple, bins_per_octave: int) -> tuple:
-    logs = np.log2(np.array(primes), dtype=np.float64)
+def _crystal_growth(primes: tuple, n_intervals: int) -> tuple:
+    """Grow an interval crystal of ``n_intervals`` points.
 
-    seeds = []
-    for i in range(len(primes)):
-        seed = [0] * len(primes)
-        seed[i] = 1
-        seeds.append(tuple(seed))
-        seed = [0] * len(primes)
-        seed[i] = -1
-        seeds.append(tuple(seed))
+    Greedy selection by minimum total harmonic distance to the chosen set,
+    ties (np.isclose) going to the candidate with smaller ``logs . |point|``
+    when scanning the frontier in insertion order.  Behavior matches
+    core/intervals.py:302, restructured around array scoring.
+    """
+    p = len(primes)
+    logs = np.log2(np.asarray(primes, dtype=np.float64))
 
-    frontier = seeds.copy()
-    distances: dict = {}
-    intervals: List[tuple] = [tuple([0] * len(primes))]
+    # Expansion moves: +/- one step along each prime axis, in axis order.
+    moves = []
+    for axis in range(p):
+        step = np.zeros(p, dtype=int)
+        step[axis] = 1
+        moves.append(tuple(step))
+        moves.append(tuple(-step))
 
-    while len(intervals) < bins_per_octave:
-        score = np.inf
-        best_f = 0
-        for f, point in enumerate(frontier):
-            HD = 0.0
-            for s in intervals:
-                if (s, point) not in distances:
-                    d = _harmonic_distance(logs, point, s)
-                    distances[s, point] = d
-                    distances[point, s] = d
-                HD += distances[s, point]
-            if HD < score or (
-                np.isclose(HD, score)
-                and _crystal_tie_break(point, frontier[best_f], logs)
-            ):
-                score = HD
-                best_f = f
+    chosen: List[tuple] = [tuple(np.zeros(p, dtype=int))]
+    frontier: List[tuple] = list(moves)
+    frontier_set = set(frontier)
+    chosen_set = set(chosen)
+    # Running sum over `chosen` of HD(candidate, s), kept in frontier order.
+    hd_totals: List[float] = [
+        float(t)
+        for t in _tenney_hd(
+            np.asarray(frontier), np.asarray(chosen), logs
+        ).sum(axis=1)
+    ]
 
-        new_point = frontier.pop(best_f)
-        intervals.append(new_point)
-        for s in seeds:
-            new_seed = tuple(np.array(new_point) + np.array(s))
-            if new_seed not in intervals and new_seed not in frontier:
-                frontier.append(new_seed)
+    while len(chosen) < n_intervals:
+        # Sequential min scan with the reference's tie rule.
+        best = 0
+        for cand in range(1, len(frontier)):
+            total = hd_totals[cand]
+            takes = total < hd_totals[best]
+            if not takes and np.isclose(total, hd_totals[best]):
+                # Tie: prefer the simpler interval (smaller logs . |exponents|).
+                takes = bool(
+                    logs @ np.abs(np.asarray(frontier[cand]))
+                    < logs @ np.abs(np.asarray(frontier[best]))
+                )
+            if takes:
+                best = cand
 
-    return tuple(intervals)
+        winner = frontier.pop(best)
+        hd_totals.pop(best)
+        frontier_set.discard(winner)
+        chosen.append(winner)
+        chosen_set.add(winner)
+
+        # Every remaining candidate's running total grows by HD(., winner).
+        if frontier:
+            delta = _tenney_hd(
+                np.asarray(frontier), np.asarray([winner]), logs
+            )[:, 0]
+            hd_totals = [t + float(d) for t, d in zip(hd_totals, delta)]
+
+        fresh = []
+        for step in moves:
+            neighbor = tuple(w + s for w, s in zip(winner, step))
+            if neighbor not in chosen_set and neighbor not in frontier_set:
+                fresh.append(neighbor)
+                frontier.append(neighbor)
+                frontier_set.add(neighbor)
+        if fresh:
+            fresh_totals = _tenney_hd(
+                np.asarray(fresh), np.asarray(chosen), logs
+            ).sum(axis=1)
+            hd_totals.extend(float(t) for t in fresh_totals)
+
+    return tuple(chosen)
 
 
 def plimit_intervals(
@@ -172,35 +209,27 @@ def plimit_intervals(
     primes = np.atleast_1d(primes)
     logs = np.log2(primes, dtype=np.float64)
 
-    intervals = _plimit_cached(tuple(int(p) for p in primes), int(bins_per_octave))
-    pows = np.array(list(intervals), dtype=float)
-
-    log_ratios, pow2 = np.modf(pows.dot(logs))
-    too_small = log_ratios < 0
-    log_ratios[too_small] += 1
-    pow2[too_small] -= 1
-    pow2 = pow2.astype(int)
+    exponents = np.asarray(
+        _crystal_growth(tuple(int(q) for q in primes), int(bins_per_octave)),
+        dtype=float,
+    )
+    folded_log, octs = _fold_to_octave(exponents @ logs)
 
     if sort:
-        idx = np.argsort(log_ratios)
-        log_ratios = log_ratios[idx]
+        order = np.argsort(folded_log)
     else:
-        idx = range(bins_per_octave)
+        order = np.arange(bins_per_octave)
 
     if return_factors:
-        factors = []
-        for i in idx:
-            v: dict = {}
-            if pow2[i] != 0:
-                v[2] = -pow2[i]
-            v.update(
-                {
-                    int(p): int(power)
-                    for p, power in zip(primes, pows[i])
-                    if power != 0
-                }
-            )
-            factors.append(v)
-        return factors
+        out = []
+        for k in order:
+            fac: dict = {}
+            if octs[k]:
+                fac[2] = -int(octs[k])
+            for q, e in zip(primes, exponents[k]):
+                if e:
+                    fac[int(q)] = int(e)
+            out.append(fac)
+        return out
 
-    return np.power(2, log_ratios)
+    return 2.0 ** folded_log[order]

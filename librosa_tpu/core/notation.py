@@ -259,93 +259,76 @@ def _mode_to_key(signature: str, unicode: bool = True) -> str:
     )
 
 
+# Letters in line-of-fifths order; LETTER k sits at fifths-position k-1
+# (F=-1, C=0, G=1, D=2, A=3, E=4, B=5), and adding a sharp moves a
+# spelling +7 positions (a flat, -7).
+_FIFTHS_LETTERS = "FCGDAEB"
+_FIFTHS_POS = {note: k - 1 for k, note in enumerate(_FIFTHS_LETTERS)}
+
+
+def _spell_fifths(pos: int) -> str:
+    """Note name at a line-of-fifths position (…♭♭, ♭, natural, ♯, 𝄪…)."""
+    letter = _FIFTHS_LETTERS[(pos + 1) % 7]
+    n_acc = (pos + 1) // 7
+    if n_acc >= 0:
+        return letter + "♯" * (n_acc % 2) + "𝄪" * (n_acc // 2)
+    return letter + "♭" * (-n_acc % 2) + "𝄫" * (-n_acc // 2)
+
+
 def key_to_notes(
     key: str, *, unicode: bool = True, natural: bool = False
 ) -> List[str]:
     """Spelling of the 12 pitch classes under a given key.
 
-    Parity: notation.py:626 — circle-of-fifths accidental selection with
-    double-accidental corrections and mode translation.
+    Behavior parity with ``librosa/core/notation.py:626``, derived from a
+    line-of-fifths model instead of the reference's correction tables and
+    multi-accidental recursion: each spelling is a position on the line of
+    fifths, the pitch class at position p is ``7p mod 12``, and a key selects
+    a contiguous window of 12 positions.  The window is anchored by the key
+    signature (tonic position for major, 3 fifths down for minor), clamped to
+    the plain chromatic range for signatures under 6 accidentals, and shifted
+    a full cycle (±7) for every tonic accidental beyond the first — which is
+    exactly what the reference's recursive note-simplification produces.
     """
     match = KEY_RE.match(key)
     if not match:
         raise ParameterError(f"Improper key format: {key:s}")
 
-    pitch_map = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
-    tonic = match.group("tonic").upper()
-    accidental = match.group("accidental")
-    offset = sum(ACC_MAP[acc] for acc in accidental)
-
     if match.group("mode") or not match.group("scale"):
-        equiv = _mode_to_key(key)
-        return key_to_notes(equiv, unicode=unicode, natural=natural)
+        return key_to_notes(_mode_to_key(key), unicode=unicode, natural=natural)
 
-    scale = match.group("scale")[:3].lower()
-    multiple = abs(offset) >= 2
+    tonic = match.group("tonic").upper()
+    offset = sum(ACC_MAP[acc] for acc in match.group("accidental"))
+    minor = match.group("scale")[:3].lower() != "maj"
 
-    if multiple:
-        sign_map = {+1: "♯", -1: "♭"}
-        additional_acc = sign_map[int(np.sign(offset))]
-        intermediate = key_to_notes(
-            tonic + additional_acc * (abs(offset) - 1) + ":" + scale,
-            natural=False,
-        )
-        notes = [_simplify_note(n, additional_acc) for n in intermediate]
-        degrees = _note_to_degree(notes)
-        notes = list(np.roll(notes, shift=-int(np.argwhere(degrees == 0)[0])))
-        if not unicode:
-            notes = [n.translate(_UNICODE_DOWN) for n in notes]
-        return notes
+    # Signature of the key with a single tonic accidental (or none); extra
+    # tonic accidentals displace the whole window by 7 fifths each.
+    direction = (offset > 0) - (offset < 0)
+    signature = _FIFTHS_POS[tonic] + 7 * direction - 3 * minor
 
-    major = scale == "maj"
-    if major:
-        tonic_number = ((pitch_map[tonic] + offset) * 7) % 12
+    # A sharpened (flattened) tonic forces sharps (flats); a natural tonic
+    # picks whichever side needs fewer accidentals, sharps winning ties.
+    if direction != 0:
+        use_sharps = direction > 0
     else:
-        tonic_number = ((pitch_map[tonic] + offset) * 7 + 9) % 12
-
-    if offset < 0:
-        use_sharps = False
-    elif offset > 0:
-        use_sharps = True
-    elif 0 <= tonic_number < 6:
-        use_sharps = True
-    elif tonic_number > 6:
-        use_sharps = False
-
-    notes_sharp = ["C", "C♯", "D", "D♯", "E", "F", "F♯", "G", "G♯", "A", "A♯", "B"]
-    notes_flat = ["C", "D♭", "D", "E♭", "E", "F", "G♭", "G", "A♭", "A", "B♭", "B"]
-
-    sharp_corrections = [
-        (5, "E♯"), (0, "B♯"), (7, "F𝄪"), (2, "C𝄪"), (9, "G𝄪"), (4, "D𝄪"),
-        (11, "A𝄪"),
-    ]
-    flat_corrections = [
-        (11, "C♭"), (4, "F♭"), (9, "B𝄫"), (2, "E𝄫"), (7, "A𝄫"), (0, "D𝄫"),
-    ]
-
-    n_sharps = tonic_number
-    if tonic_number == 0 and tonic == "B":
-        n_sharps = 12
+        use_sharps = signature % 12 < 6
 
     if use_sharps:
-        for n in range(0, n_sharps - 6 + 1):
-            index, name = sharp_corrections[n]
-            notes_sharp[index] = name
-        notes = notes_sharp
+        window_lo = max(signature - 6, -1)
     else:
-        n_flats = (12 - tonic_number) % 12
-        for n in range(0, n_flats - 6 + 1):
-            index, name = flat_corrections[n]
-            notes_flat[index] = name
-        notes = notes_flat
+        window_lo = min(signature, -5) - 1
+    window_lo += 7 * direction * (abs(offset) - 1 if offset else 0)
+
+    notes = [""] * 12
+    for pos in range(window_lo, window_lo + 12):
+        notes[7 * pos % 12] = _spell_fifths(pos)
 
     if natural:
-        scale_notes = set(key_to_degrees(key))
-        for place, note in enumerate(notes):
-            if _note_to_degree(note) in scale_notes:
-                continue
-            if len(note) == 1:
-                notes[place] = note + "♮"
+        in_scale = set(key_to_degrees(key))
+        notes = [
+            n + "♮" if len(n) == 1 and _note_to_degree(n) not in in_scale else n
+            for n in notes
+        ]
 
     if not unicode:
         notes = [n.translate(_UNICODE_DOWN) for n in notes]

@@ -369,18 +369,20 @@ def chroma(
 
 
 def _relative_bandwidth(*, freqs: np.ndarray) -> np.ndarray:
-    """Relative bandwidth alpha[k] per frequency. Parity: filters.py:555."""
+    """Relative bandwidth alpha[k] per frequency. Parity: filters.py:555.
+
+    alpha[k] = (r-1)/(r+1) where ``r`` is the frequency ratio spanned by the
+    two neighbors of bin k (one-sided spans doubled at the edges).  Centered
+    log-spans come from ``np.gradient`` rather than the reference's explicit
+    bins-per-octave slicing.
+    """
     if len(freqs) <= 1:
         raise ParameterError(
             f"2 or more frequencies are required to compute bandwidths. Given freqs={freqs}"
         )
-    bpo = np.empty_like(freqs)
-    logf = np.log2(freqs)
-    bpo[0] = 1 / (logf[1] - logf[0])
-    bpo[-1] = 1 / (logf[-1] - logf[-2])
-    bpo[1:-1] = 2 / (logf[2:] - logf[:-2])
-    alpha: np.ndarray = (2.0 ** (2 / bpo) - 1) / (2.0 ** (2 / bpo) + 1)
-    return alpha
+    span = 2.0 * np.gradient(np.log2(freqs))
+    ratio = np.exp2(span)
+    return (ratio - 1) / (ratio + 1)
 
 
 def wavelet_lengths(
@@ -394,36 +396,37 @@ def wavelet_lengths(
 ) -> Tuple[np.ndarray, float]:
     """Length of each filter in a wavelet basis, and the global f_cutoff.
 
-    Parity: reference ``filters.py:424`` — Q = filter_scale/alpha, lengths
-    ``Q*sr/(f + gamma/alpha)``, cutoff from window bandwidth.
+    Parity: reference ``filters.py:424``.  Each filter's bandwidth is
+    ``B[k] = alpha[k]*freqs[k] + gamma`` Hz, so its length in samples is
+    ``filter_scale * sr / B[k]`` (equivalently the reference's
+    ``Q*sr/(f + gamma/alpha)`` with ``Q = filter_scale/alpha``).  The cutoff
+    is the top of the highest filter's -3 dB main lobe.
     """
     freqs = np.asarray(freqs)
-    if filter_scale <= 0:
+    scale = float(filter_scale)
+    if scale <= 0:
         raise ParameterError(f"filter_scale={filter_scale} must be positive")
     if gamma is not None and gamma < 0:
         raise ParameterError(f"gamma={gamma} must be non-negative")
     if np.any(freqs <= 0):
         raise ParameterError("frequencies must be strictly positive")
-    if len(freqs) > 1 and np.any(freqs[:-1] > freqs[1:]):
+    if np.any(np.diff(freqs) < 0):
         raise ParameterError(
             f"Frequency array={freqs} must be in strictly ascending order"
         )
 
-    if alpha is None:
-        alpha = _relative_bandwidth(freqs=freqs)
-    else:
-        alpha = np.asarray(alpha)
+    alpha = _relative_bandwidth(freqs=freqs) if alpha is None else np.asarray(alpha)
+    # gamma=None selects ERB-proportional bandwidth offsets (Glasberg & Moore).
+    gamma_ = gamma if gamma is not None else alpha * (24.7 / 0.108)
 
-    if gamma is None:
-        gamma_ = alpha * 24.7 / 0.108
-    else:
-        gamma_ = gamma
-
-    Q = float(filter_scale) / alpha
-    f_cutoff = float(
-        np.max(freqs * (1 + 0.5 * window_bandwidth(window) / Q) + 0.5 * gamma_)
+    # Main-lobe half-width of each filter, in Hz: the window's equivalent
+    # noise bandwidth spans bw/Q = bw*alpha/scale relative to center.
+    halfwidth = 0.5 * (
+        freqs * (window_bandwidth(window) * alpha / scale) + gamma_
     )
-    lengths = Q * sr / (freqs + gamma_ / alpha)
+    f_cutoff = float(np.max(freqs + halfwidth))
+
+    lengths = scale * sr / (alpha * freqs + gamma_)
     return lengths, f_cutoff
 
 

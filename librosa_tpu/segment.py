@@ -31,79 +31,92 @@ __all__ = [
 ]
 
 
+_BANDWIDTH_MODES = (
+    "med_k_scalar",
+    "mean_k",
+    "gmean_k",
+    "mean_k_avg",
+    "gmean_k_avg",
+    "mean_k_avg_and_pair",
+)
+
+
 def _affinity_bandwidth(rec, bw_mode, k: int):
-    """Affinity bandwidth estimators. Parity: segment.py:1332."""
+    """Affinity bandwidth estimators over a kNN distance graph.
+
+    Behavior parity with ``librosa/segment.py:1332``, but computed with
+    segmented-array operations (one lexsort + reduceat over the CSR data)
+    rather than per-row Python loops.
+    """
     if isinstance(bw_mode, np.ndarray):
-        bandwidth = bw_mode
-        if bandwidth.shape != rec.shape:
+        if bw_mode.shape != rec.shape:
             raise ParameterError(
-                f"Invalid matrix bandwidth shape: {bandwidth.shape}."
+                f"Invalid matrix bandwidth shape: {bw_mode.shape}."
                 f"Should be {rec.shape}."
             )
-        if (bandwidth <= 0).any():
+        if (bw_mode <= 0).any():
             raise ParameterError(
                 "Invalid bandwidth. All entries must be strictly positive."
             )
-        return np.array(bandwidth[rec.nonzero()])
+        return np.array(bw_mode[rec.nonzero()])
 
     if isinstance(bw_mode, (int, float)):
-        scalar_bandwidth = float(bw_mode)
-        if scalar_bandwidth <= 0:
+        if float(bw_mode) <= 0:
             raise ParameterError(
-                f"Invalid scalar bandwidth={scalar_bandwidth}. "
+                f"Invalid scalar bandwidth={float(bw_mode)}. "
                 "Must be strictly positive."
             )
-        return scalar_bandwidth
+        return float(bw_mode)
 
-    if bw_mode is None:
-        bw_mode = "med_k_scalar"
-
-    if bw_mode not in [
-        "med_k_scalar", "mean_k", "gmean_k", "mean_k_avg", "gmean_k_avg",
-        "mean_k_avg_and_pair",
-    ]:
+    mode = "med_k_scalar" if bw_mode is None else bw_mode
+    if mode not in _BANDWIDTH_MODES:
         raise ParameterError(
-            f"Invalid bandwidth='{bw_mode}'. Must be either a positive scalar "
-            "or one of ['med_k_scalar', 'mean_k', 'gmean_k', 'mean_k_avg', "
-            "'gmean_k_avg', 'mean_k_avg_and_pair']"
+            f"Invalid bandwidth='{mode}'. Must be either a positive scalar "
+            f"or one of {list(_BANDWIDTH_MODES)}"
         )
 
-    t = rec.shape[0]
-    knn_dists = []
-    for i in range(t):
-        start, end = rec.indptr[i], rec.indptr[i + 1]
-        row_data = rec.data[start:end]
-        if row_data.size == 0:
-            if bw_mode not in ["med_k_scalar"]:
-                raise ParameterError(
-                    f"The sample at time point {i} has no neighbors"
-                )
-            knn_dists.append(np.array([np.nan]))
-        else:
-            knn_dists.append(np.sort(row_data)[:k])
+    n = rec.shape[0]
+    counts = np.diff(rec.indptr)
+    empty_rows = np.flatnonzero(counts == 0)
+    if empty_rows.size and mode != "med_k_scalar":
+        # Disconnected vertices only break point-wise estimators.
+        raise ParameterError(
+            f"The sample at time point {empty_rows[0]} has no neighbors"
+        )
 
-    dist_to_k = np.asarray([d[-1] for d in knn_dists])
-    avg_dist = np.asarray([np.mean(d) for d in knn_dists])
+    # Sort distances within each row, then keep each row's k smallest.
+    row_of = np.repeat(np.arange(n), counts)
+    by_row_asc = rec.data[np.lexsort((rec.data, row_of))]
+    within_row_rank = np.arange(len(row_of)) - np.repeat(rec.indptr[:-1], counts)
+    kept = by_row_asc[within_row_rank < k]
+    kept_counts = np.minimum(counts, k)
+    kept_ends = np.cumsum(kept_counts)
 
-    if bw_mode == "med_k_scalar":
+    # Per-row distance to the k-th neighbor (NaN where the row is empty).
+    dist_to_k = np.full(n, np.nan)
+    nonempty = counts > 0
+    dist_to_k[nonempty] = kept[kept_ends[nonempty] - 1]
+
+    if mode == "med_k_scalar":
         if not np.any(np.isfinite(dist_to_k)):
             raise ParameterError("Cannot estimate bandwidth from an empty graph")
         return float(np.nanmedian(dist_to_k))
 
-    sigma_i = np.empty_like(rec.data)
-    sigma_j = np.empty_like(rec.data)
-    source = dist_to_k if bw_mode in ("mean_k", "gmean_k") else avg_dist
-    for row in range(t):
-        sl = slice(rec.indptr[row], rec.indptr[row + 1])
-        sigma_i[sl] = source[row]
-        sigma_j[sl] = source[rec.indices[sl]]
+    if mode in ("mean_k", "gmean_k"):
+        per_row = dist_to_k
+    else:
+        # Mean distance over each row's k nearest neighbors.
+        per_row = np.add.reduceat(
+            kept, kept_ends - kept_counts
+        ) / kept_counts
 
-    if bw_mode in ("mean_k", "mean_k_avg"):
-        return np.array((sigma_i + sigma_j) / 2)
-    if bw_mode in ("gmean_k", "gmean_k_avg"):
-        return np.array((sigma_i * sigma_j) ** 0.5)
-    # mean_k_avg_and_pair
-    return np.array((sigma_i + sigma_j + rec.data) / 3)
+    sigma_out = per_row[row_of]
+    sigma_in = per_row[rec.indices]
+    if mode in ("gmean_k", "gmean_k_avg"):
+        return np.array((sigma_out * sigma_in) ** 0.5)
+    if mode == "mean_k_avg_and_pair":
+        return np.array((sigma_out + sigma_in + rec.data) / 3)
+    return np.array((sigma_out + sigma_in) / 2)
 
 
 def _knn_graph(data_fit, k_neighbors: int, metric: str, mode: str, X=None):
