@@ -114,25 +114,33 @@ def _local_score(onset_envelope: np.ndarray, frames_per_beat: np.ndarray) -> np.
         for r in range(flat.shape[0]):
             res[r] = np.convolve(flat[r], window, mode="same")
         return res.reshape(oe.shape)
-    # time-varying: per-frame Gaussian
-    out = np.zeros_like(oe)
+    # Time-varying tempo: frame i is smoothed by its own Gaussian of
+    # half-width h_i = int(fpb_i), tap k weighted exp(-((k-fpb_i)*16/fpb_i)²/2)
+    # for k in [max(0, i+h_i-N+1), min(i+h_i, 2h_i+1)) — the reference
+    # guvec's (exclusive) bounds, beat.py:600-608.  Vectorized as one masked
+    # gather over a (..., N, Kmax) tap grid instead of a per-frame loop.
     flat = oe.reshape(-1, N)
-    fpb_flat = np.broadcast_to(
-        frames_per_beat, oe.shape
-    ).reshape(-1, N)
-    res = np.zeros_like(flat)
-    for r in range(flat.shape[0]):
-        for i in range(N):
-            fpb = fpb_flat[r, i]
-            K = 2 * int(fpb) + 1
-            window = np.exp(
-                -0.5 * (np.arange(-fpb, fpb + 1) * 32.0 / fpb) ** 2
-            )
-            lo = max(0, i + K // 2 - N + 1)
-            hi = min(i + K // 2, K)
-            ks = np.arange(lo, hi)
-            res[r, i] = np.sum(window[ks] * flat[r, i + K // 2 - ks])
-    return res.reshape(oe.shape)
+    fpb_flat = np.broadcast_to(frames_per_beat, oe.shape).reshape(-1, N)
+    half = fpb_flat.astype(np.int64)  # h_i = K_i // 2
+    k_max = int(2 * half.max() + 1)
+
+    taps = np.arange(k_max)  # (K,)
+    idx = np.arange(N)
+    # source sample for (i, k): i + h_i - k, valid while in [0, N) and k < K_i
+    src = idx[None, :, None] + half[:, :, None] - taps[None, None, :]
+    k_lo = np.maximum(0, idx[None, :, None] + half[:, :, None] - N + 1)
+    k_hi = np.minimum(idx[None, :, None] + half[:, :, None],
+                      2 * half[:, :, None] + 1)
+    mask = (taps >= k_lo) & (taps < k_hi)
+    weights = np.exp(
+        -0.5 * ((taps - fpb_flat[:, :, None]) * 32.0 / fpb_flat[:, :, None]) ** 2
+    )
+    gathered = np.take_along_axis(
+        flat[:, None, :], np.clip(src, 0, N - 1).reshape(flat.shape[0], 1, -1),
+        axis=-1,
+    ).reshape(src.shape)
+    res = np.sum(np.where(mask, weights * gathered, 0.0), axis=-1)
+    return res.reshape(oe.shape).astype(oe.dtype)
 
 
 def _last_beat(cumscore: np.ndarray) -> np.ndarray:

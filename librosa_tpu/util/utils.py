@@ -449,8 +449,9 @@ def _peak_pick_greedy_1d(
     """Greedy peak picker over one envelope (host NumPy).
 
     Behavioral parity with the reference numba kernel util/utils.py:1188.
-    Peak lists are tiny (onset envelopes), so host execution is appropriate;
-    a jit-able lax.scan variant lives in ``librosa_tpu.ops.peaks``.
+    Single onset envelopes are tiny, so host execution avoids device
+    dispatch latency; batched inputs route to the ``lax.scan`` kernels in
+    ``librosa_tpu.ops.peaks`` (see ``peak_pick``).
     """
     n_frames = x.shape[0]
     peaks = np.zeros(n_frames, dtype=bool)
@@ -561,27 +562,44 @@ def peak_pick(
     post_avg = valid_int(post_avg, cast=np.ceil)
     wait = valid_int(wait, cast=np.ceil)
 
+    if method not in ("greedy", "dp_count", "dp_value"):
+        raise ParameterError(f"Unsupported method: {method}")
+
     xm = np.moveaxis(x, axis, -1)
     flat = xm.reshape(-1, xm.shape[-1])
-    out = np.zeros_like(flat, dtype=bool)
-    for i in range(flat.shape[0]):
+    if flat.shape[0] > 1:
+        # Batched envelopes: scan kernels on device, no per-frame Python.
+        from ..ops import peaks as _peaks
+
         if method == "greedy":
-            out[i] = _peak_pick_greedy_1d(
-                flat[i].astype(np.float64), pre_max, post_max, pre_avg, post_avg,
-                delta, wait,
-            )
-        elif method == "dp_count":
-            out[i] = _peak_pick_dp_1d(
-                flat[i].astype(np.float64), pre_max, post_max, pre_avg, post_avg,
-                delta, wait, True,
-            )
-        elif method == "dp_value":
-            out[i] = _peak_pick_dp_1d(
-                flat[i].astype(np.float64), pre_max, post_max, pre_avg, post_avg,
-                delta, wait, False,
+            out = np.asarray(
+                _peaks.greedy_mask(
+                    jnp.asarray(flat, dtype=jnp.float32),
+                    pre_max=pre_max, post_max=post_max, pre_avg=pre_avg,
+                    post_avg=post_avg, delta=float(delta), wait=wait,
+                )
             )
         else:
-            raise ParameterError(f"Unsupported method: {method}")
+            taken = _peaks.dp_values(
+                jnp.asarray(flat, dtype=jnp.float32),
+                pre_max=pre_max, post_max=post_max, pre_avg=pre_avg,
+                post_avg=post_avg, delta=float(delta), wait=wait,
+                count=(method == "dp_count"),
+            )
+            out = _peaks.dp_mask(taken, wait)
+    else:
+        out = np.zeros_like(flat, dtype=bool)
+        for i in range(flat.shape[0]):
+            if method == "greedy":
+                out[i] = _peak_pick_greedy_1d(
+                    flat[i].astype(np.float64), pre_max, post_max, pre_avg,
+                    post_avg, delta, wait,
+                )
+            else:
+                out[i] = _peak_pick_dp_1d(
+                    flat[i].astype(np.float64), pre_max, post_max, pre_avg,
+                    post_avg, delta, wait, method == "dp_count",
+                )
     mask = np.moveaxis(out.reshape(xm.shape), -1, axis)
     if sparse:
         return np.flatnonzero(mask)

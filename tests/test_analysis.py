@@ -60,6 +60,44 @@ def test_beat_track_clicks(click_track):
     assert abs(np.median(ibi) - 0.5) < 0.05
 
 
+def test_beat_local_score_time_varying():
+    # The vectorized tap-grid gather must equal the reference guvec's
+    # per-frame loop semantics (window k in [max(0, i+h-N+1), min(i+h, 2h+1))).
+    from librosa_tpu.beat import _local_score, _normalize_onsets
+
+    rng = np.random.default_rng(440)
+    oe = rng.random((2, 300))
+    fpb = 15 + 8 * np.sin(np.linspace(0, 5, 300))
+
+    got = _local_score(oe, np.broadcast_to(fpb, oe.shape))
+
+    oe_n = np.asarray(_normalize_onsets(oe))
+    want = np.zeros_like(oe_n)
+    N = oe.shape[-1]
+    for r in range(oe.shape[0]):
+        for i in range(N):
+            f = fpb[i]
+            K = 2 * int(f) + 1
+            window = np.exp(-0.5 * (np.arange(-f, f + 1) * 32.0 / f) ** 2)
+            ks = np.arange(max(0, i + K // 2 - N + 1), min(i + K // 2, K))
+            want[r, i] = np.sum(window[ks] * oe_n[r, i + K // 2 - ks])
+    assert np.allclose(got, want, atol=1e-10)
+
+
+def test_beat_track_time_varying_bpm():
+    # Per-frame bpm trajectory drives the time-varying local score + DP.
+    sr, hop = 22050, 512
+    T = 400
+    env = np.zeros(T, dtype=np.float32)
+    env[::22] = 1.0  # ~120 bpm pulse train
+    bpm_traj = np.full(T, 120.0, dtype=np.float32)
+    beats = beat_mod.beat_track(
+        onset_envelope=env, sr=sr, hop_length=hop, bpm=bpm_traj,
+    )[1]
+    assert len(beats) >= 10
+    assert abs(np.median(np.diff(beats)) - 22) <= 2
+
+
 def test_beat_track_empty():
     bpm, beats = beat_mod.beat_track(
         onset_envelope=np.zeros(100, dtype=np.float32)

@@ -135,6 +135,42 @@ def test_peak_pick_dp():
     assert 5 in peaks and 30 in peaks
 
 
+def test_peak_pick_batch_matches_single():
+    # Batched inputs route through the ops.peaks scan kernels; every row
+    # must agree with the host single-envelope path.
+    x = np.random.default_rng(440).random((6, 300)).astype(np.float32)
+    for method in ("greedy", "dp_count", "dp_value"):
+        batch = util.peak_pick(
+            x, pre_max=3, post_max=3, pre_avg=5, post_avg=5, delta=0.05,
+            wait=8, sparse=False, method=method,
+        )
+        assert batch.sum() > 0
+        for r in range(x.shape[0]):
+            single = util.peak_pick(
+                x[r], pre_max=3, post_max=3, pre_avg=5, post_avg=5,
+                delta=0.05, wait=8, sparse=False, method=method,
+            )
+            assert np.array_equal(batch[r], single), (method, r)
+
+
+def test_peak_pick_batch_edge_configs():
+    x = np.random.default_rng(7).random((4, 120)).astype(np.float32)
+    for pm, qm, pa, qa, d, w in [(1, 1, 1, 1, 0.0, 0), (0, 5, 0, 7, 0.02, 2)]:
+        for method in ("greedy", "dp_count"):
+            batch = util.peak_pick(
+                x, pre_max=pm, post_max=qm, pre_avg=pa, post_avg=qa,
+                delta=d, wait=w, sparse=False, method=method,
+            )
+            singles = np.stack([
+                util.peak_pick(
+                    x[r], pre_max=pm, post_max=qm, pre_avg=pa, post_avg=qa,
+                    delta=d, wait=w, sparse=False, method=method,
+                )
+                for r in range(x.shape[0])
+            ])
+            assert np.array_equal(batch, singles), (pm, qm, pa, qa, d, w, method)
+
+
 def test_softmask():
     X = np.abs(np.random.RandomState(0).randn(4, 5)).astype(np.float32)
     R = np.abs(np.random.RandomState(1).randn(4, 5)).astype(np.float32)
