@@ -61,6 +61,55 @@ def test_resample_soxr_preserves_tone(tone_440):
     assert abs(peak - 440) < 2
 
 
+@pytest.mark.parametrize(
+    "res_type,min_snr",
+    [
+        ("linear", 40),
+        ("zero_order_hold", 15),
+        ("sinc_fastest", 70),
+        ("sinc_medium", 90),
+        ("sinc_best", 110),
+    ],
+)
+@pytest.mark.parametrize("target", [16000, 44100, 11025.5])
+def test_resample_interp_modes(tone_440, res_type, min_snr, target):
+    # Interpolation modes accept arbitrary (even non-integer) target rates.
+    out = np.asarray(
+        lt.resample(tone_440, orig_sr=22050, target_sr=target, res_type=res_type)
+    )
+    n = int(np.ceil(len(tone_440) * target / 22050))
+    assert out.shape == (n,)
+    tt = np.arange(n) / target
+    ideal = np.sin(2 * np.pi * 440 * tt)
+    m = slice(256, -256)
+    snr = 10 * np.log10(
+        np.mean(ideal[m] ** 2) / np.mean((out[m] - ideal[m]) ** 2)
+    )
+    assert snr > min_snr, (res_type, snr)
+
+
+def test_resample_sinc_multichannel(noise):
+    y = np.stack([noise, -noise])
+    out = np.asarray(
+        lt.resample(y, orig_sr=22050, target_sr=16000, res_type="sinc_best")
+    )
+    one = np.asarray(
+        lt.resample(noise, orig_sr=22050, target_sr=16000, res_type="sinc_best")
+    )
+    assert out.shape[0] == 2
+    assert np.allclose(out[0], one, atol=1e-6)
+    assert np.allclose(out[0], -out[1], atol=1e-6)
+
+
+def test_resample_zoh_exact_downsample(noise):
+    # Exact 2:1 zero-order hold picks every other sample.
+    out = np.asarray(
+        lt.resample(noise, orig_sr=22050, target_sr=11025,
+                    res_type="zero_order_hold")
+    )
+    assert np.array_equal(out, noise[::2][: len(out)])
+
+
 def test_resample_identity(tone_440):
     out = lt.resample(tone_440, orig_sr=22050, target_sr=22050)
     assert np.asarray(out) is not None
