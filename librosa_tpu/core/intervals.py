@@ -20,6 +20,7 @@ from typing import Any, Collection, List, Union
 
 import numpy as np
 
+from .._cache import cache
 from ..util.exceptions import ParameterError
 
 __all__ = ["interval_frequencies", "pythagorean_intervals", "plimit_intervals"]
@@ -35,6 +36,7 @@ def _fold_to_octave(log_ratio: np.ndarray) -> tuple:
     return log_ratio - shift, shift.astype(int)
 
 
+@cache(level=10)
 def interval_frequencies(
     n_bins: int,
     *,
@@ -87,6 +89,7 @@ def interval_frequencies(
     return all_ratios * fmin
 
 
+@cache(level=10)
 def pythagorean_intervals(
     *, bins_per_octave: int = 12, sort: bool = True, return_factors: bool = False
 ):
@@ -195,6 +198,7 @@ def _crystal_growth(primes: tuple, n_intervals: int) -> tuple:
     return tuple(chosen)
 
 
+@cache(level=10)
 def plimit_intervals(
     *,
     primes: Any,

@@ -6,8 +6,9 @@ as constants — on TPU the filterbank *application* is an MXU matmul, so
 construction cost is irrelevant and full float64 parity with the reference
 (``librosa/filters.py``) is free.
 
-All constructors are memoized with ``functools.lru_cache`` (the analogue of
-the reference's joblib ``@cache(level=10)``).
+Constructors are memoized in-process with ``functools.lru_cache`` and carry
+the reference's opt-in on-disk joblib layer (``@cache(level=10)``, active
+when ``LIBROSA_CACHE_DIR`` is set — see ``librosa_tpu/_cache.py``).
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ from .core.convert import (
     midi_to_hz,
     note_to_hz,
 )
+from ._cache import cache
 from .util.exceptions import ParameterError
 
 __all__ = [
@@ -272,6 +274,7 @@ def _mel_cached(
     return weights.astype(np.dtype(dtype_str))
 
 
+@cache(level=10)
 def mel(
     *,
     sr: float,
@@ -339,6 +342,7 @@ def _chroma_cached(
     )
 
 
+@cache(level=10)
 def chroma(
     *,
     sr: float,
@@ -385,6 +389,7 @@ def _relative_bandwidth(*, freqs: np.ndarray) -> np.ndarray:
     return (ratio - 1) / (ratio + 1)
 
 
+@cache(level=10)
 def wavelet_lengths(
     *,
     freqs: Any,
@@ -430,6 +435,7 @@ def wavelet_lengths(
     return lengths, f_cutoff
 
 
+@cache(level=10)
 def wavelet(
     *,
     freqs: np.ndarray,
@@ -479,6 +485,7 @@ def wavelet(
 # ---------------------------------------------------------------------------
 
 
+@cache(level=10)
 def cq_to_chroma(
     n_input: int,
     *,
@@ -579,6 +586,7 @@ def mr_frequencies(tuning: float) -> Tuple[np.ndarray, np.ndarray]:
     return center_freqs, sample_rates
 
 
+@cache(level=10)
 def semitone_filterbank(
     *,
     center_freqs: Optional[np.ndarray] = None,
@@ -601,6 +609,7 @@ def semitone_filterbank(
 # ---------------------------------------------------------------------------
 
 
+@cache(level=10)
 def window_sumsquare(
     *,
     window: _WindowSpec,
@@ -638,6 +647,7 @@ def window_sumsquare(
 # ---------------------------------------------------------------------------
 
 
+@cache(level=10)
 def diagonal_filter(
     window: _WindowSpec,
     n: int,
