@@ -123,6 +123,34 @@ def main() -> None:
     dt2 = (time.perf_counter() - t0) / iters2
     samples_per_s = big_n / dt2
 
+    # --- roofline accounting ---------------------------------------------
+    # Useful MXU work of the fused kernel vs this device's *measured*
+    # exact-f32 matmul ceiling (bf16x3 emulation; see ROOFLINE.md for the
+    # full decomposition and why the pure-matmul ceiling is not reachable
+    # end-to-end for this op mix).
+    roofline: dict = {}
+    try:
+        from librosa_tpu.ops.pallas_stft import kernel_macs_per_frame
+        from librosa_tpu.util import profiling
+
+        ceilings = profiling.calibrate(dev, size=4096, chain=12,
+                                       include_bf16=False)
+        macs = kernel_macs_per_frame(N_FFT, N_MELS)
+        useful_flops = samples_per_s / HOP * macs * 2
+        roofline = {
+            "useful_tf_per_s": round(useful_flops / 1e12, 2),
+            "matmul_f32_ceiling_tf_per_s": round(
+                ceilings.matmul_f32_flops / 1e12, 2
+            ),
+            "hbm_gb_per_s_ceiling": round(ceilings.hbm_bytes_per_s / 1e9, 1),
+            "roofline_utilization": round(
+                useful_flops / ceilings.matmul_f32_flops, 3
+            ),
+            "roofline_analysis": "ROOFLINE.md",
+        }
+    except Exception as e:  # pragma: no cover
+        roofline = {"roofline_error": str(e)[:80]}
+
     # --- SNR vs float64 CPU reference on a slice --------------------------
     m = SR * 4
     ys = y[:m]
@@ -221,6 +249,7 @@ def main() -> None:
         "device": str(dev),
         "cpu_baseline_samples_per_s": round(baseline_sps),
         "api_dispatch_samples_per_s": round(api_samples_per_s),
+        **roofline,
         **secondary,
     }
     print(json.dumps(result))

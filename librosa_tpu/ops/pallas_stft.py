@@ -27,10 +27,26 @@ k = N2·k1 + k2:
 so stage A contracts the frame tensor (T, N2, N1) over t2 (axis −2),
 the twiddle is an elementwise complex rotation over (t1, k2), and stage
 B contracts over t1 (axis −2) — both contractions leave a 128-wide axis
-in the lanes.  Real input means stage A is two real matmuls; stage B is
-four.  The full 2048-bin power grid comes out indexed [k2, k1]; instead
-of reordering, the mel basis is pre-permuted host-side (bins above
-Nyquist zeroed — they mirror bins below and must not double count).
+in the lanes.  Real input makes stage A two real matmuls and stage B
+four; both pairs ride ONE dot each by concatenating the cos/−sin rows
+into the lhs (stage A) and the [c1 | s1] columns into the rhs (stage B)
+— merged because on the MXU a dot's cost scales with its streamed
+N-tiles, not its K, so separate small-K dots waste full passes.  The
+basis projection contracts with the basis on the LHS so the result
+lands directly in the public (n_out, T) layout with no per-tile
+transpose.  The full 2048-bin power grid comes out indexed [k2, k1];
+instead of reordering, the mel basis is pre-permuted host-side (bins
+above Nyquist zeroed — they mirror bins below and must not double
+count).
+
+Measured roofline decomposition (TPU v5e over the axon tunnel, see
+ROOFLINE.md): ~4.1 G samples/s at HIGHEST (exact f32; bit-level parity
+budget 140 dB SNR), ~7.1 G at DEFAULT (bf16 single-pass, ~52 dB).  The
+HIGHEST path spends ≈2/3 of its time in 3-pass bf16x3 MXU emulation —
+the fundamental price of exact f32 on this hardware.
+
+``precision`` may be a single jax.lax.Precision or a 3-tuple
+(stage_a, stage_b, basis) for mixed-precision operation.
 
 Reference parity: this computes exactly |stft(y)|**power · mel
 (librosa core/spectrum.py:58 + feature/spectral.py:2160 semantics) for
@@ -56,6 +72,18 @@ def _factor(n_fft: int) -> tuple[int, int]:
     if n_fft == 128:
         return 64, 2
     raise ValueError(f"n_fft={n_fft} not supported by the pallas kernel")
+
+
+def kernel_macs_per_frame(n_fft: int, n_out: int) -> int:
+    """Useful multiply-accumulates per frame (roofline accounting).
+
+    Stage A: 2·kh·n2·n1 (real+imag, half-spectrum k2 rows); stage B:
+    4·kh·n1·n1; basis projection: kh·n1·n_out.  Twiddle/power elementwise
+    FLOPs are excluded (they are not MXU work).
+    """
+    n1, n2 = _factor(n_fft)
+    kh = n2 // 2 + 1
+    return 2 * kh * n2 * n1 + 4 * kh * n1 * n1 + kh * n1 * n_out
 
 
 def pallas_supported(n_fft: int, hop_length: int) -> bool:
@@ -116,9 +144,10 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
 
     r = n_fft // hop_length
     rpad = ((r - 1 + 7) // 8) * 8
+    prec3 = precision if isinstance(precision, tuple) else (precision,) * 3
     kern = functools.partial(
         _kernel, tt=tt, hop=hop_length, n_fft=n_fft, n1=n1, n2=n2,
-        power=power, precision=precision, tiles_per_track=n_tiles,
+        power=power, precision=prec3, tiles_per_track=n_tiles,
     )
     call = pl.pallas_call(
         kern,
@@ -126,12 +155,10 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),          # rows (manual DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),         # window
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # c2
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # s2
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # [c2; -s2]
             pl.BlockSpec(memory_space=pltpu.VMEM),         # ctw
             pl.BlockSpec(memory_space=pltpu.VMEM),         # stw
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # c1
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # s1
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # [c1 | s1]
             pl.BlockSpec(memory_space=pltpu.VMEM),         # basis
         ],
         out_specs=pl.BlockSpec(
@@ -150,8 +177,8 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
     return jax.jit(call)
 
 
-def _kernel(rows_hbm, win_ref, c2_ref, s2_ref, ctw_ref, stw_ref,
-            c1_ref, s1_ref, basis_ref, out_ref, ybufs, xstack, sems,
+def _kernel(rows_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
+            c1_ref, basis_ref, out_ref, ybufs, xstack, sems,
             *, tt: int, hop: int, n_fft: int, n1: int, n2: int,
             power: float, precision, tiles_per_track: int):
     """One grid step = one tile of ``tt`` frames.
@@ -222,39 +249,35 @@ def _kernel(rows_hbm, win_ref, c2_ref, s2_ref, ctw_ref, stw_ref,
     # ---- stage A: contract t2: A[k2, t, t1] = Σ_{t2} W2[t2,k2]·x[t,t2,t1]
     # Real input ⇒ conjugate symmetry in k2; only k2 ∈ [0, n2/2] is
     # computed (kh rows) — the mirror bins are folded into the basis.
-    dn_a = (((1,), (1,)), ((), ()))        # lhs c2ᵀ (kh, n2) × (tt, n2, n1)
-    ar = jax.lax.dot_general(
+    # cos and −sin rows ride ONE dot (c2_ref holds [c2; −s2], 2kh rows):
+    # each MXU pass is N-tile-bound here (K = n2 is tiny), so halving the
+    # dot count halves stage-A passes.
+    kh = n2 // 2 + 1
+    dn_a = (((1,), (1,)), ((), ()))        # lhs (2kh, n2) × (tt, n2, n1)
+    a_both = jax.lax.dot_general(
         c2_ref[:], xstack[:], dn_a,
-        preferred_element_type=jnp.float32, precision=precision,
-    )                                       # (kh, tt, n1) = [k2, t, t1]
-    ai = -jax.lax.dot_general(
-        s2_ref[:], xstack[:], dn_a,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+        preferred_element_type=jnp.float32, precision=precision[0],
+    )                                       # (2kh, tt, n1) = [k2|k2', t, t1]
+    ar = a_both[:kh]
+    ai = a_both[kh:]
 
     # ---- twiddle: × W_N^{t1 k2} = cos − i·sin, over (k2, 1, t1) ---------
-    kh = n2 // 2 + 1
     ctw = ctw_ref[:].reshape(kh, 1, n1)
     stw = stw_ref[:].reshape(kh, 1, n1)
     br = ar * ctw + ai * stw
     bi = ai * ctw - ar * stw
 
     # ---- stage B: contract t1 (last axis): X[k2, t, k1] -----------------
+    # All four real products in one dot: lhs [br; bi] (2kh, tt, n1),
+    # rhs [c1 | s1] (n1, 2n1); recombine by 128-aligned lane slices.
+    b_both = jnp.concatenate([br, bi], axis=0)
     dn_b = (((2,), (0,)), ((), ()))
-    xrr = jax.lax.dot_general(
-        br, c1_ref[:], dn_b, preferred_element_type=jnp.float32,
-        precision=precision,
-    ) + jax.lax.dot_general(
-        bi, s1_ref[:], dn_b, preferred_element_type=jnp.float32,
-        precision=precision,
-    )                                      # (n2, tt, n1) = [k2, t, k1]
-    xii = jax.lax.dot_general(
-        bi, c1_ref[:], dn_b, preferred_element_type=jnp.float32,
-        precision=precision,
-    ) - jax.lax.dot_general(
-        br, s1_ref[:], dn_b, preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    prod = jax.lax.dot_general(
+        b_both, c1_ref[:], dn_b, preferred_element_type=jnp.float32,
+        precision=precision[1],
+    )                                      # (2kh, tt, 2n1)
+    xrr = prod[:kh, :, :n1] + prod[kh:, :, n1:]    # br·c1 + bi·s1
+    xii = prod[kh:, :, :n1] - prod[:kh, :, n1:]    # bi·c1 − br·s1
 
     pw = xrr * xrr + xii * xii             # (kh, tt, n1)
     if power == 1:
@@ -263,19 +286,20 @@ def _kernel(rows_hbm, win_ref, c2_ref, s2_ref, ctw_ref, stw_ref,
         pw = pw ** (power / 2)
 
     # ---- basis projection, accumulated per k2 block ---------------------
-    # out[t, m] = Σ_{k2} pw[k2, t, :] @ basis[k2, :, m]
+    # out[m, t] = Σ_{k2,k1} basis[k2, k1, m] · pw[k2, t, k1]: contracting
+    # basis axis 0 against pw axis 1 yields (m, tt) directly — the public
+    # (..., n_out, T) layout — with no per-tile transpose.
+    dn_p = (((0,), (1,)), ((), ()))
     acc = jax.lax.dot_general(
-        pw[0], basis_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
+        basis_ref[0], pw[0], dn_p,
+        preferred_element_type=jnp.float32, precision=precision[2],
     )
     for k2 in range(1, n2 // 2 + 1):
         acc = acc + jax.lax.dot_general(
-            pw[k2], basis_ref[k2], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+            basis_ref[k2], pw[k2], dn_p,
+            preferred_element_type=jnp.float32, precision=precision[2],
         )
-    # write (n_out, tt): the public layout is (..., n_out, T), so emit it
-    # directly instead of transposing the whole output in HBM afterwards
-    out_ref[:] = acc.T
+    out_ref[:] = acc
 
 
 def stft_mel_pallas(
@@ -366,12 +390,12 @@ def stft_mel_pallas(
     )
     out = call(
         rows, win,
-        jnp.asarray(np.ascontiguousarray(c2.T[:kh])),   # [k2, t2], kh rows
-        jnp.asarray(np.ascontiguousarray(s2.T[:kh])),
-        jnp.asarray(np.ascontiguousarray(ctw.T[:kh])),  # [k2, t1]
+        jnp.asarray(np.concatenate(                      # [c2; -s2] (2kh, n2)
+            [c2.T[:kh], -s2.T[:kh]], axis=0)),
+        jnp.asarray(np.ascontiguousarray(ctw.T[:kh])),   # [k2, t1]
         jnp.asarray(np.ascontiguousarray(stw.T[:kh])),
-        jnp.asarray(c1), jnp.asarray(s1),               # [t1, k1]
-        jnp.asarray(remapped),                          # [k2, k1, m] folded
+        jnp.asarray(np.concatenate([c1, s1], axis=1)),   # [c1 | s1] (n1, 2n1)
+        jnp.asarray(remapped),                           # [k2, k1, m] folded
     )
     if not lead_shape:
         return out[:, :n_frames]

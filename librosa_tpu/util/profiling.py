@@ -60,8 +60,16 @@ class DeviceCeilings:
     hbm_bytes_per_s: float       # elementwise read+write bandwidth
 
 
-def calibrate(device: Any = None, *, size: int = 4096) -> DeviceCeilings:
-    """Measure matmul throughput and HBM bandwidth on ``device``."""
+def calibrate(
+    device: Any = None, *, size: int = 4096, chain: int = 16,
+    include_bf16: bool = True,
+) -> DeviceCeilings:
+    """Measure matmul throughput and HBM bandwidth on ``device``.
+
+    Each probe chains ``chain`` dependent operations inside ONE jitted
+    program: over the axon tunnel a single dispatch costs ~20 ms, so a
+    lone matmul (sub-ms of compute) measures the tunnel, not the chip.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -70,33 +78,51 @@ def calibrate(device: Any = None, *, size: int = 4096) -> DeviceCeilings:
 
     rng = np.random.RandomState(0)
     a = jax.device_put(rng.randn(size, size).astype(np.float32), device)
-    b = jax.device_put(rng.randn(size, size).astype(np.float32), device)
+    # unit-spectral-radius-ish rhs keeps the chained product bounded
+    b = jax.device_put(
+        (rng.randn(size, size) / np.sqrt(size)).astype(np.float32), device
+    )
 
-    def _time(f, iters=4):
-        r = f()
+    def _chain_mm(precision):
+        @jax.jit
+        def run(x):
+            def body(_, acc):
+                return jnp.matmul(acc, b, precision=precision)
+
+            return jax.lax.fori_loop(0, chain, body, x)
+
+        return run
+
+    def _time(f, arg, iters=3):
+        r = f(arg)
         _ = float(jnp.sum(r))
         t0 = time.perf_counter()
         for _i in range(iters):
-            r = f()
+            r = f(arg)
         _ = float(jnp.sum(r))
         return (time.perf_counter() - t0) / iters
 
-    mm_hi = jax.jit(
-        lambda: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
-    )
-    mm_lo = jax.jit(lambda: jnp.matmul(a, b))
-    flops = 2 * size**3
-    t_hi = _time(mm_hi)
-    t_lo = _time(mm_lo)
+    flops = chain * 2 * size**3
+    t_hi = _time(_chain_mm(jax.lax.Precision.HIGHEST), a)
+    t_lo = _time(_chain_mm(jax.lax.Precision.DEFAULT), a) if include_bf16 else None
 
+    # Bandwidth probe: roll + scale cannot fuse across iterations, so each
+    # step is one full read + write of the buffer.
     x = jax.device_put(rng.randn(1 << 25).astype(np.float32), device)
-    ew = jax.jit(lambda: x * 1.0001 + 1.0)
-    t_ew = _time(ew, iters=6)
+
+    @jax.jit
+    def ew(v):
+        def body(_, y):
+            return jnp.roll(y, 12345) * 1.0000001
+
+        return jax.lax.fori_loop(0, chain, body, v)
+
+    t_ew = _time(ew, x, iters=3)
 
     return DeviceCeilings(
         matmul_f32_flops=flops / t_hi,
-        matmul_bf16_flops=flops / t_lo,
-        hbm_bytes_per_s=2 * x.nbytes / t_ew,
+        matmul_bf16_flops=flops / t_lo if t_lo else float("nan"),
+        hbm_bytes_per_s=chain * 2 * x.nbytes / t_ew,
     )
 
 
