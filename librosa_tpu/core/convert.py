@@ -430,19 +430,25 @@ def D_weighting(frequencies: Any, *, min_db: Optional[float] = -80.0) -> np.ndar
     """D-weighting of a set of frequencies (dB). Parity: core/convert.py:1819."""
     frequencies = np.asanyarray(frequencies)
     f_sq = frequencies**2.0
-    const = np.array([8.3046305e-3, 1018.7, 1039.6, 3136.5, 3424.0, 282.7, 1160.0])
-
-    weights: np.ndarray = 20.0 * (
-        0.5 * np.log10(f_sq)
-        - np.log10(const[0])
-        + 0.5
-        * (
-            +np.log10((const[1] ** 2 - f_sq) ** 2 + const[2] ** 2 * f_sq)
-            - np.log10((const[3] ** 2 - f_sq) ** 2 + const[4] ** 2 * f_sq)
-            - np.log10(f_sq + const[5] ** 2)
-            - np.log10(f_sq + const[6] ** 2)
-        )
+    # NB: every constant is squared, including the leading gain term
+    # (reference squares the whole const vector, core/convert.py:1878).
+    const = (
+        np.array([8.3046305e-3, 1018.7, 1039.6, 3136.5, 3424.0, 282.7, 1160.0])
+        ** 2.0
     )
+
+    with np.errstate(divide="ignore"):
+        weights: np.ndarray = 20.0 * (
+            0.5 * np.log10(f_sq)
+            - np.log10(const[0])
+            + 0.5
+            * (
+                +np.log10((const[1] - f_sq) ** 2 + const[2] * f_sq)
+                - np.log10((const[3] - f_sq) ** 2 + const[4] * f_sq)
+                - np.log10(f_sq + const[5])
+                - np.log10(f_sq + const[6])
+            )
+        )
     return weights if min_db is None else np.maximum(min_db, weights)
 
 

@@ -166,6 +166,10 @@ def _cumulative_mean_normalized_difference(
     acf_frames = audio.autocorrelate(y_frames, max_size=max_period + 1, axis=-2)
 
     energy = jnp.cumsum(jnp.square(y_frames), axis=-2)
+    # The reference zeroes the k=0 energy slot before it subtracts
+    # (core/pitch.py:403-407), so its k=1 difference term omits y(0)² —
+    # matched here or every cumulative mean downstream shifts by a constant.
+    energy = energy.at[..., 0, :].set(0.0)
 
     # d(k) = 2*(ACF(0) - ACF(k)) - sum_{m<k} y(m)^2   for k in 1..max_period
     k = slice(1, max_period + 1)
@@ -323,8 +327,9 @@ def pyin(
     t_switch = transition_loop(2, 1 - switch_prob)
     transition = np.kron(t_switch, np.asarray(transition))
 
-    p_init = np.zeros(2 * n_pitch_bins)
-    p_init[n_pitch_bins:] = 1 / n_pitch_bins
+    # Uniform over ALL states (reference core/pitch.py:840) — older librosa
+    # started in the unvoiced half, 1.0dev does not.
+    p_init = np.full(2 * n_pitch_bins, 1 / (2 * n_pitch_bins))
 
     eps = np.finfo(np.float64).tiny
     log_trans = np.log(transition + eps)

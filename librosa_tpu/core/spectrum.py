@@ -420,9 +420,18 @@ def phase_vocoder(
 
     mag = jnp.abs(D)
     if kind == "linear":
-        m0 = mag[..., jnp.asarray(i0)]
-        m1 = mag[..., jnp.asarray(i1)]
-        mag_out = m0 * (1 - frac) + m1 * frac
+        # The reference interpolates magnitudes with
+        # fill_value="extrapolate" (core/spectrum.py:1507): for t_out in
+        # (n_frames-1, n_frames) the last segment's slope extends past the
+        # final frame, so anchor on the second-to-last frame there.
+        i0e = np.clip(i0, 0, max(n_frames - 2, 0))
+        i1e = np.minimum(i0e + 1, n_frames - 1)
+        frace = jnp.asarray(
+            t_out - i0e, dtype=jnp.result_type(D.real.dtype, jnp.float32)
+        )
+        m0 = mag[..., jnp.asarray(i0e)]
+        m1 = mag[..., jnp.asarray(i1e)]
+        mag_out = m0 * (1 - frace) + m1 * frace
     elif kind == "nearest":
         inear = np.where(t_out - i0 < 0.5, i0, i1)
         mag_out = mag[..., jnp.asarray(inear)]

@@ -289,30 +289,32 @@ def recurrence_matrix(
 
 
 def _shear_dense_np(X: np.ndarray, factor: int, axis: int) -> np.ndarray:
-    """Column/row roll shear on host NumPy (sparse-compatible shapes)."""
+    """Dense shear with the reference's axis convention
+    (util/utils.py:2136): axis=0 rolls rows along axis 1; any other axis
+    rolls columns along axis 0."""
     X = np.asarray(X)
     n0, n1 = X.shape
     out = np.empty_like(X)
     if axis == 0:
-        for j in range(n1):
-            out[:, j] = np.roll(X[:, j], factor * j)
-    else:
         for i in range(n0):
             out[i] = np.roll(X[i], factor * i)
+    else:
+        for j in range(n1):
+            out[:, j] = np.roll(X[:, j], factor * j)
     return out
 
 
 def _shear_sparse(X, factor: int, axis: int):
-    """Sparse shear by coordinate remapping. Parity: util/utils.py:2158."""
+    """Sparse shear by coordinate remapping. Parity: util/utils.py:2158
+    (same axis convention as ``_shear_dense_np``)."""
     fmt = X.format
     coo = X.tocoo()
-    n = X.shape[axis]
     if axis == 0:
-        rows = np.mod(coo.row + factor * coo.col, X.shape[0])
-        cols = coo.col
-    else:
         rows = coo.row
         cols = np.mod(coo.col + factor * coo.row, X.shape[1])
+    else:
+        rows = np.mod(coo.row + factor * coo.col, X.shape[0])
+        cols = coo.col
     out = scipy.sparse.coo_matrix((coo.data, (rows, cols)), shape=X.shape)
     return out.asformat(fmt)
 

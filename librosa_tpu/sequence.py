@@ -129,7 +129,7 @@ def _dtw_accumulate(
                 # costs (band-blocked cells), so segment the row at blocked
                 # positions: a chain cannot pass through them anyway.
                 blocked = c >= 1e20
-                new_value = value.copy()
+                new_value = np.full(M, BIG)
                 a = 0
                 while a < M:
                     if blocked[a]:
@@ -141,11 +141,13 @@ def _dtw_accumulate(
                     cc = c[a:b]
                     P = np.cumsum(cc)
                     base = value[a:b] - P
-                    if a > 0:
-                        # entry from the (already final) previous position
-                        base[0] = min(base[0], new_value[a - 1])
                     E = np.minimum.accumulate(base)
-                    new_value[a:b] = E + P
+                    # Chains must take ≥1 left step: cell j draws on sources
+                    # k ≤ j−1 only.  Including k=j would re-derive value[j]
+                    # through P[j]−P[j] float rearrangement, and a 1-ulp
+                    # "improvement" would mislabel the cell as a row step —
+                    # breaking backtrack/D consistency.
+                    new_value[a + 1 : b] = E[:-1] + P[1:]
                     a = b
                 # tie-break: strict improvement only (matches reference order)
                 changed = new_value < value

@@ -800,28 +800,30 @@ def cyclic_gradient(
 
 
 def shear(X: _ArrayLike, *, factor: int = 1, axis: int = -1) -> jax.Array:
-    """Shear a matrix by a given factor: ``X_s[i, t] = X[i, t + factor*i]`` (mod n).
+    """Shear a matrix: with the default ``axis=-1`` each column ``X[:, n]``
+    is rolled by ``factor * n``; with ``axis=0`` each row is rolled instead.
 
-    Column-roll formulation of util/utils.py:2206 (dense path).
+    Gather formulation of util/utils.py:2136 (``__shear_dense``, which
+    transposes for axis=0 and column-rolls otherwise).
     """
     if not np.issubdtype(type(factor), np.integer):
         raise ParameterError(f"factor={factor} must be integer-valued")
     X = jnp.asarray(X)
     if X.ndim != 2:
         raise ParameterError("shear is defined only for 2D arrays")
-    # For each column j of the axis being sheared, roll the *other* axis by
-    # factor * j.  Vectorize as a gather.
     n0, n1 = X.shape
     if axis == 0:
-        j = np.arange(n1)
-        i = np.arange(n0)[:, None]
-        src = np.mod(i - factor * j[None, :], n0)
-        return X[jnp.asarray(src), jnp.asarray(np.broadcast_to(j, (n0, n1)))]
-    else:
+        # roll row i by factor*i along axis 1
         i = np.arange(n0)[:, None]
         j = np.arange(n1)
         src = np.mod(j[None, :] - factor * i, n1)
         return X[jnp.asarray(np.broadcast_to(i, (n0, n1))), jnp.asarray(src)]
+    else:
+        # roll column j by factor*j along axis 0
+        j = np.arange(n1)
+        i = np.arange(n0)[:, None]
+        src = np.mod(i - factor * j[None, :], n0)
+        return X[jnp.asarray(src), jnp.asarray(np.broadcast_to(j, (n0, n1)))]
 
 
 def stack(arrays: Sequence[_ArrayLike], *, axis: int = 0) -> jax.Array:

@@ -1,0 +1,730 @@
+"""Shared golden-parity case table.
+
+Each case maps a name to a callable ``fn(L, sigs) -> dict[str, np.ndarray]``
+where ``L`` is a librosa-compatible top-level module — the REFERENCE
+(`/root/reference` librosa, run through scripts/ref_shims.py) when
+harvesting, and ``librosa_tpu`` when testing.  Outputs are committed as
+``tests/goldens/<name>.npz`` by ``scripts/harvest_goldens.py`` and asserted
+by ``tests/test_goldens.py``.
+
+Inputs are synthesized here with plain NumPy (never with either library) so
+both sides consume bit-identical signals.  Reference test strategy:
+``/root/reference/tests`` (SURVEY §4) — this harness replaces the round-1
+self-referential float64 oracle with outputs of the reference itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SR = 22050
+
+
+def make_signals() -> dict:
+    """Deterministic input battery (float32, mono + stereo)."""
+    rng = np.random.RandomState(440)
+    t1 = np.arange(SR, dtype=np.float64) / SR
+    tone = np.sin(2 * np.pi * 440.0 * t1)
+
+    t2 = np.arange(2 * SR, dtype=np.float64) / (2 * SR)
+    # quadratic chirp 110 → 4000 Hz over 2 s
+    f0, f1 = 110.0, 4000.0
+    phase = 2 * np.pi * (f0 * 2 * t2 + (f1 - f0) * (2 * t2) ** 2 / 4)
+    chirp = np.sin(phase)
+
+    clicks = np.zeros(SR, dtype=np.float64)
+    for c in (0.2, 0.53, 0.86):
+        k = int(c * SR)
+        clicks[k : k + 100] += np.hanning(100)
+    clicks += 0.01 * rng.randn(SR)
+
+    noise = rng.randn(SR)
+
+    pulse = np.zeros(2 * SR)
+    pulse[:: SR // 4] = 1.0  # 120 bpm beat grid
+    pulse += 0.005 * rng.randn(2 * SR)
+
+    return {
+        "tone": tone.astype(np.float32),
+        "chirp": chirp.astype(np.float32),
+        "clicks": clicks.astype(np.float32),
+        "noise": noise.astype(np.float32),
+        "pulse": pulse.astype(np.float32),
+        "stereo": np.stack([tone, 0.5 * chirp[:SR]]).astype(np.float32),
+        "feat_noise": rng.randn(12, 64).astype(np.float32),
+        "env": np.abs(rng.randn(300)).astype(np.float32),
+    }
+
+
+class Case:
+    def __init__(self, fn, rtol=1e-4, atol=1e-5, compare=None):
+        self.fn = fn
+        self.rtol = rtol
+        self.atol = atol
+        self.compare = compare
+
+
+def _np(d):
+    return {k: np.asarray(v) for k, v in d.items()}
+
+
+# ---------------------------------------------------------------------------
+# comparators
+# ---------------------------------------------------------------------------
+
+
+def _snr_compare(min_db):
+    def cmp(got, want, name):
+        g = np.asarray(got, dtype=np.complex128 if np.iscomplexobj(want) else np.float64)
+        w = np.asarray(want, dtype=g.dtype)
+        assert g.shape == w.shape, (name, g.shape, w.shape)
+        num = np.sum(np.abs(w) ** 2)
+        den = np.sum(np.abs(g - w) ** 2)
+        snr = 10 * np.log10(num / max(den, 1e-300)) if num > 0 else np.inf
+        assert snr > min_db, f"{name}: SNR {snr:.1f} dB < {min_db}"
+
+    return cmp
+
+
+def _mag_snr_compare(min_db):
+    """Compare |.| only — phase-vocoder phases accumulate per-frame angle
+    rounding over hundreds of frames, so complex SNR measures float noise,
+    not correctness."""
+
+    def cmp(got, want, name):
+        _snr_compare(min_db)(np.abs(np.asarray(got)), np.abs(want), name)
+
+    return cmp
+
+
+def _set_compare(tol_frames):
+    """Sparse event lists: allow per-event offsets of ±tol frames and
+    up to one insertion/deletion."""
+
+    def cmp(got, want, name):
+        g = np.sort(np.asarray(got).ravel())
+        w = np.sort(np.asarray(want).ravel())
+        assert abs(len(g) - len(w)) <= 1, (name, g, w)
+        n = min(len(g), len(w))
+        for off in range(0, len(g) - n + 1):
+            if len(w) >= n and np.all(np.abs(g[off : off + n] - w[:n]) <= tol_frames):
+                return
+        assert np.all(np.abs(g[:n] - w[:n]) <= tol_frames), (name, g, w)
+
+    return cmp
+
+
+# ---------------------------------------------------------------------------
+# case table
+# ---------------------------------------------------------------------------
+
+CASES: dict = {}
+
+
+def case(name, **kw):
+    def reg(fn):
+        CASES[name] = Case(fn, **kw)
+        return fn
+
+    return reg
+
+
+# ---- conversion grids (pure math, tight) ----------------------------------
+
+@case("convert_grids", rtol=1e-10, atol=1e-12)
+def _(L, s):
+    return _np({
+        "fft": L.fft_frequencies(sr=SR, n_fft=2048),
+        "mel": L.mel_frequencies(n_mels=128),
+        "mel_htk": L.mel_frequencies(n_mels=64, htk=True),
+        "cqt": L.cqt_frequencies(n_bins=84, fmin=L.note_to_hz("C1")),
+        "tempo": L.tempo_frequencies(n_bins=384, sr=SR, hop_length=512),
+        "ftempo": L.fourier_tempo_frequencies(sr=SR, hop_length=512, win_length=384),
+    })
+
+
+@case("convert_units", rtol=1e-10, atol=1e-12)
+def _(L, s):
+    f = np.linspace(20.0, 10000.0, 57)
+    return _np({
+        "h2mel": L.hz_to_mel(f),
+        "mel2h": L.mel_to_hz(np.linspace(0.0, 60.0, 41)),
+        "h2midi": L.hz_to_midi(f),
+        "midi2h": L.midi_to_hz(np.linspace(10.0, 120.0, 31)),
+        "h2oct": L.hz_to_octs(f),
+        "aw": L.A_weighting(f),
+        "bw": L.B_weighting(f),
+        "cw": L.C_weighting(f),
+        "dw": L.D_weighting(f),
+        "f2t": L.frames_to_time(np.arange(20), sr=SR, hop_length=512),
+        "t2f": L.time_to_frames(np.linspace(0, 2, 11), sr=SR, hop_length=512),
+    })
+
+
+# ---- filter construction ---------------------------------------------------
+
+@case("filters_mel", rtol=1e-6, atol=1e-8)
+def _(L, s):
+    return _np({
+        "slaney": L.filters.mel(sr=SR, n_fft=2048, n_mels=128),
+        "htk": L.filters.mel(sr=SR, n_fft=1024, n_mels=40, htk=True),
+        "norm_none": L.filters.mel(sr=SR, n_fft=1024, n_mels=40, norm=None),
+    })
+
+
+@case("filters_chroma", rtol=1e-6, atol=1e-8)
+def _(L, s):
+    return _np({
+        "base": L.filters.chroma(sr=SR, n_fft=2048),
+        "tuned": L.filters.chroma(sr=SR, n_fft=1024, tuning=0.25, n_chroma=24),
+    })
+
+
+@case("filters_wavelet", rtol=1e-5, atol=1e-7)
+def _(L, s):
+    freqs = L.cqt_frequencies(n_bins=24, fmin=55.0)
+    lengths, f_cutoff = L.filters.wavelet_lengths(freqs=freqs, sr=SR)
+    basis, blengths = L.filters.wavelet(freqs=freqs, sr=SR)
+    return _np({
+        "lengths": lengths, "cutoff": np.array(f_cutoff),
+        "basis": basis, "blengths": blengths,
+    })
+
+
+@case("filters_misc", rtol=1e-6, atol=1e-8)
+def _(L, s):
+    return _np({
+        "c2c": L.filters.cq_to_chroma(n_input=84),
+        "wss": L.filters.window_sumsquare(
+            window="hann", n_frames=20, hop_length=512, n_fft=2048
+        ),
+        "diag": L.filters.diagonal_filter(window="hann", n=11, slope=1.5),
+    })
+
+
+# ---- spectrum --------------------------------------------------------------
+
+@case("stft", compare=_snr_compare(85))
+def _(L, s):
+    return _np({
+        "tone": L.stft(s["tone"]),
+        "chirp_nc": L.stft(s["chirp"], center=False),
+        "noise_small": L.stft(s["noise"], n_fft=512, hop_length=128,
+                              window="hamming"),
+    })
+
+
+@case("istft_roundtrip", compare=_snr_compare(75))
+def _(L, s):
+    S = L.stft(s["chirp"])
+    return _np({"y": L.istft(S, length=len(s["chirp"]))})
+
+
+@case("db_scaling", rtol=1e-5, atol=1e-6)
+def _(L, s):
+    S = (np.abs(np.fft.rfft(s["noise"][:2048]))[:, None] ** 2
+         * np.linspace(0.5, 1.0, 4)[None, :]).astype(np.float32)
+    return _np({
+        "p2db": L.power_to_db(S, ref=np.max),
+        "a2db": L.amplitude_to_db(np.sqrt(S), top_db=60.0),
+        "db2p": L.db_to_power(L.power_to_db(S)),
+        "pw": L.perceptual_weighting(
+            S, L.fft_frequencies(sr=SR, n_fft=2048)
+        ),
+    })
+
+
+@case("pcen", compare=_snr_compare(75))
+def _(L, s):
+    S = np.abs(L.stft(s["chirp"])) ** 2
+    full = L.pcen(S, sr=SR)
+    p1, zf = L.pcen(S[..., :40], sr=SR, return_zf=True, max_size=1)
+    p2 = L.pcen(S[..., 40:], sr=SR, zi=zf, max_size=1)
+    return _np({"full": full, "stream": np.concatenate([p1, p2], axis=-1)})
+
+
+@case("phase_vocoder", compare=_mag_snr_compare(60))
+def _(L, s):
+    S = L.stft(s["chirp"])
+    return _np({"fast": L.phase_vocoder(S, rate=1.3),
+                "slow": L.phase_vocoder(S, rate=0.8)})
+
+
+@case("reassigned", compare=_snr_compare(55))
+def _(L, s):
+    freqs, times, mags = L.reassigned_spectrogram(s["chirp"], sr=SR)
+    freqs, times, mags = (np.asarray(a) for a in (freqs, times, mags))
+    keep = mags > 1e-3 * mags.max()
+    return _np({"freqs": np.where(keep, np.nan_to_num(freqs), 0.0),
+                "times": np.where(keep, np.nan_to_num(times), 0.0),
+                "mags": mags})
+
+
+@case("iirt", compare=_snr_compare(60))
+def _(L, s):
+    return _np({"S": L.iirt(s["chirp"], sr=SR, res_type="polyphase")})
+
+
+@case("fmt", compare=_snr_compare(60))
+def _(L, s):
+    return _np({"m": L.fmt(s["tone"][:4096])})
+
+
+@case("audio_ops", compare=_snr_compare(80))
+def _(L, s):
+    return _np({
+        "acorr": L.autocorrelate(s["clicks"], max_size=512),
+        "lpc": L.lpc(s["noise"][:2048], order=12),
+        "mu_c": L.mu_compress(s["tone"][:4096], quantize=False),
+        "mu_q": L.mu_compress(s["tone"][:4096], quantize=True).astype(np.float64),
+        "mu_e": L.mu_expand(
+            L.mu_compress(s["tone"][:4096], quantize=True), quantize=True
+        ),
+    })
+
+
+@case("zero_crossings", rtol=0, atol=0)
+def _(L, s):
+    return _np({
+        "zc": L.zero_crossings(s["noise"][:4096]).astype(np.int8),
+        "zcr": np.asarray(
+            L.feature.zero_crossing_rate(y=s["noise"]), dtype=np.float64
+        ),
+    })
+
+
+@case("synth", compare=_snr_compare(100))
+def _(L, s):
+    return _np({
+        "tone": L.tone(frequency=440, sr=SR, length=4096),
+        "chirp": L.chirp(fmin=110, fmax=4000, sr=SR, length=8192),
+        "clicks": L.clicks(times=[0.1, 0.5], sr=SR, length=SR),
+    })
+
+
+# ---- constant-Q ------------------------------------------------------------
+
+@case("cqt", compare=_snr_compare(45))
+def _(L, s):
+    return _np({
+        "C": L.cqt(y=s["chirp"], sr=SR, n_bins=84, res_type="polyphase"),
+        "mag": np.abs(L.cqt(y=s["tone"], sr=SR, n_bins=48, fmin=L.note_to_hz("C2"),
+                            res_type="polyphase")),
+    })
+
+
+@case("vqt", compare=_snr_compare(45))
+def _(L, s):
+    return _np({
+        "V": L.vqt(y=s["chirp"], sr=SR, n_bins=60, res_type="polyphase"),
+    })
+
+
+@case("pseudo_hybrid_cqt", compare=_snr_compare(45))
+def _(L, s):
+    return _np({
+        "pseudo": L.pseudo_cqt(y=s["tone"], sr=SR, n_bins=48),
+        "hybrid": np.abs(L.hybrid_cqt(y=s["tone"], sr=SR, n_bins=48,
+                                      res_type="polyphase")),
+    })
+
+
+@case("icqt", compare=_snr_compare(25))
+def _(L, s):
+    C = L.cqt(y=s["tone"], sr=SR, n_bins=48, res_type="polyphase")
+    return _np({"y": L.icqt(C, sr=SR, length=len(s["tone"]),
+                            res_type="polyphase")})
+
+
+# ---- pitch -----------------------------------------------------------------
+
+@case("yin", compare=_snr_compare(55))
+def _(L, s):
+    return _np({
+        "tone": L.yin(s["tone"], fmin=200, fmax=800, sr=SR),
+        "chirp": L.yin(s["chirp"], fmin=80, fmax=2000, sr=SR,
+                       frame_length=1024),
+    })
+
+
+@case("pyin", compare=None, rtol=1e-5, atol=1e-6)
+def _(L, s):
+    f0, vflag, vprob = L.pyin(s["tone"][:SR // 2], fmin=300, fmax=600, sr=SR)
+    return _np({"f0": np.nan_to_num(f0), "vflag": vflag.astype(np.int8),
+                "vprob": vprob})
+
+
+@case("piptrack", compare=_snr_compare(40))
+def _(L, s):
+    p, m = L.piptrack(y=s["tone"], sr=SR)
+    return _np({"p": p, "m": m})
+
+
+@case("tuning", rtol=1e-4, atol=1e-5)
+def _(L, s):
+    return _np({
+        "est": np.array(L.estimate_tuning(y=s["tone"], sr=SR)),
+        "pt": np.array(L.pitch_tuning(440.0 * 2 ** (0.13 / 12) * np.ones(50))),
+    })
+
+
+# ---- harmonics -------------------------------------------------------------
+
+@case("harmonics", compare=_snr_compare(60))
+def _(L, s):
+    S = np.abs(L.stft(s["tone"]))
+    freqs = L.fft_frequencies(sr=SR)
+    return _np({
+        "interp": L.interp_harmonics(S, freqs=freqs, harmonics=[1, 2, 3]),
+        "salience": np.nan_to_num(
+            L.salience(S, freqs=freqs, harmonics=[1, 2], fill_value=0.0)
+        ),
+    })
+
+
+# ---- spectral features -----------------------------------------------------
+
+@case("melspectrogram", compare=_snr_compare(70))
+def _(L, s):
+    return _np({
+        "mono": L.feature.melspectrogram(y=s["chirp"], sr=SR),
+        "stereo": L.feature.melspectrogram(y=s["stereo"], sr=SR),
+    })
+
+
+@case("mfcc", compare=_snr_compare(60))
+def _(L, s):
+    return _np({
+        "m": L.feature.mfcc(y=s["chirp"], sr=SR),
+        "lifter": L.feature.mfcc(y=s["tone"], sr=SR, lifter=22, n_mfcc=13),
+    })
+
+
+@case("chroma_stft", compare=_snr_compare(55))
+def _(L, s):
+    return _np({"c": L.feature.chroma_stft(y=s["chirp"], sr=SR, tuning=0.0)})
+
+
+@case("chroma_cqt", compare=_snr_compare(40))
+def _(L, s):
+    C = np.abs(np.asarray(L.cqt(y=s["tone"], sr=SR, n_bins=84,
+                                res_type="polyphase")))
+    return _np({"c": L.feature.chroma_cqt(C=C, sr=SR)})
+
+
+@case("chroma_cens", compare=_snr_compare(40))
+def _(L, s):
+    C = np.abs(np.asarray(L.cqt(y=s["tone"], sr=SR, n_bins=84,
+                                res_type="polyphase")))
+    return _np({"c": L.feature.chroma_cens(C=C, sr=SR)})
+
+
+@case("chroma_vqt", compare=_snr_compare(40))
+def _(L, s):
+    V = np.abs(np.asarray(L.vqt(y=s["tone"], sr=SR, n_bins=84,
+                                intervals="ji5", res_type="polyphase")))
+    return _np({"c": L.feature.chroma_vqt(V=V, sr=SR, intervals="ji5")})
+
+
+@case("tonnetz", compare=_snr_compare(40))
+def _(L, s):
+    return _np({
+        "t": L.feature.tonnetz(y=s["tone"], sr=SR,
+                               chroma=np.abs(np.asarray(
+                                   L.feature.chroma_stft(y=s["tone"], sr=SR,
+                                                         tuning=0.0)))),
+    })
+
+
+def _shared_mag_S(s):
+    """Deterministic magnitude spectrogram computed with NumPy only."""
+    y = s["chirp"].astype(np.float64)
+    yp = np.pad(y, 1024)
+    frames = np.lib.stride_tricks.sliding_window_view(yp, 2048)[::512][:85]
+    win = np.hanning(2049)[:-1]
+    return np.abs(np.fft.rfft(frames * win, axis=-1)).T.astype(np.float32)
+
+
+@case("spectral_descriptors", compare=_snr_compare(55))
+def _(L, s):
+    y = s["chirp"]
+    S = _shared_mag_S(s)
+    return _np({
+        "centroid": L.feature.spectral_centroid(y=y, sr=SR),
+        "bandwidth": L.feature.spectral_bandwidth(y=y, sr=SR),
+        "contrast": L.feature.spectral_contrast(S=S, sr=SR),
+        "rolloff": L.feature.spectral_rolloff(y=y, sr=SR),
+        "flatness": L.feature.spectral_flatness(y=y),
+        "rms": L.feature.rms(y=y),
+        "poly": L.feature.poly_features(y=y, sr=SR, order=2),
+    })
+
+
+@case("rhythm", compare=_snr_compare(55))
+def _(L, s):
+    oenv = L.onset.onset_strength(y=s["pulse"], sr=SR)
+    return _np({
+        "tgram": L.feature.tempogram(onset_envelope=oenv, sr=SR),
+        "ftgram": L.feature.fourier_tempogram(onset_envelope=oenv, sr=SR),
+        "tempo": np.atleast_1d(L.feature.tempo(onset_envelope=oenv, sr=SR)),
+        "tratio": np.nan_to_num(np.asarray(
+            L.feature.tempogram_ratio(onset_envelope=oenv, sr=SR))),
+    })
+
+
+@case("feature_manip", compare=_snr_compare(80))
+def _(L, s):
+    m = np.asarray(L.feature.mfcc(y=s["tone"], sr=SR))
+    return _np({
+        "delta": L.feature.delta(m),
+        "delta2": L.feature.delta(m, order=2),
+        "stack": L.feature.stack_memory(s["feat_noise"], n_steps=3),
+    })
+
+
+@case("mfcc_to_mel", compare=_snr_compare(50))
+def _(L, s):
+    m = np.asarray(L.feature.mfcc(y=s["tone"], sr=SR)).astype(np.float32)
+    return _np({"mel": L.feature.inverse.mfcc_to_mel(m)})
+
+
+# ---- onsets / beat ---------------------------------------------------------
+
+@case("onset", compare=_set_compare(1))
+def _(L, s):
+    return _np({
+        "frames": L.onset.onset_detect(y=s["clicks"], sr=SR),
+    })
+
+
+@case("onset_strength", compare=_snr_compare(55))
+def _(L, s):
+    return _np({
+        "env": L.onset.onset_strength(y=s["clicks"], sr=SR),
+        "multi": L.onset.onset_strength_multi(
+            y=s["clicks"], sr=SR, channels=[0, 32, 64, 96, 128]
+        ),
+    })
+
+
+@case("beat", compare=_set_compare(1))
+def _(L, s):
+    tempo, beats = L.beat.beat_track(y=s["pulse"], sr=SR)
+    return _np({"beats": beats})
+
+
+@case("plp", compare=_snr_compare(40))
+def _(L, s):
+    return _np({"p": L.beat.plp(y=s["pulse"], sr=SR)})
+
+
+# ---- effects ---------------------------------------------------------------
+
+@case("hpss_effect", compare=_snr_compare(45))
+def _(L, s):
+    y = s["clicks"] + s["tone"]
+    h, p = L.effects.hpss(y)
+    return _np({"h": h, "p": p})
+
+
+@case("preemphasis", compare=_snr_compare(90))
+def _(L, s):
+    y = s["tone"][:8192]
+    pre, zf = L.effects.preemphasis(y, return_zf=True)
+    de = L.effects.deemphasis(pre)
+    return _np({"pre": pre, "zf": np.atleast_1d(zf), "de": de})
+
+
+@case("trim_split", rtol=0, atol=0)
+def _(L, s):
+    y = np.concatenate([np.zeros(4000, np.float32), s["tone"][:8000],
+                        np.zeros(4000, np.float32), s["tone"][:6000],
+                        np.zeros(3000, np.float32)])
+    yt, idx = L.effects.trim(y, top_db=30)
+    iv = L.effects.split(y, top_db=30)
+    return _np({"idx": idx, "iv": iv})
+
+
+@case("time_stretch", compare=_snr_compare(30))
+def _(L, s):
+    return _np({"y": L.effects.time_stretch(s["tone"], rate=1.25)})
+
+
+@case("pitch_shift", compare=_snr_compare(25))
+def _(L, s):
+    return _np({"y": L.effects.pitch_shift(
+        s["tone"], sr=SR, n_steps=3, res_type="fft")})
+
+
+# ---- decompose -------------------------------------------------------------
+
+@case("hpss_margin", compare=_snr_compare(45))
+def _(L, s):
+    S = np.abs(L.stft(s["clicks"] + s["tone"]))
+    h, p = L.decompose.hpss(S, margin=2.0)
+    return _np({"h": h, "p": p})
+
+
+@case("nn_filter", compare=_snr_compare(50))
+def _(L, s):
+    m = np.asarray(L.feature.mfcc(y=s["tone"], sr=SR)).astype(np.float32)
+    return _np({"f": L.decompose.nn_filter(m)})
+
+
+# ---- segment ---------------------------------------------------------------
+
+@case("recurrence", rtol=1e-4, atol=1e-6)
+def _(L, s):
+    X = np.asarray(L.feature.mfcc(y=s["chirp"], sr=SR)).astype(np.float64)
+    R = L.segment.recurrence_matrix(X)
+    A = L.segment.recurrence_matrix(X, mode="affinity")
+    lag = L.segment.recurrence_to_lag(np.asarray(
+        R.todense() if hasattr(R, "todense") else R, dtype=float))
+    return _np({
+        "R": np.asarray(R.todense() if hasattr(R, "todense") else R,
+                        dtype=np.int8),
+        "A": np.asarray(A.todense() if hasattr(A, "todense") else A,
+                        dtype=np.float64),
+        "lag": lag,
+    })
+
+
+@case("cross_similarity", rtol=1e-4, atol=1e-6)
+def _(L, s):
+    X = np.asarray(L.feature.mfcc(y=s["tone"], sr=SR)).astype(np.float64)
+    Y = np.asarray(L.feature.mfcc(y=s["chirp"], sr=SR)).astype(np.float64)[:, :X.shape[1]]
+    C = L.segment.cross_similarity(X, Y)
+    return _np({"C": np.asarray(
+        C.todense() if hasattr(C, "todense") else C, dtype=np.int8)})
+
+
+@case("path_enhance", compare=_snr_compare(55))
+def _(L, s):
+    X = np.asarray(L.feature.mfcc(y=s["chirp"], sr=SR)).astype(np.float64)
+    R = np.asarray(L.segment.recurrence_matrix(X, mode="affinity").todense()
+                   if hasattr(L.segment.recurrence_matrix(X, mode="affinity"), "todense")
+                   else L.segment.recurrence_matrix(X, mode="affinity"),
+                   dtype=np.float64)
+    return _np({"P": L.segment.path_enhance(R, n=5)})
+
+
+# ---- sequence --------------------------------------------------------------
+
+def _dtw_inputs():
+    rngl = np.random.RandomState(1)
+    return rngl.randn(6, 40), rngl.randn(6, 52)
+
+
+def _dtw_compare(got, want, name):
+    """D matrices compare exactly; warping paths may differ at knife-edge
+    float ties (the accumulated costs agree to ~1e-14), so paths are
+    validated as monotone admissible paths of equal total cost."""
+    g, w = np.asarray(got), np.asarray(want)
+    if name.rsplit("/", 1)[-1] not in ("wp", "wps"):
+        np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-8, err_msg=name)
+        return
+    import scipy.spatial.distance as ssd
+
+    X, Y = _dtw_inputs()
+    C = ssd.cdist(X.T, Y.T, metric="euclidean")
+    for path in (g, w):
+        steps = -np.diff(path, axis=0)
+        valid = {(1, 1), (0, 1), (1, 0)}
+        assert all(tuple(st) in valid for st in steps), (name, steps)
+    cost_g = C[g[:, 0], g[:, 1]].sum()
+    cost_w = C[w[:, 0], w[:, 1]].sum()
+    assert g[0].tolist() == w[0].tolist(), (name, g[0], w[0])
+    assert abs(cost_g - cost_w) < 1e-8 * max(cost_w, 1.0), (
+        name, cost_g, cost_w)
+
+
+@case("dtw", compare=_dtw_compare)
+def _(L, s):
+    X, Y = _dtw_inputs()
+    D, wp = L.sequence.dtw(X=X, Y=Y, backtrack=True)
+    Dsub, wps = L.sequence.dtw(X=X, Y=Y, subseq=True)
+    return _np({"D": D, "wp": wp, "Dsub": Dsub, "wps": wps})
+
+
+@case("rqa", rtol=0, atol=0)
+def _(L, s):
+    rngl = np.random.RandomState(2)
+    X = rngl.randn(5, 30)
+    R = np.asarray(L.segment.recurrence_matrix(X, k=5), dtype=float)
+    score, path = L.sequence.rqa(R)
+    return _np({"score": score, "path": path})
+
+
+@case("viterbi", rtol=1e-5, atol=1e-4)
+def _(L, s):
+    rngl = np.random.RandomState(3)
+    prob = rngl.rand(5, 40)
+    prob /= prob.sum(axis=0, keepdims=True)
+    T = np.asarray(L.sequence.transition_local(5, width=3))
+    states = L.sequence.viterbi(prob, T)
+    sd, ld = L.sequence.viterbi_discriminative(prob, T, return_logp=True)
+    binp = rngl.rand(3, 40)
+    sb = L.sequence.viterbi_binary(binp, np.asarray(
+        L.sequence.transition_loop(2, 0.8)))
+    return _np({
+        "states": states, "disc": sd, "disc_logp": np.atleast_1d(ld),
+        "binary": sb,
+        "t_uniform": L.sequence.transition_uniform(7),
+        "t_loop": L.sequence.transition_loop(4, [0.5, 0.6, 0.7, 0.8]),
+        "t_cycle": L.sequence.transition_cycle(4, 0.8),
+        "t_local": L.sequence.transition_local(8, width=5, wrap=True),
+    })
+
+
+# ---- util ------------------------------------------------------------------
+
+@case("util_core", rtol=1e-6, atol=1e-8)
+def _(L, s):
+    X = s["feat_noise"].astype(np.float64)
+    return _np({
+        "norm_inf": L.util.normalize(X),
+        "norm_1": L.util.normalize(X, norm=1, axis=1),
+        "norm_2": L.util.normalize(X, norm=2, axis=0),
+        "lmax": np.asarray(L.util.localmax(X, axis=1), dtype=np.int8),
+        "lmin": np.asarray(L.util.localmin(X, axis=0), dtype=np.int8),
+        "softmask": L.util.softmask(np.abs(X), np.abs(X[::-1]), power=2),
+        "shear": L.util.shear(X[:8, :8], factor=2),
+        "sync_mean": L.util.sync(X, [0, 13, 31, 40], aggregate=np.mean),
+        "tiny": np.array(L.util.tiny(X)),
+    })
+
+
+@case("util_peak_pick", rtol=0, atol=0)
+def _(L, s):
+    env = s["env"].astype(np.float64)
+    return _np({
+        "greedy": L.util.peak_pick(env, pre_max=3, post_max=3, pre_avg=5,
+                                   post_avg=5, delta=0.3, wait=8),
+        "dp_count": L.util.peak_pick(env, pre_max=3, post_max=3, pre_avg=5,
+                                     post_avg=5, delta=0.3, wait=8,
+                                     method="dp_count"),
+        "dp_value": L.util.peak_pick(env, pre_max=3, post_max=3, pre_avg=5,
+                                     post_avg=5, delta=0.3, wait=8,
+                                     method="dp_value"),
+    })
+
+
+@case("util_matching", rtol=0, atol=0)
+def _(L, s):
+    starts = np.arange(10, dtype=np.float64)
+    iv_from = np.stack([starts, starts + 1.0], axis=1)
+    iv_to = iv_from[::2] + 0.25   # overlaps every source interval
+    rngl = np.random.RandomState(5)
+    ev_from = np.sort(rngl.rand(15) * 100)
+    ev_to = np.sort(rngl.rand(8) * 100)
+    return _np({
+        "iv": L.util.match_intervals(iv_from, iv_to),
+        "ev": L.util.match_events(ev_from, ev_to),
+    })
+
+
+@case("util_sparsify", rtol=1e-6, atol=1e-8)
+def _(L, s):
+    X = np.abs(s["feat_noise"]).astype(np.float64)
+    Sp = L.util.sparsify_rows(X, quantile=0.2)
+    return _np({"dense": np.asarray(Sp.todense())})
