@@ -61,6 +61,105 @@ def test_multichannel_matches_per_channel(y_stereo, name, fn):
     _stacked_equals_per_channel(fn, y_stereo)
 
 
+@pytest.mark.parametrize(
+    "name,fn",
+    [
+        ("vqt", lambda y: np.abs(np.asarray(
+            lt.vqt(y, sr=SR, n_bins=48, res_type="polyphase")))),
+        ("chroma_cqt", lambda y: lt.feature.chroma_cqt(
+            C=np.abs(np.asarray(lt.cqt(y, sr=SR, res_type="polyphase"))),
+            sr=SR)),
+        ("chroma_cens", lambda y: lt.feature.chroma_cens(
+            C=np.abs(np.asarray(lt.cqt(y, sr=SR, res_type="polyphase"))),
+            sr=SR)),
+        ("chroma_vqt", lambda y: lt.feature.chroma_vqt(
+            V=np.abs(np.asarray(lt.vqt(y, sr=SR, intervals="equal",
+                                       res_type="polyphase"))),
+            sr=SR, intervals="equal")),
+        ("tonnetz", lambda y: lt.feature.tonnetz(
+            y=y, sr=SR, chroma=np.abs(np.asarray(
+                lt.feature.chroma_stft(y=y, sr=SR, tuning=0.0))))),
+        ("delta", lambda y: lt.feature.delta(
+            np.asarray(lt.feature.mfcc(y=y, sr=SR)))),
+        ("stack_memory", lambda y: lt.feature.stack_memory(
+            np.asarray(lt.feature.mfcc(y=y, sr=SR)), n_steps=3)),
+        ("mfcc_to_mel", lambda y: lt.feature.inverse.mfcc_to_mel(
+            np.asarray(lt.feature.mfcc(y=y, sr=SR)))),
+        ("phase_vocoder_mag", lambda y: np.abs(np.asarray(
+            lt.phase_vocoder(lt.stft(y), rate=1.3)))),
+        ("griffinlim_zero", lambda y: lt.griffinlim(
+            np.abs(np.asarray(lt.stft(y))), n_iter=3, init=None)),
+        ("piptrack_mags", lambda y: lt.piptrack(y=y, sr=SR)[1]),
+        ("lpc", lambda y: lt.lpc(y, order=8)),
+        ("mu_roundtrip", lambda y: lt.mu_expand(
+            lt.mu_compress(y, quantize=True), quantize=True)),
+        ("interp_harmonics", lambda y: lt.interp_harmonics(
+            np.abs(np.asarray(lt.stft(y))),
+            freqs=lt.fft_frequencies(sr=SR), harmonics=[1, 2])),
+        ("onset_strength_multi", lambda y: lt.onset.onset_strength_multi(
+            y=y, sr=SR, channels=[0, 64, 128])),
+        ("tempo", lambda y: np.atleast_1d(np.asarray(
+            lt.feature.tempo(y=y, sr=SR)))),
+        ("tempogram_ratio", lambda y: np.nan_to_num(np.asarray(
+            lt.feature.tempogram_ratio(y=y, sr=SR)))),
+        ("iirt", lambda y: lt.iirt(y, sr=SR, res_type="polyphase")),
+        ("fmt", lambda y: np.abs(np.asarray(lt.fmt(y[..., :8192])))),
+        ("deemphasis", lambda y: lt.effects.deemphasis(y)),
+        ("pitch_shift", lambda y: lt.effects.pitch_shift(
+            y, sr=SR, n_steps=2, res_type="fft")),
+        ("time_stretch", lambda y: lt.effects.time_stretch(y, rate=1.2)),
+        ("salience", lambda y: np.nan_to_num(np.asarray(lt.salience(
+            np.abs(np.asarray(lt.stft(y))),
+            freqs=lt.fft_frequencies(sr=SR), harmonics=[1, 2],
+            fill_value=0.0)))),
+    ],
+)
+def test_multichannel_extended(y_stereo, name, fn):
+    _stacked_equals_per_channel(fn, y_stereo, atol=1e-4, rtol=1e-3)
+
+
+def test_multichannel_mel_to_stft(y_stereo):
+    # NNLS is iterative: batched vs single solves agree in aggregate, not
+    # elementwise — compare per-channel relative Frobenius error.
+    M = np.asarray(lt.feature.melspectrogram(y=y_stereo, sr=SR))
+    full = np.asarray(lt.feature.inverse.mel_to_stft(M, sr=SR))
+    for ch in range(2):
+        single = np.asarray(lt.feature.inverse.mel_to_stft(M[ch], sr=SR))
+        rel = np.linalg.norm(full[ch] - single) / np.linalg.norm(single)
+        assert rel < 1e-3, rel
+
+
+def test_multichannel_pyin(y_stereo):
+    f0, vflag, vprob = lt.pyin(y_stereo[..., :SR], fmin=150, fmax=600, sr=SR)
+    f0 = np.nan_to_num(np.asarray(f0))
+    for ch in range(2):
+        f1, v1, p1 = lt.pyin(y_stereo[ch, :SR], fmin=150, fmax=600, sr=SR)
+        np.testing.assert_allclose(
+            f0[ch], np.nan_to_num(np.asarray(f1)), rtol=1e-4)
+        assert np.array_equal(np.asarray(vflag)[ch], np.asarray(v1))
+
+
+def test_multichannel_beat_track(y_stereo):
+    tempo, beats = lt.beat.beat_track(y=y_stereo, sr=SR, sparse=False)
+    beats = np.asarray(beats)
+    assert beats.shape[0] == 2
+    for ch in range(2):
+        t1, b1 = lt.beat.beat_track(y=y_stereo[ch], sr=SR, sparse=False)
+        assert np.array_equal(beats[ch], np.asarray(b1))
+
+
+def test_multichannel_icqt(y_stereo):
+    C = lt.cqt(y_stereo, sr=SR, n_bins=48, res_type="polyphase")
+    y_back = np.asarray(lt.icqt(C, sr=SR, length=y_stereo.shape[-1],
+                                res_type="polyphase"))
+    assert y_back.shape == y_stereo.shape
+    for ch in range(2):
+        single = np.asarray(lt.icqt(
+            lt.cqt(y_stereo[ch], sr=SR, n_bins=48, res_type="polyphase"),
+            sr=SR, length=y_stereo.shape[-1], res_type="polyphase"))
+        np.testing.assert_allclose(y_back[ch], single, atol=1e-4)
+
+
 def test_multichannel_mfcc(y_stereo):
     # dB + DCT amplify f32 reduction-order noise; compare with dB-scale atol
     _stacked_equals_per_channel(
