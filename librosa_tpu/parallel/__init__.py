@@ -8,5 +8,11 @@ Spectrogram outputs are bit-identical to the unsharded computation
 legality rules.
 """
 
-from .mesh import make_mesh, time_mesh  # noqa: F401
+from .mesh import make_mesh, time_mesh, pod_mesh, init_distributed  # noqa: F401
 from .sharded import stft_sharded, melspectrogram_sharded  # noqa: F401
+from .analysis import (  # noqa: F401
+    onset_strength_sharded,
+    tempo_sharded,
+    pcen_sharded,
+)
+from .constantq import cqt_sharded  # noqa: F401

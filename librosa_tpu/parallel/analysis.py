@@ -1,0 +1,266 @@
+"""Sharded analysis chains: onset → tempo, and cross-shard PCEN.
+
+These widen the time-sharded surface beyond spectrograms (SURVEY §2.3):
+
+- ``onset_strength_sharded`` — the spectral-flux novelty chain with its
+  *global* reductions done as collectives: the ``top_db`` clamp inside
+  ``power_to_db`` depends on the max over ALL frames (reference
+  ``core/spectrum.py:1735``), computed here with ``lax.pmax`` across
+  shards; the lagged first difference needs a ``lag``-frame halo from the
+  left neighbor (``lax.ppermute``).  Output equals the unsharded
+  ``onset.onset_strength`` bit-for-bit up to f32 reduction order.
+- ``tempo_sharded`` — sharded envelope, then the tiny (T,) envelope is
+  gathered and the tempogram/prior argmax runs replicated: the reference
+  itself calls the DP-style analyses "not streamable"
+  (``core/audio.py:261``), so decomposed-data-then-gather is the design.
+- ``pcen_sharded`` — the per-channel energy normalization IIR smoother
+  across time shards.  A first-order filter composes affinely, so each
+  shard computes its local scan plus its (decay, offset) boundary
+  composition; an ``all_gather`` of the D tiny boundary terms lets every
+  shard reconstruct its true carry-in (cross-shard prefix state, the
+  distributed analogue of ``pcen(zi=...)`` streaming).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import filters
+from ..core.spectrum import _win_device
+from ..util.exceptions import ParameterError
+from .sharded import _final_frame, _halo_sizes, _local_frames
+
+__all__ = ["onset_strength_sharded", "tempo_sharded", "pcen_sharded"]
+
+_AMIN = 1e-10
+_TOP_DB = 80.0
+
+
+def onset_strength_sharded(
+    y: Any,
+    *,
+    mesh: Mesh,
+    axis_name: str = "time",
+    sr: float = 22050,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    lag: int = 1,
+    n_mels: int = 128,
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> jax.Array:
+    """Spectral-flux onset envelope of a time-sharded signal.
+
+    Matches ``onset.onset_strength(y=y, sr=sr, aggregate=mean)`` (the
+    reference defaults) on the same signal.  Same legality constraints as
+    ``stft_sharded``: n divisible by D·hop, shards ≥ n_fft samples.
+    """
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    D = mesh.shape[axis_name]
+    if n % (D * hop_length) != 0:
+        raise ParameterError(
+            f"Signal length {n} must be divisible by D*hop = {D * hop_length}"
+        )
+    t_loc = (n // D) // hop_length
+    if lag >= t_loc:
+        raise ParameterError(f"lag={lag} must be < frames per shard {t_loc}")
+
+    window_dev = _win_device("hann", n_fft, n_fft, y.dtype)
+    basis = jnp.asarray(
+        filters.mel(sr=sr, n_fft=n_fft, n_mels=n_mels, fmax=0.5 * sr),
+        dtype=y.dtype,
+    )
+
+    # Trailing centered frame (t = n // hop): its mel power participates in
+    # the global dB clamp, so its max is fed into the shard_map.
+    tail_fr = _final_frame(y, window_dev, n_fft=n_fft, pad_mode=pad_mode)
+    tail_spec = jnp.fft.rfft(tail_fr, axis=-1)
+    tail_pw = tail_spec.real**2 + tail_spec.imag**2
+    tail_mel = jnp.einsum(
+        "...f,mf->...m", tail_pw, basis, precision=jax.lax.Precision.HIGHEST
+    )[..., None]                                       # (..., n_mels, 1)
+    tail_log = 10.0 * jnp.log10(jnp.maximum(_AMIN, tail_mel))
+    tail_max = jnp.max(tail_log)
+
+    in_spec = P(*((None,) * (y.ndim - 1) + (axis_name,)))
+    env_spec = P(*((None,) * (y.ndim - 1) + (axis_name,)))
+    col_spec = P(*((None,) * y.ndim + (axis_name,)))
+
+    def local(y_loc, w, mb, tmax):
+        fr = _local_frames(
+            y_loc, w, axis_name=axis_name, n_devices=D, n_fft=n_fft,
+            hop_length=hop_length, pad_mode=pad_mode,
+        )
+        spec = jnp.fft.rfft(fr, axis=-1)
+        pw = spec.real**2 + spec.imag**2
+        mel = jnp.einsum(
+            "...tf,mf->...mt", pw, mb, precision=jax.lax.Precision.HIGHEST
+        )                                               # (..., n_mels, T_loc)
+        log_s = 10.0 * jnp.log10(jnp.maximum(_AMIN, mel))
+        gmax = jnp.maximum(jax.lax.pmax(jnp.max(log_s), axis_name), tmax[0])
+        s_db = jnp.maximum(log_s, gmax - _TOP_DB)
+
+        # left halo: the previous shard's last `lag` dB frames
+        halo = jax.lax.ppermute(
+            s_db[..., -lag:], axis_name,
+            [(i, i + 1) for i in range(D - 1)],
+        )
+        prev = jnp.concatenate([halo, s_db[..., :-lag]], axis=-1)
+        flux = jnp.maximum(0.0, s_db - prev)
+
+        # global frames g < lag have no predecessor: mask them on shard 0
+        d = jax.lax.axis_index(axis_name)
+        g = d * t_loc + jnp.arange(t_loc)
+        flux = jnp.where(g >= lag, flux, 0.0)
+
+        env_loc = jnp.mean(flux, axis=-2)               # aggregate channels
+        return env_loc, s_db[..., -lag:]                # + boundary columns
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(in_spec, P(), P(), P()),
+        out_specs=(env_spec, col_spec),
+        check_vma=False,
+    )
+    env_main, boundary_cols = fn(
+        y, window_dev, basis, tail_max[None]
+    )                                                   # (..., T-1), (..., n_mels, D*lag)
+
+    # Tail flux: clamp the tail against the same global max, then diff
+    # against the last shard's final dB frames.
+    gmax_all = jnp.maximum(jnp.max(boundary_cols), tail_max)
+    tail_db = jnp.maximum(tail_log, gmax_all - _TOP_DB)
+    prev_cols = boundary_cols[..., -lag:]
+    flux_tail = jnp.mean(
+        jnp.maximum(0.0, tail_db[..., -1:] - prev_cols[..., :1]), axis=-2
+    )
+
+    flux_full = jnp.concatenate([env_main, flux_tail], axis=-1)  # (..., T)
+    c = n_fft // (2 * hop_length) if center else 0
+    if c:
+        pads = [(0, 0)] * flux_full.ndim
+        pads[-1] = (c, 0)
+        flux_full = jnp.pad(flux_full, pads)[..., : n // hop_length + 1]
+    return flux_full
+
+
+def tempo_sharded(
+    y: Any,
+    *,
+    mesh: Mesh,
+    axis_name: str = "time",
+    sr: float = 22050,
+    hop_length: int = 512,
+    **tempo_kwargs: Any,
+) -> jax.Array:
+    """Global tempo estimate of a time-sharded signal.
+
+    The onset envelope is computed sharded (the heavy part); the envelope
+    itself is tiny (one value per hop), so the tempogram + log-normal prior
+    argmax runs replicated after an implicit gather.
+    """
+    from ..feature.rhythm import tempo as tempo_fn
+
+    env = onset_strength_sharded(
+        y, mesh=mesh, axis_name=axis_name, sr=sr, hop_length=hop_length
+    )
+    return tempo_fn(
+        onset_envelope=np.asarray(env), sr=sr, hop_length=hop_length,
+        **tempo_kwargs,
+    )
+
+
+def pcen_sharded(
+    S: Any,
+    *,
+    mesh: Mesh,
+    axis_name: str = "time",
+    sr: float = 22050,
+    hop_length: int = 512,
+    gain: float = 0.98,
+    bias: float = 2.0,
+    power: float = 0.5,
+    time_constant: float = 0.400,
+    eps: float = 1e-6,
+    b: Optional[float] = None,
+) -> jax.Array:
+    """PCEN over a time-sharded spectrogram (frames on the last axis).
+
+    The exponential smoother M[t] = b·S[t] + (1−b)·M[t−1] is affine in its
+    carry, so shard d's true input state is reconstructed from the gathered
+    per-shard boundary compositions:
+
+        M_in(d) = Σ_{k<d} (1−b)^{L·(d−1−k)} · p_k  (+ zi term),
+
+    where ``p_k`` is shard k's zero-state response at its last frame.
+    Matches unsharded ``pcen`` to f32 reassociation error (~1e-6 relative).
+    """
+    S = jnp.asarray(S)
+    T = S.shape[-1]
+    D = mesh.shape[axis_name]
+    if T % D != 0:
+        raise ParameterError(f"frame count {T} must be divisible by D={D}")
+    L = T // D
+
+    if b is None:
+        t_frames = time_constant * sr / float(hop_length)
+        b = (np.sqrt(1 + 4 * t_frames**2) - 1) / (2 * t_frames**2)
+    b = float(b)
+    decay = (1.0 - b) ** L
+
+    in_spec = P(*((None,) * (S.ndim - 1) + (axis_name,)))
+    out_spec = in_spec
+
+    def local(s_loc):
+        d = jax.lax.axis_index(axis_name)
+
+        # Zero-state local smoother: m0[t] = b * Σ_{u≤t} (1-b)^(t-u) s[u]
+        a = jnp.full(s_loc.shape, 1.0 - b, dtype=s_loc.dtype)
+        xs = b * s_loc
+
+        def combine(l, r):
+            a_l, b_l = l
+            a_r, b_r = r
+            return a_l * a_r, b_r + a_r * b_l
+
+        _, m0 = jax.lax.associative_scan(combine, (a, xs), axis=-1)
+
+        # boundary zero-state response of this shard (tiny: one frame)
+        p = m0[..., -1]
+        p_all = jax.lax.all_gather(p, axis_name)        # (D, ...)
+
+        # carry-in for shard d: geometric combination of earlier boundaries
+        ks = jnp.arange(D)
+        w = jnp.where(ks < d, decay ** (d - 1 - ks), 0.0)
+        m_in = jnp.tensordot(w, p_all, axes=(0, 0))
+
+        # steady-state init (zi = 1-b ⇒ M[-1] = 1): shard 0's carry is 1,
+        # propagated through d·L decay steps into every later shard
+        zi_carry = (1.0 - b) ** (jnp.asarray(d, s_loc.dtype) * L) * 1.0
+
+        t = jnp.arange(L, dtype=s_loc.dtype)
+        carry = m_in[..., None] + zi_carry
+        m = m0 + (1.0 - b) ** (t + 1) * carry
+
+        smooth = jnp.exp(-gain * (np.log(eps) + jnp.log1p(m / eps)))
+        if power == 0:
+            return jnp.log1p(s_loc * smooth)
+        if bias == 0:
+            return jnp.exp(power * (jnp.log(s_loc) + jnp.log(smooth)))
+        return (bias**power) * jnp.expm1(
+            power * jnp.log1p(s_loc * smooth / bias)
+        )
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec,
+        check_vma=False,
+    )
+    return fn(S)

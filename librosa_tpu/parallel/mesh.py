@@ -34,3 +34,48 @@ def time_mesh(n_devices: Optional[int] = None) -> Mesh:
     if n_devices is None:
         n_devices = len(devices)
     return make_mesh((n_devices,), ("time",), devices=devices)
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    *,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> None:
+    """Initialize multi-host JAX (SURVEY §2.3 "Target distributed components").
+
+    Thin wrapper over ``jax.distributed.initialize``: on TPU pods the
+    arguments are auto-detected from the environment, so a bare
+    ``init_distributed()`` works on Cloud TPU; explicit
+    coordinator/process arguments cover CPU/GPU clusters and tests.
+    Safe to call at most once per process, before any backend use.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+
+
+def pod_mesh(
+    *,
+    time_axis: Optional[int] = None,
+    track_axis: int = 1,
+) -> Mesh:
+    """2-D (time, track) mesh over every device of a (multi-host) pod slice.
+
+    ``time_axis`` defaults to ``n_devices // track_axis``.  Within a slice
+    the mesh rides ICI; across slices the halo ppermutes fall back to DCN —
+    the axis ORDER puts time innermost so neighbor halos stay on ICI.
+    """
+    devices = jax.devices()
+    n = len(devices)
+    if time_axis is None:
+        if n % track_axis:
+            raise ValueError(
+                f"{n} devices not divisible by track_axis={track_axis}"
+            )
+        time_axis = n // track_axis
+    return make_mesh((track_axis, time_axis), ("track", "time"))
