@@ -341,7 +341,56 @@ def beat_track(
     units: str = "frames",
     sparse: bool = True,
 ) -> Tuple[Any, np.ndarray]:
-    """Dynamic-programming beat tracker (Ellis 2007). Parity: beat.py:89."""
+    """Dynamic-programming beat tracker [Ellis 2007].
+
+    Estimates a global (or per-frame) tempo, builds a tempo-matched
+    Gaussian local score from the onset envelope, and decodes beat
+    positions with a DP that penalizes deviations from the beat period.
+    Behavior parity with the reference ``beat.py:89``; batched inputs run
+    the DP as a vmapped ``lax.scan`` on device, single envelopes on host
+    (scan launch latency dominates tiny sequential DPs).
+
+    Parameters
+    ----------
+    y, sr, onset_envelope, hop_length
+        signal (or precomputed onset envelope) and hop
+    start_bpm : float > 0
+        initial tempo guess for the estimator prior
+    tightness : float > 0
+        penalty weight for deviating from the estimated period
+    trim : bool
+        discard weak leading/trailing beats
+    bpm : scalar or np.ndarray or None
+        externally supplied tempo (scalar, per-channel, or per-frame for
+        time-varying tracking)
+    prior : distribution or None
+        tempo prior for the estimator
+    units : 'frames', 'samples', or 'time'
+        beat position units
+    sparse : bool
+        sparse event indices (True, 1-D input only) or dense boolean mask
+
+    Returns
+    -------
+    tempo : float or np.ndarray
+        estimated global tempo in BPM
+    beats : np.ndarray
+        beat event positions
+
+    See Also
+    --------
+    plp : predominant local pulse
+    feature.tempo
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> env = np.zeros(400, dtype=np.float32)
+    >>> env[::22] = 1.0                       # ~120 bpm pulse train
+    >>> tempo, beats = lt.beat.beat_track(onset_envelope=env, sr=22050)
+    >>> bool(abs(float(np.atleast_1d(tempo)[0]) - 120) < 10)
+    True
+    """
     if onset_envelope is None:
         if y is None:
             raise ParameterError("y or onset_envelope must be provided")

@@ -61,10 +61,47 @@ def load(
     dtype: Any = np.float32,
     res_type: str = "soxr_hq",
 ) -> Tuple[np.ndarray, Union[int, float]]:
-    """Load an audio file as a floating point time series.
+    """Load an audio file as a floating-point time series.
 
-    Parity: core/audio.py:59 — decode, optional mono mixdown, resample to
-    ``sr`` (default 22050).
+    Decodes on the host (native WAV/FLAC/OGG decoder or system libsndfile),
+    optionally mixes down to mono, and resamples to ``sr`` on the device.
+    Behavior parity with the reference ``core/audio.py:59``.
+
+    Parameters
+    ----------
+    path : str, Path, or file-like
+        audio file to load
+    sr : number > 0 or None
+        target sampling rate (default 22050); ``None`` keeps the native rate
+    mono : bool
+        mix multi-channel audio down to mono
+    offset : float
+        start reading at this time (seconds)
+    duration : float or None
+        only load this much audio (seconds)
+    dtype : numeric dtype
+        output dtype (default float32)
+    res_type : str
+        resampling mode (see ``resample``)
+
+    Returns
+    -------
+    y : np.ndarray [shape=(n,) or (channels, n)]
+        audio time series
+    sr : number
+        the sampling rate of ``y``
+
+    See Also
+    --------
+    stream : blockwise loading for long files
+    resample
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> y, sr = lt.load('/root/reference/tests/test_audio.ogg')
+    >>> sr
+    22050
     """
     y, sr_native = audio_io.read_audio(
         path, offset=offset, duration=duration, dtype=dtype

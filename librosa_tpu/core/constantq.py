@@ -259,7 +259,44 @@ def vqt(
     res_type: str = "soxr_hq",
     dtype: Any = None,
 ) -> jax.Array:
-    """Variable-Q transform via recursive sub-sampling. Parity: constantq.py:820."""
+    """Variable-Q transform via recursive sub-sampling.
+
+    Generalizes the CQT with a bandwidth offset ``gamma`` and arbitrary
+    interval systems (equal temperament, Pythagorean, p-limit just
+    intonation).  Behavior parity with the reference ``constantq.py:820``;
+    the per-octave hop/rate plan is static, so the whole ladder runs as one
+    jit-compiled program.
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)]
+        input signal(s)
+    sr, hop_length, fmin, n_bins, bins_per_octave, tuning
+        grid controls, as in ``cqt``.  ``n_bins=None`` extends to Nyquist
+    intervals : str or array of float
+        'equal', 'pythagorean', 'ji3', 'ji5', 'ji7', or explicit ratios
+    gamma : float >= 0 or None
+        bandwidth offset in Hz; ``None`` selects ERB-proportional bandwidth
+    filter_scale, norm, sparsity, window, scale, pad_mode, res_type, dtype
+        basis construction and resampling controls
+
+    Returns
+    -------
+    V : jax.Array [shape=(..., n_bins, t), dtype=complex]
+        variable-Q spectrogram
+
+    See Also
+    --------
+    cqt, interval_frequencies
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=1.0))
+    >>> V = lt.vqt(y, sr=22050, n_bins=60, intervals='ji5', res_type='polyphase')
+    >>> V.shape
+    (60, 44)
+    """
     y = jnp.asarray(y)
 
     if not isinstance(intervals, str):
@@ -452,7 +489,52 @@ def cqt(
     res_type: str = "soxr_hq",
     dtype: Any = None,
 ) -> jax.Array:
-    """Constant-Q transform (VQT with gamma=0). Parity: constantq.py:42."""
+    """Constant-Q transform: log-frequency spectrogram on a musical grid.
+
+    A VQT with ``gamma=0`` (reference ``constantq.py:42``): geometrically
+    spaced center frequencies with constant Q, computed by the recursive
+    downsampling ladder.  On TPU the whole ladder — every octave's STFT,
+    basis matmul, trim/stack, and scaling — compiles into ONE program.
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)]
+        input signal(s)
+    sr : number > 0
+        sampling rate
+    hop_length : int > 0
+        hop length (must be divisible by ``2**(n_octaves-1)``)
+    fmin : float > 0 or None
+        lowest center frequency; defaults to C1 (~32.70 Hz)
+    n_bins : int > 0
+        number of frequency bins
+    bins_per_octave : int > 0
+        resolution of the log-frequency grid
+    tuning : float or None
+        tuning offset in fractions of a bin; None estimates from the signal
+    filter_scale, norm, sparsity, window, scale, pad_mode, res_type, dtype
+        basis construction and resampling controls, as in the reference
+
+    Returns
+    -------
+    C : jax.Array [shape=(..., n_bins, t), dtype=complex]
+        constant-Q spectrogram
+
+    See Also
+    --------
+    vqt, hybrid_cqt, pseudo_cqt, icqt
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(220, duration=1.0))
+    >>> C = lt.cqt(y, sr=22050, n_bins=84, res_type='polyphase')
+    >>> C.shape
+    (84, 44)
+    >>> freqs = lt.cqt_frequencies(n_bins=84, fmin=lt.note_to_hz('C1'))
+    >>> float(abs(freqs[int(np.abs(np.asarray(C)).mean(axis=1).argmax())] - 220)) < 10
+    True
+    """
     return vqt(
         y=y, sr=sr, hop_length=hop_length, fmin=fmin, n_bins=n_bins,
         intervals="equal", gamma=0, bins_per_octave=bins_per_octave,
@@ -674,7 +756,42 @@ def icqt(
     res_type: str = "soxr_hq",
     dtype: Any = None,
 ) -> jax.Array:
-    """Inverse constant-Q transform (transpose ladder). Parity: constantq.py:594."""
+    """Inverse constant-Q transform.
+
+    Approximately reconstructs a signal from its CQT by running the ladder
+    in transpose: per-octave inverse responses are upsampled and summed
+    (reference ``constantq.py:594``).  On TPU the inverse ladder is one
+    fused program with a single bulk host transfer.
+
+    Parameters
+    ----------
+    C : np.ndarray or jax.Array [shape=(..., n_bins, t), dtype=complex]
+        CQT matrix (from ``cqt``)
+    sr, hop_length, fmin, bins_per_octave, tuning
+        must match the forward transform
+    filter_scale, norm, sparsity, window, scale, res_type, dtype
+        basis construction and resampling controls
+    length : int or None
+        exact output length
+
+    Returns
+    -------
+    y : jax.Array [shape=(..., n)]
+        reconstructed signal (band-limited to the CQT's frequency range)
+
+    See Also
+    --------
+    cqt, griffinlim_cqt
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(220, duration=1.0))
+    >>> C = lt.cqt(y, sr=22050, n_bins=48, res_type='polyphase')
+    >>> y_rec = lt.icqt(C, sr=22050, length=len(y), res_type='polyphase')
+    >>> y_rec.shape == y.shape
+    True
+    """
     C = jnp.asarray(C)
     if fmin is None:
         fmin = note_to_hz("C1")

@@ -225,7 +225,53 @@ def yin(
     center: bool = True,
     pad_mode: str = "constant",
 ) -> jax.Array:
-    """Fundamental frequency estimation via YIN. Parity: core/pitch.py:480."""
+    """Fundamental frequency (F0) estimation via YIN.
+
+    The YIN algorithm [de Cheveigné & Kawahara 2002]: cumulative
+    mean-normalized difference over lag, thresholded trough selection, and
+    parabolic refinement.  Behavior parity with the reference
+    ``core/pitch.py:480``; all frames batch through FFT autocorrelation +
+    cumulative sums in one device program.
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)]
+        input signal(s)
+    fmin, fmax : float > 0
+        pitch search range in Hz (``fmax <= sr/2``)
+    sr : number > 0
+        sampling rate
+    frame_length : int > 0
+        analysis frame length in samples
+    win_length : int or None
+        energy-window length; defaults to ``frame_length // 2``
+    hop_length : int or None
+        hop; defaults to ``frame_length // 4``
+    trough_threshold : float > 0
+        absolute CMND threshold for trough acceptance
+    center : bool
+        center frames on ``y[t * hop_length]``
+    pad_mode : str
+        padding mode when centered
+
+    Returns
+    -------
+    f0 : jax.Array [shape=(..., n_frames)]
+        estimated fundamental frequency in Hz, per frame
+
+    See Also
+    --------
+    pyin : probabilistic YIN with voicing decisions
+    piptrack : sinusoidal peak interpolation
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=1.0))
+    >>> f0 = lt.yin(y, fmin=200, fmax=800, sr=22050)
+    >>> float(abs(np.median(np.asarray(f0)) - 440)) < 5
+    True
+    """
     _check_yin_params(
         sr=sr, fmax=fmax, fmin=fmin, frame_length=frame_length, win_length=win_length
     )
@@ -286,13 +332,50 @@ def pyin(
     pad_mode: str = "constant",
     transition_min_prob: Optional[float] = 1e-4,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Probabilistic YIN (pYIN). Parity: core/pitch.py:631.
+    """Probabilistic YIN (pYIN) fundamental frequency estimation.
 
-    Fully batched: the per-frame trough-probability computation of the
-    reference's Python loop (core/pitch.py:870) is replaced with masked
-    tensor ops; decoding is a max-plus Viterbi scan.
+    Extends YIN with per-threshold trough probabilities and an HMM over
+    pitch bins × voicing, decoded by Viterbi [Mauch & Dixon 2014].
+    Behavior parity with the reference ``core/pitch.py:631``; the
+    reference's per-frame Python loop (``core/pitch.py:870``) is replaced
+    with fully batched masked tensor ops, and decoding is a max-plus
+    Viterbi scan — the entire pipeline is ONE device program.
 
-    Returns (f0, voiced_flag, voiced_prob).
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)]
+        input signal(s)
+    fmin, fmax : float > 0
+        pitch search range in Hz
+    sr : number > 0
+        sampling rate
+    frame_length, win_length, hop_length, center, pad_mode
+        framing controls, as in ``yin``
+    n_thresholds : int > 0
+        number of CMND thresholds
+    beta_parameters : tuple of float
+        shape of the beta prior over thresholds
+    boltzmann_parameter : number > 0
+        trough-position prior shape
+    resolution : float in (0, 1)
+        pitch bin resolution in fractions of a semitone
+    max_transition_rate : float > 0
+        max pitch slew in octaves/second
+    switch_prob : float in (0, 1)
+        voiced/unvoiced switch probability
+    no_trough_prob : float in (0, 1)
+        probability mass for the global minimum when no trough qualifies
+    fill_na : float, np.nan, or None
+        value for unvoiced frames in ``f0``
+
+    Returns
+    -------
+    f0 : jax.Array [shape=(..., n_frames)]
+        fundamental frequency (``fill_na`` where unvoiced)
+    voiced_flag : jax.Array [bool]
+        per-frame voicing decision
+    voiced_prob : jax.Array
+        per-frame voicing probability
     """
     from ..sequence import transition_local, transition_loop, viterbi
 

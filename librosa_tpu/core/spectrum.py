@@ -178,11 +178,48 @@ def stft(
     pad_mode: str = "constant",
     out: Any = None,
 ) -> jax.Array:
-    """Short-time Fourier transform.
+    """Short-time Fourier transform (STFT).
 
-    Parity: reference ``core/spectrum.py:58`` — hann window padded to n_fft,
-    centered pad (default ``constant``), output ``(..., 1 + n_fft//2, t)``.
-    ``out=`` is accepted for API compatibility and ignored (JAX is functional).
+    Represents a signal in the time-frequency domain by computing discrete
+    Fourier transforms over short overlapping windows.  Behavior parity with
+    the reference ``core/spectrum.py:58``; on TPU the framing, windowing,
+    DFT (as MXU matmuls), and any downstream basis projection fuse into one
+    device program.
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)]
+        input signal(s); leading dimensions are broadcast (multichannel)
+    n_fft : int > 0
+        length of the windowed signal after padding to ``n_fft``
+    hop_length : int > 0 or None
+        number of samples between adjacent frames; defaults to
+        ``win_length // 4``
+    win_length : int or None
+        window length; defaults to ``n_fft``.  The window is zero-padded
+        (centered) up to ``n_fft``
+    window : str, tuple, number, callable, or np.ndarray
+        window specification, as in ``filters.get_window``
+    center : bool
+        if True, pad ``y`` by ``n_fft // 2`` on both sides so frame ``t``
+        is centered at ``y[t * hop_length]``
+    dtype : complex dtype or None
+        output dtype; inferred from the input by default
+    pad_mode : str
+        padding mode for ``center=True`` (default ``'constant'``)
+    out : ignored
+        accepted for reference API compatibility (JAX is functional)
+
+    Returns
+    -------
+    D : jax.Array [shape=(..., 1 + n_fft//2, t), dtype=complex]
+        complex spectrogram: ``np.abs(D)`` is the magnitude,
+        ``np.angle(D)`` the phase
+
+    See Also
+    --------
+    istft : inverse STFT
+    reassigned_spectrogram : time-frequency reassignment
 
     Examples
     --------
@@ -289,9 +326,52 @@ def istft(
     length: Optional[int] = None,
     out: Any = None,
 ) -> jax.Array:
-    """Inverse STFT via windowed overlap-add (Griffin-Lim LSE reconstruction).
+    """Inverse STFT via windowed overlap-add.
 
-    Parity: reference ``core/spectrum.py:395``.
+    Reconstructs the least-squares-optimal signal for a (possibly modified)
+    STFT matrix [Griffin & Lim 1984].  Behavior parity with the reference
+    ``core/spectrum.py:395``; the overlap-add scatter and window-sumsquare
+    normalization run as one fused device program.
+
+    Parameters
+    ----------
+    stft_matrix : np.ndarray or jax.Array [shape=(..., 1 + n_fft//2, t)]
+        complex STFT matrix (from ``stft``)
+    hop_length : int > 0 or None
+        hop length; defaults to ``win_length // 4``
+    win_length : int or None
+        synthesis window length; defaults to ``n_fft``
+    n_fft : int or None
+        FFT size; inferred as ``2 * (stft_matrix.shape[-2] - 1)`` by default
+    window : window specification
+        synthesis window (must match the analysis window for perfect
+        reconstruction)
+    center : bool
+        if True, trim the ``n_fft // 2`` centering pad from the output
+    dtype : real dtype or None
+        output dtype
+    length : int or None
+        exact output length; pads/trims as needed
+    out : ignored
+        reference API compatibility
+
+    Returns
+    -------
+    y : jax.Array [shape=(..., n)]
+        reconstructed time-domain signal
+
+    See Also
+    --------
+    stft : forward transform
+    griffinlim : phase recovery from magnitudes only
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.chirp(fmin=110, fmax=880, duration=1.0))
+    >>> y_hat = lt.istft(lt.stft(y), length=len(y))
+    >>> float(np.max(np.abs(np.asarray(y_hat) - y))) < 1e-5
+    True
     """
     S = jnp.asarray(stft_matrix)
     if n_fft is None:
@@ -374,11 +454,43 @@ def phase_vocoder(
     hop_length: Any = _PV_DEPRECATED,
     n_fft: Any = _PV_DEPRECATED,
 ) -> jax.Array:
-    """Interpolation-based phase vocoder (time stretch by ``rate``).
+    """Interpolation-based phase vocoder: time-stretch an STFT by ``rate``.
 
-    Parity: reference ``core/spectrum.py:1364`` — cumulative phase from
-    frame-pair differences, interpolated magnitudes, arbitrary ``t_out``.
-    ``hop_length``/``n_fft`` are deprecated and unused (as in the reference).
+    Phase advances accumulate from frame-pair differences while magnitudes
+    interpolate at the fractional output positions — the reference's
+    algorithm (``core/spectrum.py:1364``), supporting an arbitrary output
+    time grid ``t_out``.  ``hop_length``/``n_fft`` are deprecated and
+    unused, as in the reference.
+
+    Parameters
+    ----------
+    D : np.ndarray or jax.Array [shape=(..., d, n), dtype=complex]
+        STFT matrix
+    rate : float > 0
+        speed-up factor: ``rate > 1`` is faster, ``rate < 1`` slower.
+        Mutually exclusive with ``t_out``
+    t_out : np.ndarray or None
+        explicit (fractional) output frame positions in ``[0, n)``
+    kind : str
+        magnitude interpolation kind (``'linear'``, ``'nearest'``, or any
+        scipy ``interp1d`` kind)
+
+    Returns
+    -------
+    D_stretched : jax.Array [shape=(..., d, ceil(n / rate))]
+        time-stretched STFT
+
+    See Also
+    --------
+    effects.time_stretch : waveform-level stretching
+    effects.pitch_shift : pitch shifting via stretch + resample
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> D = lt.stft(np.asarray(lt.tone(440, duration=1.0)))
+    >>> lt.phase_vocoder(D, rate=2.0).shape[-1] == -(-D.shape[-1] // 2)
+    True
     """
     for _name, _val in (("hop_length", hop_length), ("n_fft", n_fft)):
         if _val is not _PV_DEPRECATED:
@@ -481,10 +593,43 @@ def power_to_db(
     top_db: Optional[float] = 80.0,
     axes: Any = "auto",
 ) -> jax.Array:
-    """Convert a power spectrogram to dB. Parity: core/spectrum.py:1735.
+    """Convert a power spectrogram (amplitude²) to decibel units.
 
-    ``axes`` selects which trailing axes the callable ``ref`` and the
-    ``top_db`` peak reduce over (``'auto'`` → per-channel trailing 2 axes).
+    Computes ``10 * log10(S / ref)`` with an ``amin`` floor and an optional
+    ``top_db`` dynamic-range clamp relative to the peak.  Behavior parity
+    with the reference ``core/spectrum.py:1735``.
+
+    Parameters
+    ----------
+    S : np.ndarray or jax.Array
+        input power spectrogram (non-negative)
+    ref : scalar or callable
+        reference power.  A callable (e.g. ``np.max``) is applied to ``S``
+        over ``axes``
+    amin : float > 0
+        minimum threshold for ``S`` and ``ref``
+    top_db : float >= 0 or None
+        clamp the output at ``(peak dB) - top_db``
+    axes : 'auto', None, or tuple of int
+        which trailing axes the callable ``ref`` and the ``top_db`` peak
+        reduce over; ``'auto'`` reduces each channel's trailing 2 axes
+
+    Returns
+    -------
+    S_db : jax.Array
+        ``S`` in dB, same shape
+
+    See Also
+    --------
+    amplitude_to_db, db_to_power, perceptual_weighting
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> S = np.abs(np.asarray(lt.stft(np.asarray(lt.tone(440, duration=0.5)))))**2
+    >>> S_db = np.asarray(lt.power_to_db(S, ref=np.max))
+    >>> float(S_db.max())
+    0.0
     """
     S = jnp.asarray(S)
     if amin <= 0:
@@ -629,10 +774,60 @@ def pcen(
     zi: Optional[Any] = None,
     return_zf: bool = False,
 ):
-    """Per-channel energy normalization (PCEN). Parity: core/spectrum.py:2396.
+    """Per-channel energy normalization (PCEN).
 
-    The temporal IIR smoother runs as a parallel associative scan; the
-    optional frequency max-filter is an XLA ``reduce_window``.
+    An adaptive gain control alternative to log scaling
+    [Wang et al. 2017]: ``P = (S / (eps + M)**gain + bias)**power -
+    bias**power``, where ``M`` is a temporal IIR smoothing of ``S``.
+    Behavior parity with the reference ``core/spectrum.py:2396``; the
+    smoother runs as a parallel (log-depth) associative scan on TPU, the
+    optional frequency max-filter as an XLA ``reduce_window``.
+
+    Parameters
+    ----------
+    S : np.ndarray or jax.Array [shape=(..., n, t)]
+        input (magnitude) spectrogram, non-negative
+    sr, hop_length : number
+        used with ``time_constant`` to derive the smoothing coefficient
+    gain : float >= 0
+        gain-normalization exponent
+    bias : float >= 0
+        bias point of the nonlinear compression
+    power : float >= 0
+        compression exponent; 0 selects log compression
+    time_constant : float > 0
+        smoothing time constant in seconds
+    eps : float > 0
+        numerical floor for the smoother
+    b : float in [0, 1] or None
+        explicit smoothing coefficient; overrides ``time_constant``
+    max_size : int > 0
+        frequency-axis max-filter width for the smoother input
+    ref : np.ndarray or None
+        explicit smoother input (bypasses the max filter)
+    axis : int
+        time axis (default -1)
+    max_axis : int or None
+        frequency axis for the max filter (required if ``S.ndim > 2``)
+    zi : np.ndarray or None
+        initial filter delay state (for streaming/blockwise processing)
+    return_zf : bool
+        also return the final filter state for the next block
+
+    Returns
+    -------
+    P : jax.Array
+        the PCEN-normalized spectrogram (and ``zf`` if ``return_zf``)
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> S = np.abs(np.asarray(lt.stft(np.asarray(lt.tone(440, duration=0.5)))))**2
+    >>> P1, zf = lt.pcen(S[..., :10], sr=22050, return_zf=True, max_size=1)
+    >>> P2 = lt.pcen(S[..., 10:], sr=22050, zi=zf, max_size=1)   # streamed
+    >>> full = np.asarray(lt.pcen(S, sr=22050))
+    >>> bool(np.allclose(np.concatenate([P1, P2], axis=-1), full, atol=1e-5))
+    True
     """
     if power < 0:
         raise ParameterError(f"power={power} must be nonnegative")
@@ -747,12 +942,50 @@ def griffinlim(
     rng: Optional[Any] = None,
     random_state: Optional[Any] = None,
 ) -> jax.Array:
-    """Griffin-Lim phase recovery with momentum (fast GL).
+    """Griffin-Lim phase recovery with momentum (fast Griffin-Lim).
 
-    ``rng`` seeds the random phase init (int seed, numpy Generator /
-    RandomState, or None); ``random_state`` is the deprecated alias.
+    Iteratively estimates a signal whose STFT magnitude matches ``S``
+    [Griffin & Lim 1984; Perraudin et al. 2013].  Behavior parity with the
+    reference ``core/spectrum.py:2669``; the whole iteration runs as one
+    scanned, jit-compiled device program.
 
-    Parity: core/spectrum.py:2669.
+    Parameters
+    ----------
+    S : np.ndarray or jax.Array [shape=(..., n_fft//2 + 1, t)]
+        magnitude spectrogram (non-negative)
+    n_iter : int > 0
+        number of projection iterations
+    hop_length, win_length, n_fft, window, center, pad_mode
+        STFT/ISTFT parameters, as in ``stft``
+    dtype : real dtype or None
+        output dtype
+    length : int or None
+        exact output length
+    momentum : float >= 0
+        acceleration parameter (0 recovers classic Griffin-Lim)
+    init : 'random' or None
+        phase initialization: random phases, or zero phase for None
+    rng : int seed, numpy Generator/RandomState, or None
+        randomness source for ``init='random'``; ``random_state`` is the
+        deprecated alias
+
+    Returns
+    -------
+    y : jax.Array [shape=(..., n)]
+        signal whose STFT magnitude approximates ``S``
+
+    See Also
+    --------
+    istft, feature.inverse.mel_to_audio
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=0.5))
+    >>> S = np.abs(np.asarray(lt.stft(y)))
+    >>> y_rec = lt.griffinlim(S, n_iter=16, rng=0, length=len(y))
+    >>> y_rec.shape == y.shape
+    True
     """
     if random_state is not None:
         if rng is not None:

@@ -116,11 +116,46 @@ def hpss(
     mask: bool = False,
     margin: Union[float, Tuple[float, float]] = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Harmonic-percussive source separation via median filtering.
+    """Harmonic-percussive source separation (HPSS) via median filtering.
 
-    Parity: decompose.py:211 — median along time (harmonic) and frequency
-    (percussive), margin-scaled softmask Wiener masks, complex passthrough.
-    Median filters run on device (``ops.median.median_filter_1d``).
+    Median-filters the spectrogram along time (enhancing harmonics) and
+    along frequency (enhancing percussives), then separates with
+    margin-scaled soft-mask Wiener filtering [Fitzgerald 2010; Driedger
+    2014].  Behavior parity with the reference ``decompose.py:211``;
+    median filters run on device (``ops.median.median_filter_1d``).
+
+    Parameters
+    ----------
+    S : np.ndarray or jax.Array [shape=(..., d, n)]
+        input spectrogram; complex input separates magnitude and
+        passes phase through
+    kernel_size : int or tuple
+        median filter lengths (harmonic, percussive)
+    power : float
+        soft-mask exponent (``np.inf`` = hard mask)
+    mask : bool
+        return masks instead of components
+    margin : float or tuple >= 1
+        separation margins; margins > 1 leave residual energy
+
+    Returns
+    -------
+    harmonic, percussive : jax.Array
+        component spectrograms (or masks)
+
+    See Also
+    --------
+    effects.hpss : waveform-level separation
+    util.softmask
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=0.5))
+    >>> S = np.abs(np.asarray(lt.stft(y)))
+    >>> H, P = lt.decompose.hpss(S)
+    >>> bool(np.sum(np.asarray(H)) > np.sum(np.asarray(P)))  # pure tone is harmonic
+    True
     """
     S = jnp.asarray(S)
     if jnp.issubdtype(S.dtype, jnp.complexfloating):

@@ -153,7 +153,37 @@ def _time_stretch_jit(y, *, rate: float, len_stretch: int):
 
 
 def time_stretch(y: Any, *, rate: float, **kwargs: Any) -> jax.Array:
-    """Time-stretch by ``rate`` via phase vocoding. Parity: effects.py:426."""
+    """Time-stretch audio by ``rate`` (pitch-preserving).
+
+    STFT → phase vocoder → ISTFT, length-targeted (behavior parity with the
+    reference ``effects.py:426``); on TPU the whole chain is one program.
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)]
+        input audio
+    rate : float > 0
+        stretch factor: ``rate > 1`` speeds up, ``rate < 1`` slows down
+    **kwargs
+        forwarded to the phase vocoder / STFT
+
+    Returns
+    -------
+    y_stretch : jax.Array [shape=(..., round(n / rate))]
+        stretched audio
+
+    See Also
+    --------
+    pitch_shift, phase_vocoder
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=1.0))
+    >>> fast = lt.effects.time_stretch(y, rate=2.0)
+    >>> fast.shape[-1] == len(y) // 2
+    True
+    """
     if rate <= 0:
         raise ParameterError("rate must be a positive number")
     y = jnp.asarray(y)
@@ -176,7 +206,42 @@ def pitch_shift(
     scale: bool = False,
     **kwargs: Any,
 ) -> jax.Array:
-    """Shift pitch by ``n_steps`` bins. Parity: effects.py:487."""
+    """Shift the pitch of audio by ``n_steps`` bins (duration-preserving).
+
+    Time-stretch by ``2**(-n_steps/bins_per_octave)`` then resample back to
+    ``sr`` (behavior parity with the reference ``effects.py:487``).
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)]
+        input audio
+    sr : number > 0
+        sampling rate
+    n_steps : float
+        pitch shift in ``bins_per_octave`` fractions of an octave
+        (positive = up)
+    bins_per_octave : int > 0
+        bins per octave (12 = semitones)
+    res_type : str
+        resampling mode for the rate correction
+    scale : bool
+        rescale to preserve total energy
+    **kwargs
+        forwarded to ``time_stretch``
+
+    Returns
+    -------
+    y_shift : jax.Array [shape=(..., n)]
+        pitch-shifted audio
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=1.0))
+    >>> up = lt.effects.pitch_shift(y, sr=22050, n_steps=12, res_type='fft')
+    >>> up.shape == y.shape
+    True
+    """
     if not util.is_positive_int(bins_per_octave):
         raise ParameterError(
             f"bins_per_octave={bins_per_octave} must be a positive integer."

@@ -131,7 +131,49 @@ def tempo(
     aggregate: Optional[Callable] = np.mean,
     prior: Optional[Any] = None,
 ) -> np.ndarray:
-    """Estimate the tempo (BPM). Parity: feature/rhythm.py:295."""
+    """Estimate the global tempo (beats per minute).
+
+    Aggregates a (local autocorrelation) tempogram, weights it by a
+    log-normal tempo prior centered at ``start_bpm``, and picks the
+    argmax over ``tempo_frequencies``.  Behavior parity with the reference
+    ``feature/rhythm.py:295``.
+
+    Parameters
+    ----------
+    y, sr, onset_envelope, hop_length
+        signal (or precomputed onset envelope) and hop
+    start_bpm : float > 0
+        center of the log-normal tempo prior
+    std_bpm : float > 0
+        prior width (octaves)
+    ac_size : float > 0
+        autocorrelation window length in seconds
+    max_tempo : float > 0 or None
+        hard ceiling on the estimate
+    aggregate : callable or None
+        tempogram aggregation across frames (None = per-frame tempo)
+    prior : distribution or None
+        explicit tempo prior (overrides the log-normal)
+
+    Returns
+    -------
+    tempo : np.ndarray
+        estimated tempo in BPM (per channel, or per frame when
+        ``aggregate=None``)
+
+    See Also
+    --------
+    tempogram, beat.beat_track
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> env = np.zeros(400, dtype=np.float32)
+    >>> env[::22] = 1.0
+    >>> t = lt.feature.tempo(onset_envelope=env, sr=22050)
+    >>> bool(abs(float(np.atleast_1d(t)[0]) - 120) < 10)
+    True
+    """
     if start_bpm <= 0:
         raise ParameterError("start_bpm must be strictly positive")
 

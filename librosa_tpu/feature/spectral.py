@@ -71,7 +71,36 @@ def spectral_centroid(
     center: bool = True,
     pad_mode: str = "constant",
 ) -> jax.Array:
-    """Spectral centroid (frequency-weighted mean). Parity: feature/spectral.py:46."""
+    """Spectral centroid: the magnitude-weighted mean frequency per frame.
+
+    ``centroid[t] = sum_k freq[k] * S[k, t] / sum_k S[k, t]`` (behavior
+    parity with the reference ``feature/spectral.py:46``).
+
+    Parameters
+    ----------
+    y, sr, S, n_fft, hop_length, win_length, window, center, pad_mode
+        signal or precomputed magnitude spectrogram, and STFT controls
+    freq : np.ndarray or None
+        frequency values per bin (defaults to ``fft_frequencies``);
+        may be 2-D for time-varying bin frequencies
+
+    Returns
+    -------
+    centroid : jax.Array [shape=(..., 1, t)]
+        centroid frequencies in Hz
+
+    See Also
+    --------
+    spectral_bandwidth, spectral_rolloff
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=0.5))
+    >>> c = np.asarray(lt.feature.spectral_centroid(y=y, sr=22050))
+    >>> bool(abs(np.median(c) - 440) < 40)
+    True
+    """
     S, n_fft = _spectrogram(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
         window=window, center=center, pad_mode=pad_mode,
@@ -342,7 +371,41 @@ def rms(
     pad_mode: str = "constant",
     dtype: Any = np.float32,
 ) -> jax.Array:
-    """Root-mean-square energy per frame. Parity: feature/spectral.py:806."""
+    """Root-mean-square (RMS) energy per frame.
+
+    Computed from the waveform, or from a spectrogram via Parseval's
+    theorem (behavior parity with the reference ``feature/spectral.py:806``).
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)] or None
+        audio input
+    S : spectrogram or None
+        magnitude spectrogram input (alternative to ``y``)
+    frame_length : int > 0
+        analysis frame length
+    hop_length : int > 0
+        hop between frames
+    center : bool
+        pad ``y`` so frames are centered
+    pad_mode : str
+        padding mode when centered
+    dtype : dtype
+        output dtype for the spectrogram path
+
+    Returns
+    -------
+    rms : jax.Array [shape=(..., 1, t)]
+        RMS value per frame
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=0.5))
+    >>> r = np.asarray(lt.feature.rms(y=y))
+    >>> bool(abs(np.median(r) - 1/np.sqrt(2)) < 0.05)   # unit sine RMS
+    True
+    """
     if y is not None:
         y = jnp.asarray(y)
         if center:
@@ -412,7 +475,41 @@ def chroma_stft(
     n_chroma: int = 12,
     **kwargs: Any,
 ) -> jax.Array:
-    """Chromagram from a power STFT. Parity: feature/spectral.py:1137."""
+    """Chromagram from a power STFT: energy folded onto 12 pitch classes.
+
+    Projects ``|STFT|**2`` onto a chroma filterbank (behavior parity with
+    the reference ``feature/spectral.py:1137``).  With audio input and an
+    explicit ``tuning``, the whole chain — frame, window, DFT, power,
+    chroma projection — dispatches as one fused Pallas kernel on TPU.
+
+    Parameters
+    ----------
+    y, sr, S, n_fft, hop_length, win_length, window, center, pad_mode
+        signal or precomputed power spectrogram, and STFT controls
+    norm : float or None
+        column-wise normalization order (inf = max)
+    tuning : float or None
+        tuning deviation in fractions of a chroma bin; None estimates it
+    n_chroma : int > 0
+        number of chroma bins (12 = semitones)
+
+    Returns
+    -------
+    chromagram : jax.Array [shape=(..., n_chroma, t)]
+        normalized per-frame pitch-class energy
+
+    See Also
+    --------
+    chroma_cqt, chroma_cens, filters.chroma
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(261.63, duration=0.5))   # C4
+    >>> ch = np.asarray(lt.feature.chroma_stft(y=y, sr=22050, tuning=0.0))
+    >>> int(ch.mean(axis=1).argmax())                   # strongest class: C
+    0
+    """
     # Fused Pallas path when the full spectrogram isn't otherwise needed
     # (explicit tuning, audio input): |STFT|² · chroma in one kernel.
     if S is None and y is not None and tuning is not None:

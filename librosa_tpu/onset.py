@@ -247,7 +247,42 @@ def onset_detect(
 ) -> np.ndarray:
     """Locate note onset events by peak-picking the onset envelope.
 
-    Parity: onset.py:31 (including the ms-tuned peak-pick defaults).
+    Behavior parity with the reference ``onset.py:31``, including the
+    millisecond-tuned peak-pick defaults and optional energy backtracking.
+
+    Parameters
+    ----------
+    y, sr, onset_envelope, hop_length
+        signal (or precomputed envelope from ``onset_strength``) and hop
+    backtrack : bool
+        roll each detection back to the preceding energy minimum
+    energy : np.ndarray or None
+        energy curve for backtracking (defaults to the onset envelope)
+    units : 'frames', 'samples', or 'time'
+        output units
+    normalize : bool
+        max-normalize the envelope before picking
+    sparse : bool
+        sparse event indices (True) or a dense boolean mask (False)
+    **kwargs
+        overrides for ``util.peak_pick`` parameters
+
+    Returns
+    -------
+    onsets : np.ndarray
+        onset event locations in the requested units
+
+    See Also
+    --------
+    onset_strength, onset_backtrack, util.peak_pick
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.clicks(times=[0.2, 0.5, 0.9], sr=22050, length=22050))
+    >>> frames = lt.onset.onset_detect(y=y, sr=22050)
+    >>> len(frames)
+    3
     """
     if onset_envelope is None:
         if y is None:

@@ -211,10 +211,50 @@ def dtw(
     band_rad: float = 0.25,
     return_steps: bool = False,
 ):
-    """Dynamic time warping between two sequences (or a cost matrix).
+    """Dynamic time warping (DTW) between two feature sequences.
 
-    Parity: reference ``sequence.py:185`` — arbitrary step sets with
-    multiplicative/additive weights, Sakoe-Chiba band, subsequence mode.
+    Accumulates a cost matrix over admissible steps and backtracks the
+    optimal alignment path.  Behavior parity with the reference
+    ``sequence.py:185``: arbitrary step sets with multiplicative/additive
+    weights, Sakoe-Chiba global constraints, and subsequence mode.
+
+    Parameters
+    ----------
+    X, Y : np.ndarray [shape=(..., d, N)] / [shape=(..., d, M)]
+        feature sequences (mutually exclusive with ``C``)
+    C : np.ndarray [shape=(N, M)] or None
+        precomputed local cost matrix
+    metric : str
+        distance metric for ``C`` construction (scipy ``cdist``)
+    step_sizes_sigma : np.ndarray [shape=(n, 2)] or None
+        admissible steps; default ``[[1,1],[0,1],[1,0]]``
+    weights_add, weights_mul : np.ndarray or None
+        per-step additive/multiplicative penalties
+    subseq : bool
+        subsequence alignment (X may match anywhere inside Y)
+    backtrack : bool
+        also return the warping path
+    global_constraints : bool
+        apply a Sakoe-Chiba band of width ``band_rad * min(N, M)``
+    band_rad : float
+        relative band radius
+    return_steps : bool
+        also return the step matrix
+
+    Returns
+    -------
+    D : np.ndarray [shape=(N, M)]
+        accumulated cost matrix
+    wp : np.ndarray [shape=(L, 2)]
+        warping path in reverse order (only when ``backtrack``)
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> X = np.random.RandomState(0).randn(4, 20)
+    >>> D, wp = lt.sequence.dtw(X=X, Y=X)
+    >>> bool(np.all(wp[:, 0] == wp[:, 1]))   # self-alignment is diagonal
+    True
     """
     default_steps = np.array([[1, 1], [0, 1], [1, 0]], dtype=np.uint32)
     default_weights_add = np.zeros(3, dtype=np.float64)
@@ -527,11 +567,42 @@ def viterbi(
     return_logp: bool = False,
     transition_min_prob: Optional[float] = None,
 ):
-    """Viterbi decoding from observation likelihoods.
+    """Viterbi decoding: the most likely state sequence of a hidden Markov
+    model given per-frame observation likelihoods.
 
-    Parity: reference ``sequence.py:1280``.  Transition pruning
-    (``transition_min_prob``) is reproduced exactly by masking infeasible
-    transitions to -inf in the max-plus product.
+    Behavior parity with the reference ``sequence.py:1280``; on TPU the DP
+    runs as a ``lax.scan`` of max-plus matrix products (MXU-friendly
+    "tropical" algebra), and transition pruning (``transition_min_prob``)
+    is reproduced exactly by masking infeasible transitions to -inf.
+
+    Parameters
+    ----------
+    prob : np.ndarray [shape=(..., n_states, n_steps)]
+        observation likelihoods P(obs_t | state_s), non-negative
+    transition : np.ndarray [shape=(n_states, n_states)]
+        row-stochastic transition matrix
+    p_init : np.ndarray [shape=(n_states,)] or None
+        initial state distribution (uniform by default)
+    return_logp : bool
+        also return the log-probability of the decoded path
+    transition_min_prob : float or None
+        prune transitions below this probability
+
+    Returns
+    -------
+    states : np.ndarray [shape=(..., n_steps)]
+        decoded state indices (and ``logp`` if requested)
+
+    See Also
+    --------
+    viterbi_discriminative, viterbi_binary, transition_loop
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> prob = np.array([[0.9, 0.9, 0.1], [0.1, 0.1, 0.9]])
+    >>> lt.sequence.viterbi(prob, lt.sequence.transition_uniform(2)).tolist()
+    [0, 0, 1]
     """
     prob_np = np.asarray(prob)
     n_states, _ = prob_np.shape[-2:]
