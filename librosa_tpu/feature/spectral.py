@@ -796,11 +796,38 @@ def melspectrogram(
     power: float = 2.0,
     **kwargs: Any,
 ) -> jax.Array:
-    """Mel-scaled spectrogram ``(..., n_mels, t)``. Parity: feature/spectral.py:2022.
+    """Mel-scaled spectrogram.
 
-    On TPU this dispatches one fused Pallas program (frame → window →
-    Cooley-Tukey DFT → |·|² → mel, all in VMEM); elsewhere an XLA-fused
-    matmul pipeline.  Leading dims batch into the kernel grid.
+    ``|STFT|**power`` projected onto a mel filterbank (behavior parity with
+    the reference ``feature/spectral.py:2022``).  On TPU this dispatches one
+    fused Pallas program (frame → window → Cooley-Tukey DFT → |·|² → mel,
+    all in VMEM); elsewhere an XLA-fused matmul pipeline.  Leading
+    dimensions batch into the kernel grid.
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)] or None
+        audio input
+    sr : number > 0
+        sampling rate
+    S : spectrogram or None
+        precomputed power spectrogram (alternative to ``y``)
+    n_fft, hop_length, win_length, window, center, pad_mode
+        STFT controls, as in ``stft``
+    power : float > 0
+        magnitude exponent (2 = power, 1 = magnitude)
+    **kwargs
+        mel filterbank controls (``n_mels``, ``fmin``, ``fmax``, ``htk``,
+        ``norm`` — see ``filters.mel``)
+
+    Returns
+    -------
+    M : jax.Array [shape=(..., n_mels, t)]
+        mel spectrogram
+
+    See Also
+    --------
+    mfcc, filters.mel, librosa_tpu.stft
 
     Examples
     --------
@@ -885,11 +912,49 @@ def mfcc(
     mel_norm: Union[str, float, None] = "slaney",
     **kwargs: Any,
 ) -> jax.Array:
-    """Mel-frequency cepstral coefficients. Parity: feature/spectral.py:1843.
+    """Mel-frequency cepstral coefficients (MFCCs).
 
-    The DCT over the mel axis is a matmul against a host-precomputed DCT
-    matrix (``ops.transforms.dct_matrix``) — MXU-native, bit-matching
-    ``scipy.fft.dct``.
+    DCT-II (orthonormal) over a log-power mel spectrogram, with optional
+    cepstral liftering.  Behavior parity with the reference
+    ``feature/spectral.py:1843``; the DCT is a matmul against a
+    host-precomputed DCT matrix (``ops.transforms.dct_matrix``) —
+    MXU-native, bit-matching ``scipy.fft.dct``.
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array or None
+        audio input
+    sr : number > 0
+        sampling rate
+    S : np.ndarray or None
+        precomputed log-power mel spectrogram (alternative to ``y``)
+    n_mfcc : int > 0
+        number of coefficients to return
+    dct_type : {1, 2, 3}
+        DCT type
+    norm : 'ortho' or None
+        DCT normalization
+    lifter : float >= 0
+        cepstral liftering coefficient (0 = none)
+    mel_norm, **kwargs
+        forwarded to ``melspectrogram``
+
+    Returns
+    -------
+    M : jax.Array [shape=(..., n_mfcc, t)]
+        MFCC sequence
+
+    See Also
+    --------
+    melspectrogram, feature.inverse.mfcc_to_mel
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=1.0))
+    >>> m = lt.feature.mfcc(y=y, sr=22050, n_mfcc=13)
+    >>> m.shape
+    (13, 44)
     """
     if S is None:
         S = power_to_db(melspectrogram(y=y, sr=sr, norm=mel_norm, **kwargs))
