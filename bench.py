@@ -240,6 +240,65 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         secondary["cfg5_error"] = str(e)[:60]
 
+    # --- CPU-equivalent baselines for the secondary configs ---------------
+    # Same library code on the local CPU backend (jit-compiled, so this is
+    # a *strong* CPU baseline — multithreaded XLA, not single-core NumPy);
+    # the cfgN_vs_cpu ratios are the per-config speedups on the chip.
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            batch_c = jax.device_put(np.asarray(batch), cpu)
+            y30_c = jax.device_put(np.asarray(y30), cpu)
+            y5_c = jax.device_put(np.asarray(y30)[: SR * 5], cpu)
+
+            def cfg2_cpu():
+                m = lt.feature.mfcc(y=batch_c, sr=SR)
+                c = lt.feature.chroma_stft(y=batch_c, sr=SR, tuning=0.0)
+                s = lt.feature.spectral_centroid(y=batch_c, sr=SR)
+                return jnp.sum(m) + jnp.sum(c) + jnp.sum(s)
+
+            t = _timeit(cfg2_cpu, iters=2)
+            secondary["cfg2_cpu_Msps"] = round(batch_c.size / t / 1e6)
+
+            S30_c = jnp.abs(lt.stft(y30_c))
+
+            def cfg3_cpu():
+                yr = lt.resample(y30_c, orig_sr=SR, target_sr=16000,
+                                 res_type="polyphase")
+                g = lt.griffinlim(S30_c, n_iter=8)
+                return yr, g
+
+            secondary["cfg3_cpu_ms"] = round(_timeit(cfg3_cpu, iters=2) * 1000, 1)
+            secondary["cfg4_cpu_ms"] = round(
+                _timeit(
+                    lambda: (lt.cqt(y30_c, sr=SR, res_type="polyphase"),
+                             lt.effects.hpss(y30_c)[0]),
+                    iters=2,
+                ) * 1000, 1,
+            )
+
+            def cfg5_cpu():
+                t_, b_ = lt.beat.beat_track(y=y30_c, sr=SR)
+                f0 = lt.pyin(y5_c, fmin=65, fmax=800, sr=SR)[0]
+                return jnp.sum(f0)
+
+            secondary["cfg5_cpu_ms"] = round(_timeit(cfg5_cpu, iters=2) * 1000, 1)
+
+        for k, tpu_key in (("cfg3", "cfg3_resample_griffinlim_ms"),
+                           ("cfg4", "cfg4_cqt_hpss_ms"),
+                           ("cfg5", "cfg5_beat_pyin_ms")):
+            if f"{k}_cpu_ms" in secondary and tpu_key in secondary:
+                secondary[f"{k}_vs_cpu"] = round(
+                    secondary[f"{k}_cpu_ms"] / max(secondary[tpu_key], 1e-9), 2
+                )
+        if "cfg2_cpu_Msps" in secondary and "cfg2_feature_stack_Msps" in secondary:
+            secondary["cfg2_vs_cpu"] = round(
+                secondary["cfg2_feature_stack_Msps"]
+                / max(secondary["cfg2_cpu_Msps"], 1e-9), 2,
+            )
+    except Exception as e:  # pragma: no cover
+        secondary["cpu_baseline_error"] = str(e)[:60]
+
     result = {
         "metric": "audio samples/s/chip for STFT+mel (n_fft=2048, hop=512)",
         "value": round(samples_per_s),

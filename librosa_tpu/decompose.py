@@ -232,6 +232,23 @@ def nn_filter(
         )
 
     Sw = S.swapaxes(0, axis)
+
+    if aggregate in (np.mean, np.average):
+        # Mean/weighted-mean aggregation IS a normalized sparse matmul
+        # (reference blocks the same product, decompose.py:550): one
+        # CSR×dense product instead of a per-column Python loop.
+        W = rec_s.T.tocsr().astype(np.float64)
+        if aggregate is np.mean:
+            W = W.copy()
+            W.data[:] = 1.0
+        row_sums = np.asarray(W.sum(axis=1)).ravel()
+        flat = Sw.reshape(Sw.shape[0], -1)
+        out = W @ flat
+        nonempty = row_sums > 0
+        out[nonempty] /= row_sums[nonempty, None]
+        out[~nonempty] = flat[~nonempty]
+        return out.reshape(Sw.shape).astype(S.dtype).swapaxes(0, axis)
+
     s_out = np.empty_like(Sw)
     data, indices, indptr = rec_s.data, rec_s.indices, rec_s.indptr
     for i in range(len(indptr) - 1):
@@ -240,9 +257,5 @@ def nn_filter(
             s_out[i] = Sw[i]
             continue
         neighbors = np.take(Sw, targets, axis=0)
-        if aggregate is np.average:
-            weights = data[indptr[i] : indptr[i + 1]]
-            s_out[i] = aggregate(neighbors, axis=0, weights=weights)
-        else:
-            s_out[i] = aggregate(neighbors, axis=0)
+        s_out[i] = aggregate(neighbors, axis=0)
     return s_out.swapaxes(0, axis)
