@@ -743,7 +743,18 @@ def autocorrelate(
         max_size = y.shape[axis]
     max_size = int(min(max_size, y.shape[axis]))
 
-    n_pad = _next_fast_len(2 * y.shape[axis] - 1)
+    # Linear autocorrelation is padding-size-agnostic for any n_pad ≥ 2n−1.
+    # On TPU (matmul FFT backend) non-power-of-two FFTs lower to enormous
+    # dense-DFT programs — a tempogram-sized fused graph took minutes of
+    # remote compile — so pad to a power of two there; the CPU path keeps
+    # the reference's 5-smooth next_fast_len rounding.
+    from ..ops.fft import _resolved_backend
+
+    n_min = 2 * y.shape[axis] - 1
+    if _resolved_backend() == "matmul":
+        n_pad = 1 << (n_min - 1).bit_length()
+    else:
+        n_pad = _next_fast_len(n_min)
 
     if jnp.issubdtype(y.dtype, jnp.complexfloating):
         powspec = util.abs2(jnp.fft.fft(y, n=n_pad, axis=axis))

@@ -83,11 +83,16 @@ def onset_strength_multi(
 
     # Fully-fused default path: mel → dB → flux → aggregate → pad in one
     # program (the per-op dispatch chain dominates on remote TPU links).
+    _agg_name = (
+        "mean" if aggregate is jnp.mean or aggregate is np.mean
+        else "median" if aggregate is jnp.median or aggregate is np.median
+        else None
+    )
     if (
         S is None
         and y is not None
         and feature is melspectrogram
-        and aggregate is jnp.mean
+        and _agg_name is not None
         and ref is None
         and channels is None
         and not detrend
@@ -97,6 +102,7 @@ def onset_strength_multi(
             jnp.asarray(y), sr=float(sr), n_fft=n_fft,
             hop_length=hop_length, lag=lag, max_size=max_size,
             center=bool(center), fmax=float(kwargs["fmax"]),
+            aggregate=_agg_name,
         )
 
     if S is None:
@@ -177,10 +183,11 @@ def onset_strength_multi(
 @functools.partial(
     jax.jit,
     static_argnames=("sr", "n_fft", "hop_length", "lag", "max_size",
-                     "center", "fmax"),
+                     "center", "fmax", "aggregate"),
 )
 def _onset_strength_default(
-    y, *, sr, n_fft, hop_length, lag, max_size, center, fmax
+    y, *, sr, n_fft, hop_length, lag, max_size, center, fmax,
+    aggregate="mean",
 ):
     """Default-config onset_strength as ONE program."""
     S = jnp.abs(
@@ -206,7 +213,10 @@ def _onset_strength_default(
         )
 
     onset_env = jnp.maximum(0.0, S[..., lag:] - ref_arr[..., :-lag])
-    onset_env = jnp.mean(onset_env, axis=-2, keepdims=True)
+    if aggregate == "median":
+        onset_env = jnp.median(onset_env, axis=-2, keepdims=True)
+    else:
+        onset_env = jnp.mean(onset_env, axis=-2, keepdims=True)
 
     pad_width = lag
     if center:

@@ -54,7 +54,18 @@ def get_stft_backend() -> str:
 def _resolved_backend() -> str:
     if _BACKEND != "auto":
         return _BACKEND
-    platform = jax.default_backend()
+    # honor an active jax.default_device(...) override (e.g. CPU-baseline
+    # runs inside a TPU process) — computations place there, so backend
+    # selection must follow it, not the process-level default platform
+    platform = None
+    try:
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            platform = dev.platform
+    except Exception:
+        pass
+    if platform is None:
+        platform = jax.default_backend()
     return "matmul" if platform in ("tpu", "axon") else "fft"
 
 
