@@ -728,3 +728,135 @@ def _(L, s):
     X = np.abs(s["feat_noise"]).astype(np.float64)
     Sp = L.util.sparsify_rows(X, quantile=0.2)
     return _np({"dense": np.asarray(Sp.todense())})
+
+
+# ---- notation / string conversions ----------------------------------------
+
+@case("notation", rtol=0, atol=0)
+def _(L, s):
+    def U(strings):
+        return np.asarray(strings, dtype="U16")
+
+    return {
+        "key_cmaj": U(L.key_to_notes("C:maj")),
+        "key_asmin": U(L.key_to_notes("A#:min")),
+        "key_fbmin": U(L.key_to_notes("Fb:min")),
+        "key_gloc": U(L.key_to_notes("G:loc", natural=True)),
+        "deg_dmaj": np.asarray(L.key_to_degrees("D:maj")),
+        "deg_emin": np.asarray(L.key_to_degrees("E:min")),
+        "mela_15": np.asarray(L.mela_to_degrees(15)),
+        "thaat": np.asarray(L.thaat_to_degrees("bhairav")),
+        "svara_m": U(L.mela_to_svara(1)),
+        "fifths": U([L.fifths_to_note(unison="C", fifths=k) for k in range(-7, 8)]),
+    }
+
+
+@case("convert_notes", rtol=1e-9, atol=1e-12)
+def _(L, s):
+    notes = ["C1", "E3", "G#4", "Bb5", "F#7"]
+    midis = np.array([24.0, 52.0, 68.5, 82.0, 102.25])
+    return {
+        "n2m": np.asarray(L.note_to_midi(notes)),
+        "n2h": np.asarray(L.note_to_hz(notes)),
+        "m2n": np.asarray(L.midi_to_note(midis), dtype="U8"),
+        "h2n": np.asarray(
+            L.hz_to_note(np.array([55.0, 261.6, 1244.5])), dtype="U8"
+        ),
+        "m2s": np.asarray(
+            L.midi_to_svara_h(np.arange(60, 72), Sa=60), dtype="U8"
+        ),
+        "a4t": np.atleast_1d(L.A4_to_tuning(442.0)),
+        "t2a": np.atleast_1d(L.tuning_to_A4(0.25)),
+    }
+
+
+# ---- more segment / effects / rhythm --------------------------------------
+
+@case("segment_cluster", rtol=0, atol=0)
+def _(L, s):
+    X = np.asarray(L.feature.mfcc(y=s["chirp"], sr=SR)).astype(np.float64)
+    return _np({
+        "agg": L.segment.agglomerative(X, 6),
+        "sub": L.segment.subsegment(
+            X, np.array([0, 20, 45, 70], dtype=int), n_segments=2
+        ),
+    })
+
+
+@case("remix_effect", compare=_snr_compare(80))
+def _(L, s):
+    iv = np.array([[0, 4096], [8192, 12288], [4096, 8192]])
+    return _np({
+        "plain": L.effects.remix(s["chirp"], intervals=iv, align_zeros=False),
+        "zc": L.effects.remix(s["chirp"], intervals=iv, align_zeros=True),
+    })
+
+
+@case("rhythm_extras", compare=_snr_compare(45))
+def _(L, s):
+    oenv = np.asarray(
+        L.onset.onset_strength(y=s["pulse"], sr=SR)
+    ).astype(np.float32)
+    return _np({
+        "hybrid": np.nan_to_num(np.asarray(L.feature.hybrid_tempogram(
+            onset_envelope=oenv, sr=SR))),
+        "metro": np.nan_to_num(np.asarray(L.feature.metrogram(
+            tg=np.asarray(L.feature.tempogram(onset_envelope=oenv, sr=SR)),
+            freqs=np.asarray(L.tempo_frequencies(384, sr=SR, hop_length=512)),
+        ))),
+    })
+
+
+@case("onset_backtrack", rtol=0, atol=0)
+def _(L, s):
+    env = np.asarray(L.onset.onset_strength(y=s["clicks"], sr=SR))
+    frames = np.asarray(L.onset.onset_detect(
+        y=s["clicks"], sr=SR, backtrack=False))
+    return {
+        "bt": np.asarray(L.onset.onset_backtrack(frames, env)),
+    }
+
+
+@case("util_more", rtol=1e-6, atol=1e-8)
+def _(L, s):
+    X = s["feat_noise"].astype(np.float64)
+    return _np({
+        "frame": L.util.frame(s["tone"][:1000], frame_length=256, hop_length=128),
+        "pad_center": L.util.pad_center(np.arange(5, dtype=float), size=11),
+        "fix_length": L.util.fix_length(np.arange(7, dtype=float), size=10),
+        "fix_frames": L.util.fix_frames(np.array([1, 5, 5, 200]), x_min=0, x_max=100),
+        "expand_to": L.util.expand_to(np.arange(3, dtype=float), ndim=3, axes=1),
+        "index_to_slice": np.concatenate([
+            np.array([sl.start, sl.stop]) for sl in
+            L.util.index_to_slice(np.array([2, 5, 9]), idx_max=12)
+        ]),
+        "softmask_split": L.util.softmask(
+            np.zeros((3, 3)), np.zeros((3, 3)), split_zeros=True),
+        "cyclic_gradient": L.util.cyclic_gradient(np.sin(np.linspace(0, 2*np.pi, 32, endpoint=False))),
+        "count_unique": np.asarray(
+            [L.util.count_unique(np.array([1.0, 1.0, 2.0, 3.0]))]),
+        "abs2": L.util.abs2(np.array([3.0 + 4.0j, 1.0 - 1.0j])),
+        "phasor_mag": L.util.phasor(np.array([0.0, np.pi / 2]), mag=np.array([2.0, 3.0])),
+    })
+
+
+@case("stream_blocks", rtol=0, atol=0)
+def _(L, s):
+    # blocks arithmetic (no file IO): block/frame/sample conversions
+    blocks = np.arange(5)
+    return _np({
+        "b2f": L.blocks_to_frames(blocks, block_length=16),
+        "b2s": L.blocks_to_samples(blocks, block_length=16, hop_length=512),
+        "b2t": L.blocks_to_time(blocks, block_length=16, hop_length=512, sr=SR),
+        "samples_like": L.samples_like(np.zeros((5, 10)), hop_length=512),
+        "times_like": L.times_like(np.zeros(10), sr=SR, hop_length=512),
+    })
+
+
+@case("lpc_burg_noise", compare=_snr_compare(60))
+def _(L, s):
+    # well-conditioned LPC across orders
+    return _np({
+        "o4": L.lpc(s["noise"][:4096], order=4),
+        "o16": L.lpc(s["noise"][:4096], order=16),
+    })
