@@ -454,7 +454,26 @@ def plp(
     tempo_max: Optional[float] = 300,
     prior: Optional[Any] = None,
 ) -> jax.Array:
-    """Predominant local pulse estimation. Parity: beat.py:320."""
+    """Predominant local pulse (PLP) estimation.
+
+    Fourier tempogram → per-frame dominant-tempo phase → windowed sinusoid
+    overlap-add, half-wave rectified [Grosche & Mueller 2011] (behavior
+    parity with the reference ``beat.py:320``).
+
+    Parameters
+    ----------
+    y, sr, onset_envelope, hop_length, win_length
+        signal (or precomputed envelope) and tempogram geometry
+    tempo_min, tempo_max : float or None
+        restrict the tempo search band
+    prior : distribution or None
+        tempo prior
+
+    Returns
+    -------
+    pulse : jax.Array [shape=(..., t)]
+        the pulse curve (local maxima are beat candidates)
+    """
     if onset_envelope is None:
         onset_envelope = onset.onset_strength(
             y=y, sr=sr, hop_length=hop_length, aggregate=jnp.median

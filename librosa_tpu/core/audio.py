@@ -143,12 +143,36 @@ def stream(
 ) -> Generator[np.ndarray, None, None]:
     """Stream audio in fixed-length overlapping blocks.
 
-    Parity: core/audio.py:223 — yields blocks of
-    ``(block_length-1)*hop_length + frame_length`` samples advancing by
+    Behavior parity with the reference ``core/audio.py:223``: yields blocks
+    of ``(block_length-1)*hop_length + frame_length`` samples advancing by
     ``block_length*hop_length``; the ``frame_length - hop_length`` overlap is
     carried between blocks so framewise analyses (``center=False``) tile
     seamlessly.  This is also the legality model for the time-sharded device
     path (``librosa_tpu.parallel``).
+
+    Parameters
+    ----------
+    path : str, Path, or file-like
+        audio file
+    block_length : int > 0
+        number of frames per block
+    frame_length, hop_length : int > 0
+        frame geometry of the downstream analysis
+    sr : number > 0 or None
+        target rate (soxr modes only); None keeps native
+    mono : bool
+        downmix to mono
+    offset, duration : float
+        region to stream (seconds)
+    fill_value : float or None
+        pad the final block to full size with this value
+    dtype : numeric dtype
+        block dtype
+
+    Yields
+    ------
+    block : np.ndarray
+        overlapping signal blocks
     """
     if not util.is_positive_int(block_length):
         raise ParameterError(f"block_length={block_length} must be a positive integer")
@@ -623,21 +647,49 @@ def resample(
     axis: int = -1,
     **kwargs: Any,
 ) -> jax.Array:
-    """Resample a time series from orig_sr to target_sr.
+    """Resample a time series from ``orig_sr`` to ``target_sr``.
 
-    Parity: core/audio.py:1002.  Modes:
+    Behavior parity with the reference ``core/audio.py:1002``; every mode of
+    the reference dispatch is supported, most as device kernels.
 
-    - ``'polyphase'`` — TPU-native strided FIR conv (scipy resample_poly parity)
-    - ``'fft'``/``'scipy'`` — device Fourier resampling
-    - ``'soxr_*'`` — host libsoxr (reference default; SNR-bounded parity);
-      falls back to the device polyphase resampler when libsoxr is absent
-      *and* the rates are rational
-    - ``'kaiser_best'``/``'kaiser_fast'`` — device windowed-sinc polyphase
-      approximations of resampy's modes
-    - ``'linear'``/``'zero_order_hold'`` — device gather interpolation
-      (non-bandlimited; `samplerate` converter parity, SNR-bounded)
-    - ``'sinc_best'``/``'sinc_medium'``/``'sinc_fastest'`` — device
-      continuous windowed-sinc interpolation at arbitrary ratios
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)]
+        input signal(s)
+    orig_sr, target_sr : number > 0
+        source and target sampling rates
+    res_type : str
+        - ``'polyphase'`` — TPU-native strided FIR conv on the MXU
+          (``scipy.signal.resample_poly`` parity; integer rates only)
+        - ``'fft'``/``'scipy'`` — Fourier resampling (composite-length
+          Cooley-Tukey matmul FFT on TPU)
+        - ``'soxr_hq/vhq/mq/lq/qq'`` — host libsoxr (reference default)
+        - ``'kaiser_best'``/``'kaiser_fast'`` — windowed-sinc polyphase
+        - ``'linear'``/``'zero_order_hold'`` — device gather interpolation
+          (non-bandlimited), arbitrary ratios
+        - ``'sinc_best/medium/fastest'`` — continuous windowed-sinc
+          interpolation at arbitrary ratios
+    fix : bool
+        trim/pad the output to exactly ``ceil(n * target_sr / orig_sr)``
+    scale : bool
+        rescale so input and output have approximately equal energy
+    axis : int
+        axis to resample along
+    **kwargs
+        forwarded to ``util.fix_length`` when ``fix``
+
+    Returns
+    -------
+    y_hat : jax.Array
+        the resampled signal
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(440, duration=1.0))
+    >>> lt.resample(y, orig_sr=22050, target_sr=11025,
+    ...             res_type='polyphase').shape[-1]
+    11025
     """
     if orig_sr <= 0 or target_sr <= 0:
         raise ParameterError(
@@ -737,7 +789,27 @@ def _next_fast_len(n: int) -> int:
 def autocorrelate(
     y: Any, *, max_size: Optional[int] = None, axis: int = -1
 ) -> jax.Array:
-    """Bounded-lag auto-correlation via rFFT. Parity: core/audio.py:1320."""
+    """Bounded-lag autocorrelation via the Wiener-Khinchin theorem.
+
+    ``irfft(|rfft(y)|**2)`` truncated to ``max_size`` lags (behavior parity
+    with the reference ``core/audio.py:1320``).  On TPU the transform pads to
+    a power of two (linear autocorrelation is padding-size-agnostic and
+    non-pow2 FFTs lower poorly); CPU keeps the reference's 5-smooth padding.
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array
+        input (real or complex)
+    max_size : int or None
+        number of lags to keep (default: full)
+    axis : int
+        correlation axis
+
+    Returns
+    -------
+    ac : jax.Array
+        autocorrelation, ``ac[..., 0]`` is the total energy
+    """
     y = jnp.asarray(y)
     if max_size is None:
         max_size = y.shape[axis]
@@ -836,7 +908,26 @@ def _lpc_burg(y: jax.Array, *, order: int) -> jax.Array:
 
 
 def lpc(y: Any, *, order: int, axis: int = -1) -> jax.Array:
-    """Linear prediction coefficients via Burg's method. Parity: core/audio.py:1397."""
+    """Linear prediction coefficients via Burg's method.
+
+    Behavior parity with the reference ``core/audio.py:1397``; the
+    order-sequential recursion runs as a ``lax`` loop, batched over all
+    leading dimensions.
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)]
+        input signal(s)
+    order : int > 0
+        LPC order
+    axis : int
+        time axis
+
+    Returns
+    -------
+    a : jax.Array [shape=(..., order + 1)]
+        prediction filter coefficients, ``a[..., 0] == 1``
+    """
     if not util.is_positive_int(order):
         raise ParameterError(f"order={order} must be an integer > 0")
     y = jnp.asarray(y)
@@ -861,9 +952,31 @@ def zero_crossings(
     zero_pos: bool = True,
     axis: int = -1,
 ) -> jax.Array:
-    """Find zero crossings of a signal. Parity: core/audio.py:1621.
+    """Find sign-change positions in a signal.
 
-    Shift-compare formulation of the reference's 1-pt lookback stencil.
+    Behavior parity with the reference ``core/audio.py:1621`` (threshold
+    clamping, ``zero_pos`` sign convention, optional axis) as a shift-compare
+    instead of the reference's numba stencil.
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array
+        input signal
+    threshold : float >= 0 or None
+        magnitudes below this count as zero
+    ref_magnitude : float or callable
+        scale for ``threshold``
+    pad : bool
+        mark position 0 as a crossing
+    zero_pos : bool
+        treat 0 as positive-signed
+    axis : int
+        analysis axis
+
+    Returns
+    -------
+    crossings : jax.Array [bool]
+        crossing indicator per sample
     """
     y = jnp.asarray(y)
     if threshold is None:
@@ -904,7 +1017,26 @@ def clicks(
     click: Optional[np.ndarray] = None,
     length: Optional[int] = None,
 ) -> np.ndarray:
-    """Construct a click track (host synthesis). Parity: core/audio.py:1731."""
+    """Synthesize a click track at given times or frames.
+
+    Parity: core/audio.py:1731 (default 1 kHz, 100 ms exponentially-decaying
+    clicks; custom click waveforms supported).
+
+    Parameters
+    ----------
+    times, frames : array or None
+        click positions (seconds, or frames with ``hop_length``)
+    sr, hop_length
+        timing parameters
+    click_freq, click_duration, click : click shape controls
+    length : int or None
+        total output length
+
+    Returns
+    -------
+    y : jax.Array
+        the click signal
+    """
     if times is None:
         if frames is None:
             raise ParameterError('either "times" or "frames" must be provided')
@@ -952,7 +1084,28 @@ def tone(
     duration: Optional[float] = None,
     phi: Optional[float] = None,
 ) -> np.ndarray:
-    """Construct a pure tone. Parity: core/audio.py:1868."""
+    """Synthesize a pure sinusoid.
+
+    Parity: core/audio.py:1868.
+
+    Parameters
+    ----------
+    frequency : float > 0
+        tone frequency in Hz
+    sr : number > 0
+        sampling rate
+    length : int or None
+        output length in samples (alternative to ``duration``)
+    duration : float or None
+        output length in seconds
+    phi : float or None
+        initial phase (default ``-pi/2`` so the tone starts at 0)
+
+    Returns
+    -------
+    y : jax.Array [shape=(length,)]
+        the synthesized tone
+    """
     if frequency is None:
         raise ParameterError('"frequency" must be provided')
     if length is None:
@@ -974,7 +1127,28 @@ def chirp(
     linear: bool = False,
     phi: Optional[float] = None,
 ) -> np.ndarray:
-    """Construct a chirp (sine sweep). Parity: core/audio.py:1940."""
+    """Synthesize a frequency sweep (chirp).
+
+    Parity: core/audio.py:1940 (linear or logarithmic sweep).
+
+    Parameters
+    ----------
+    fmin, fmax : float > 0
+        start and end frequencies in Hz
+    sr : number > 0
+        sampling rate
+    length : int or None / duration : float or None
+        output length (samples or seconds)
+    linear : bool
+        linear sweep instead of the default logarithmic
+    phi : float or None
+        initial phase
+
+    Returns
+    -------
+    y : jax.Array
+        the synthesized chirp
+    """
     import scipy.signal
 
     if fmin is None or fmax is None:
@@ -1004,7 +1178,25 @@ def chirp(
 
 
 def mu_compress(x: Any, *, mu: float = 255, quantize: bool = True) -> jax.Array:
-    """mu-law compression. Parity: core/audio.py:2055."""
+    """mu-law compress a signal in [-1, 1].
+
+    Parity: core/audio.py:2055; with ``quantize`` the output is integer
+    codes in ``[-2**(b-1), 2**(b-1))``.
+
+    Parameters
+    ----------
+    x : array
+        input in [-1, 1]
+    mu : number > 0
+        compander parameter (255 = 8-bit standard)
+    quantize : bool
+        discretize the output
+
+    Returns
+    -------
+    x_comp : jax.Array
+        compressed (possibly quantized) signal
+    """
     if mu <= 0:
         raise ParameterError(
             f"mu-law compression parameter mu={mu} must be strictly positive."
@@ -1026,7 +1218,25 @@ def mu_compress(x: Any, *, mu: float = 255, quantize: bool = True) -> jax.Array:
 
 
 def mu_expand(x: Any, *, mu: float = 255, quantize: bool = True) -> jax.Array:
-    """mu-law expansion (inverse of mu_compress). Parity: core/audio.py:2151."""
+    """Invert mu-law compression.
+
+    Parity: core/audio.py:2151; ``quantize=True`` expects integer codes from
+    ``mu_compress(..., quantize=True)``.
+
+    Parameters
+    ----------
+    x : array
+        compressed signal
+    mu : number > 0
+        compander parameter
+    quantize : bool
+        input is quantized codes
+
+    Returns
+    -------
+    x_exp : jax.Array
+        expanded signal in [-1, 1]
+    """
     if mu <= 0:
         raise ParameterError(
             f"Inverse mu-law compression parameter mu={mu} must be strictly positive."

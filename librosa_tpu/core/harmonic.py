@@ -57,10 +57,26 @@ def interp_harmonics(
     fill_value: float = 0,
     axis: int = -2,
 ) -> jax.Array:
-    """Compute the energy at harmonics of a spectrum.
+    """Resample a spectrum at integer-multiple (harmonic) frequencies.
 
-    Parity: core/harmonic.py:146 — returns shape with a new leading
-    harmonics axis at position ``axis - 1``.
+    ``out[h, f, t] = S(harmonics[h] * freqs[f], t)`` by interpolation along
+    the frequency axis (behavior parity with the reference
+    ``core/harmonic.py:146``; supports 2-D time-varying ``freqs``).
+
+    Parameters
+    ----------
+    x : spectrogram
+    freqs : 1-D or 2-D bin frequencies
+    harmonics : iterable of float
+    kind : str
+        interpolation kind
+    fill_value : float
+    axis : int
+        frequency axis
+
+    Returns
+    -------
+    x_harm : jax.Array [shape=(..., len(harmonics), f, t)]
     """
     x = jnp.asarray(x)
     freqs = np.asarray(freqs)
@@ -147,7 +163,34 @@ def salience(
     kind: str = "linear",
     axis: int = -2,
 ) -> jax.Array:
-    """Harmonic salience: weighted sum over harmonics. Parity: core/harmonic.py:25."""
+    """Harmonic salience: weighted sum of a spectrogram over harmonics.
+
+    ``sum_h weights[h] * S(h * freq)`` via harmonic interpolation (behavior
+    parity with the reference ``core/harmonic.py:25``).
+
+    Parameters
+    ----------
+    S : spectrogram
+    freqs : bin frequencies (1-D, or 2-D time-varying)
+    harmonics : iterable of float
+        harmonic ratios
+    weights : iterable or None
+        per-harmonic weights
+    aggregate : callable or None
+        harmonic aggregation (default weighted average)
+    filter_peaks : bool
+        zero non-peak bins first
+    fill_value : float
+        value for out-of-range/filtered bins
+    kind : str
+        interpolation kind
+    axis : int
+        frequency axis
+
+    Returns
+    -------
+    salience : jax.Array, same shape as ``S``
+    """
     if aggregate is None:
         aggregate = np.average
 
@@ -198,10 +241,22 @@ def f0_harmonics(
     fill_value: float = 0,
     axis: int = -2,
 ) -> jax.Array:
-    """Energy at multiples of a (time-varying) fundamental.
+    """Sample a spectrogram at harmonics of a time-varying f0 track.
 
-    Parity: core/harmonic.py:315 — per-frame interpolation at
-    ``f0[t] * harmonics``, non-finite frequencies excluded.
+    Parity: core/harmonic.py:315.
+
+    Parameters
+    ----------
+    x : spectrogram
+    f0 : per-frame fundamental frequencies
+    freqs : bin frequencies
+    harmonics : iterable of float
+    kind, fill_value, axis
+        interpolation controls
+
+    Returns
+    -------
+    f0_harm : jax.Array [shape=(..., len(harmonics), t)]
     """
     x = jnp.asarray(x)
     freqs_np = np.asarray(freqs, dtype=float)

@@ -429,9 +429,23 @@ def istft(
 
 
 def magphase(D: Any, *, power: float = 1) -> Tuple[jax.Array, jax.Array]:
-    """Separate a spectrogram into magnitude**power and phase components.
+    """Separate a complex spectrogram into magnitude**power and phase.
 
-    Parity: core/spectrum.py:1296.
+    Parity: core/spectrum.py:1296 — ``D = S * P`` with ``S = |D|**power`` and
+    ``P = exp(1j * angle(D))``.
+
+    Parameters
+    ----------
+    D : complex spectrogram
+    power : float
+        magnitude exponent
+
+    Returns
+    -------
+    S : jax.Array
+        magnitude (to ``power``)
+    P : jax.Array [complex]
+        unit-magnitude phasor
     """
     D = jnp.asarray(D)
     mag = jnp.abs(D)
@@ -683,7 +697,27 @@ def amplitude_to_db(
     top_db: Optional[float] = 80.0,
     axes: Any = "auto",
 ) -> jax.Array:
-    """Convert an amplitude spectrogram to dB. Parity: core/spectrum.py:1946."""
+    """Convert an amplitude (magnitude) spectrogram to dB.
+
+    ``20 * log10(S / ref)``, equivalent to ``power_to_db(S**2)`` (behavior
+    parity with the reference ``core/spectrum.py:1946``).
+
+    Parameters
+    ----------
+    S : non-negative spectrogram
+    ref : scalar or callable
+        amplitude reference
+    amin : float > 0
+        magnitude floor
+    top_db : float or None
+        dynamic-range clamp below the peak
+    axes : 'auto', None, or tuple
+        reduction axes for callable ``ref``/peak
+
+    Returns
+    -------
+    S_db : jax.Array
+    """
     S = jnp.asarray(S)
     if jnp.issubdtype(S.dtype, jnp.complexfloating):
         warnings.warn(

@@ -115,7 +115,31 @@ def reassigned_spectrogram(
     dtype: Any = None,
     pad_mode: str = "constant",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Time-frequency reassigned spectrogram. Parity: spectrum.py:990."""
+    """Time-frequency reassigned spectrogram.
+
+    Sharpens the STFT by relocating each bin's energy to its instantaneous
+    frequency and group delay, computed from auxiliary window transforms
+    (behavior parity with the reference ``core/spectrum.py:990``).
+
+    Parameters
+    ----------
+    y : input signal
+    sr, S, n_fft, hop_length, win_length, window, center, pad_mode, dtype
+        STFT controls
+    reassign_frequencies, reassign_times : bool
+        which coordinates to reassign
+    ref_power : float >= 0 or callable
+        bins below this power get NaN coordinates
+    fill_nan : bool
+        replace NaNs with the un-reassigned coordinates
+    clip : bool
+        clamp reassigned coordinates into the spectrogram range
+
+    Returns
+    -------
+    freqs, times, mags : jax.Array
+        reassigned frequencies (Hz), times (s), and magnitudes
+    """
     if not callable(ref_power) and ref_power < 0:
         raise ParameterError("ref_power must be non-negative or callable.")
     if not reassign_frequencies and not reassign_times:
@@ -205,9 +229,32 @@ def fmt(
     over_sample: float = 1,
     axis: int = -1,
 ) -> jax.Array:
-    """Fast Mellin transform: exponential resample + window + rFFT.
+    """Fast Mellin transform (scale-invariant magnitude transform).
 
-    Parity: spectrum.py:2156.
+    Parity: core/spectrum.py:2156 — exponential time resampling, windowing,
+    then an FFT; the magnitude is invariant to time-scale changes of the
+    input [De Sena & Rocchesso 2007].
+
+    Parameters
+    ----------
+    y : input signal
+    t_min : float > 0
+        lower time bound of the exponential grid
+    n_fmt : int or None
+        transform length
+    kind : str
+        interpolation kind for the exponential resample
+    beta : float
+        Mellin parameter (0.5 = scale transform)
+    over_sample : float
+        oversampling factor
+    axis : int
+        analysis axis
+
+    Returns
+    -------
+    x_fmt : jax.Array [complex]
+        the Mellin spectrum
     """
     import scipy.interpolate
 
@@ -270,11 +317,28 @@ def iirt(
     res_type: str = "soxr_hq",
     **kwargs: Any,
 ) -> jax.Array:
-    """Time-frequency representation via a multirate IIR semitone filterbank.
+    """Multirate IIR semitone filterbank spectrogram.
 
-    Parity: spectrum.py:1522 — per-band filtfilt at three sample rates,
-    floating-hop energy framing.  IIR filtering runs host-side (scipy
-    zero-phase filtfilt); the per-band energy framing is device work.
+    Parity: core/spectrum.py:1522 — an elliptic semitone filterbank applied
+    with forward-backward (``filtfilt``) filtering at three sample rates,
+    per-band energies framed with fractional hop accumulation [Mueller 2015].
+
+    Parameters
+    ----------
+    y : input signal
+    sr, win_length, hop_length, center, pad_mode
+        analysis controls
+    tuning : float
+        filterbank tuning offset
+    res_type : str
+        resampling mode for the multirate ladder
+    flayout : 'sos' or 'ba'
+        filter layout
+
+    Returns
+    -------
+    bands_power : jax.Array [shape=(..., 85, t)]
+        short-time mean-square power per semitone band
     """
     import scipy.signal
 

@@ -34,10 +34,30 @@ def decompose(
     fit: bool = True,
     **kwargs: Any,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Decompose S into components and activations (default: sklearn NMF).
+    """Decompose a spectrogram into components × activations.
 
-    Parity: decompose.py:32.  ``transformer="mu"`` selects the TPU-native
-    multiplicative-update NMF (jit-compiled MXU matmuls).
+    Non-negative matrix factorization (sklearn ``NMF``) or any object with a
+    ``fit_transform``/``components_`` interface; optional component sorting
+    by peak frequency.  Parity: decompose.py:32.
+
+    Parameters
+    ----------
+    S : np.ndarray [shape=(..., n_features, n_samples)]
+        input spectrogram (non-negative for NMF)
+    n_components : int or None
+        number of components
+    transformer : sklearn-like or None
+        decomposition object (default NMF)
+    sort : bool
+        sort components by ascending peak frequency
+    fit : bool
+        fit the transformer (False = use a pre-fit one)
+    **kwargs : forwarded to the transformer constructor
+
+    Returns
+    -------
+    components : np.ndarray [shape=(n_features, n_components)]
+    activations : np.ndarray [shape=(n_components, n_samples)]
     """
     S = np.asarray(S)
     orig_shape = list(S.shape)
@@ -203,10 +223,29 @@ def nn_filter(
     axis: int = -1,
     **kwargs: Any,
 ) -> np.ndarray:
-    """Filter by nearest-neighbor aggregation (recurrence-weighted averaging).
+    """Nearest-neighbor filtering: average each frame with its graph
+    neighbors.
 
-    Parity: decompose.py:409.  The aggregation is a sparse matmul over small
-    recurrence graphs; runs host-side on the CSC structure.
+    With the default recurrence graph this is a non-local means filter over
+    self-similar frames [Buades et al.; suppressing transient noise].
+    Behavior parity with the reference ``decompose.py:409``; mean/weighted
+    aggregation runs as one normalized sparse matmul.
+
+    Parameters
+    ----------
+    S : np.ndarray
+        feature matrix
+    rec : sparse or dense matrix or None
+        neighbor graph (default: ``segment.recurrence_matrix`` of ``S``)
+    aggregate : callable
+        neighbor aggregation (mean, average, median, ...)
+    axis : int
+        frame axis
+    **kwargs : forwarded to ``recurrence_matrix``
+
+    Returns
+    -------
+    S_filtered : np.ndarray, same shape as ``S``
     """
     if aggregate is None:
         aggregate = np.mean

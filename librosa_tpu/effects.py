@@ -136,12 +136,38 @@ def hpss(y: Any, **kwargs: Any) -> Tuple[jax.Array, jax.Array]:
 
 
 def harmonic(y: Any, **kwargs: Any) -> jax.Array:
-    """Extract harmonic elements. Parity: effects.py:198."""
+    """Extract the harmonic component of an audio signal.
+
+    ``istft(harmonic_mask * stft(y))`` in one fused program; see
+    ``effects.hpss`` (parity: effects.py:198).
+
+    Parameters
+    ----------
+    y : input signal
+    **kwargs : forwarded to ``decompose.hpss``
+
+    Returns
+    -------
+    y_harmonic : jax.Array, same shape as ``y``
+    """
     return _hpss_stft_pipeline(y, **kwargs)[0]
 
 
 def percussive(y: Any, **kwargs: Any) -> jax.Array:
-    """Extract percussive elements. Parity: effects.py:312."""
+    """Extract the percussive component of an audio signal.
+
+    ``istft(percussive_mask * stft(y))`` in one fused program; see
+    ``effects.hpss`` (parity: effects.py:312).
+
+    Parameters
+    ----------
+    y : input signal
+    **kwargs : forwarded to ``decompose.hpss``
+
+    Returns
+    -------
+    y_percussive : jax.Array, same shape as ``y``
+    """
     return _hpss_stft_pipeline(y, **kwargs)[1]
 
 
@@ -261,7 +287,22 @@ def pitch_shift(
 def remix(
     y: Any, intervals: Iterable[Tuple[int, int]], *, align_zeros: bool = True
 ) -> jax.Array:
-    """Remix audio by re-ordering time intervals. Parity: effects.py:577."""
+    """Re-order time intervals of a signal.
+
+    Parity: effects.py:577 — concatenates ``y[start:end]`` for each interval,
+    optionally aligning boundaries to zero crossings to avoid clicks.
+
+    Parameters
+    ----------
+    y : input signal
+    intervals : iterable of (start, end) sample pairs
+    align_zeros : bool
+        snap interval boundaries to the nearest zero crossing
+
+    Returns
+    -------
+    y_remix : jax.Array
+    """
     y = jnp.asarray(y)
     y_out = []
 
@@ -308,7 +349,30 @@ def trim(
     hop_length: int = 512,
     aggregate: Callable = np.max,
 ) -> Tuple[jax.Array, np.ndarray]:
-    """Trim leading/trailing silence. Parity: effects.py:700."""
+    """Trim leading and trailing silence.
+
+    Frames quieter than ``top_db`` below the peak (on a framewise RMS dB
+    scale) are cut from both ends (behavior parity with the reference
+    ``effects.py:700``).
+
+    Parameters
+    ----------
+    y : input signal
+    top_db : float > 0
+        silence threshold below peak
+    ref : scalar or callable
+        dB reference
+    frame_length, hop_length : int > 0
+        analysis geometry
+    aggregate : callable
+        channel aggregation
+
+    Returns
+    -------
+    y_trimmed : jax.Array
+    index : np.ndarray [shape=(2,)]
+        start/end sample indices of the kept region
+    """
     y = jnp.asarray(y)
     non_silent = _signal_to_frame_nonsilent(
         y, frame_length=frame_length, hop_length=hop_length, ref=ref,
@@ -335,7 +399,21 @@ def split(
     hop_length: int = 512,
     aggregate: Callable = np.max,
 ) -> np.ndarray:
-    """Split audio into non-silent intervals. Parity: effects.py:786."""
+    """Split audio into non-silent intervals.
+
+    Parity: effects.py:786 — complements ``trim`` by returning every
+    non-silent region.
+
+    Parameters
+    ----------
+    y, top_db, ref, frame_length, hop_length, aggregate
+        as in ``trim``
+
+    Returns
+    -------
+    intervals : np.ndarray [shape=(m, 2)]
+        start/end sample indices of non-silent regions
+    """
     y = jnp.asarray(y)
     non_silent = _signal_to_frame_nonsilent(
         y, frame_length=frame_length, hop_length=hop_length, ref=ref,
@@ -361,7 +439,25 @@ def preemphasis(
     zi: Optional[Any] = None,
     return_zf: bool = False,
 ):
-    """Pre-emphasize: ``y[n] -> y[n] - coef * y[n-1]``. Parity: effects.py:872."""
+    """First-order pre-emphasis filter ``y[n] - coef * y[n-1]``.
+
+    Parity: effects.py:872, including the streaming ``zi`` initial state and
+    ``return_zf`` final state for blockwise processing.
+
+    Parameters
+    ----------
+    y : input signal
+    coef : float
+        filter coefficient (typically 0.97)
+    zi : array or None
+        initial filter delay state
+    return_zf : bool
+        also return the final state
+
+    Returns
+    -------
+    y_out : jax.Array (and ``zf`` if requested)
+    """
     import scipy.signal
 
     y = np.asarray(y)
@@ -386,7 +482,25 @@ def deemphasis(
     zi: Optional[Any] = None,
     return_zf: bool = False,
 ):
-    """De-emphasize (invert preemphasis). Parity: effects.py:985."""
+    """Invert a pre-emphasis filter (IIR ``1 / (1 - coef z^-1)``).
+
+    Parity: effects.py:985; runs as a parallel associative scan with
+    streaming ``zi`` support.
+
+    Parameters
+    ----------
+    y : pre-emphasized signal
+    coef : float
+        filter coefficient
+    zi : array or None
+        initial state
+    return_zf : bool
+        also return the final state
+
+    Returns
+    -------
+    y_out : jax.Array (and ``zf`` if requested)
+    """
     import scipy.signal
 
     y = np.asarray(y)

@@ -30,10 +30,22 @@ def mel_to_stft(
     power: float = 2.0,
     **kwargs: Any,
 ) -> jax.Array:
-    """Approximate STFT magnitude from a mel power spectrogram.
+    """Approximate STFT magnitudes from a mel spectrogram.
 
-    Parity: feature/inverse.py:28 — NNLS inversion of the mel basis,
-    followed by the power unroll.
+    Non-negative least squares against the mel filterbank (behavior parity
+    with the reference ``feature/inverse.py:28``; the NNLS is a batched
+    projected-gradient solve).
+
+    Parameters
+    ----------
+    M : mel spectrogram [shape=(..., n_mels, t)]
+    sr, n_fft, power
+        mel construction parameters (must match the forward transform)
+    **kwargs : forwarded to ``filters.mel``
+
+    Returns
+    -------
+    S : jax.Array [shape=(..., 1 + n_fft//2, t)]
     """
     M = jnp.asarray(M)
     mel_basis = filters.mel(
@@ -59,9 +71,21 @@ def mel_to_audio(
     dtype: Any = np.float32,
     **kwargs: Any,
 ) -> jax.Array:
-    """Invert a mel power spectrogram to audio via Griffin-Lim.
+    """Invert a mel spectrogram to audio (NNLS + Griffin-Lim).
 
     Parity: feature/inverse.py:117.
+
+    Parameters
+    ----------
+    M : mel spectrogram
+    sr, n_fft, hop_length, win_length, window, center, pad_mode, power,
+    n_iter, length, dtype
+        inversion controls
+    **kwargs : forwarded to ``filters.mel``
+
+    Returns
+    -------
+    y : jax.Array
     """
     stft_mag = mel_to_stft(M, sr=sr, n_fft=n_fft, power=power, **kwargs)
     return griffinlim(
@@ -87,7 +111,22 @@ def mfcc_to_mel(
     ref: float = 1.0,
     lifter: float = 0,
 ) -> jax.Array:
-    """Invert MFCCs to a mel power spectrogram. Parity: feature/inverse.py:214."""
+    """Invert MFCCs to a (dB-scaled) mel power spectrogram.
+
+    Inverse DCT then ``db_to_power`` (behavior parity with the reference
+    ``feature/inverse.py:214``).  NOTE: lossy unless n_mfcc == n_mels.
+
+    Parameters
+    ----------
+    mfcc : [shape=(..., n_mfcc, t)]
+    n_mels : int > 0
+    dct_type, norm, ref, lifter
+        must match the forward transform
+
+    Returns
+    -------
+    M : jax.Array [shape=(..., n_mels, t)]
+    """
     mfcc = jnp.asarray(mfcc)
     if lifter > 0:
         n_mfcc = mfcc.shape[-2]
@@ -120,7 +159,21 @@ def mfcc_to_audio(
     lifter: float = 0,
     **kwargs: Any,
 ) -> jax.Array:
-    """Convert MFCCs to a time-domain signal. Parity: feature/inverse.py:290."""
+    """Invert MFCCs all the way to audio (mel inversion + Griffin-Lim).
+
+    Parity: feature/inverse.py:290.
+
+    Parameters
+    ----------
+    mfcc : input coefficients
+    n_mels, dct_type, norm, ref, lifter
+        inversion controls
+    **kwargs : forwarded to ``mel_to_audio``
+
+    Returns
+    -------
+    y : jax.Array
+    """
     mel_spec = mfcc_to_mel(
         mfcc, n_mels=n_mels, dct_type=dct_type, norm=norm, ref=ref,
         lifter=lifter,

@@ -42,7 +42,29 @@ def tempogram(
     window: Any = "hann",
     norm: Optional[float] = np.inf,
 ) -> jax.Array:
-    """Local autocorrelation tempogram. Parity: feature/rhythm.py:38."""
+    """Local autocorrelation tempogram.
+
+    Windows the onset envelope at every frame (hop 1) and autocorrelates,
+    yielding per-frame periodicity strength by lag (behavior parity with the
+    reference ``feature/rhythm.py:38``); the pad → hop-1 framing → windowed
+    FFT autocorrelation → normalize chain is one fused program.
+
+    Parameters
+    ----------
+    y, sr, onset_envelope, hop_length
+        signal (or precomputed envelope) and hop
+    win_length : int > 0
+        autocorrelation window length in frames
+    center : bool
+        center the windows
+    window : window spec
+    norm : float or None
+        per-frame normalization order
+
+    Returns
+    -------
+    tempogram : jax.Array [shape=(..., win_length, t)]
+    """
     from ..onset import onset_strength
 
     if win_length < 1:
@@ -100,7 +122,19 @@ def fourier_tempogram(
     center: bool = True,
     window: Any = "hann",
 ) -> jax.Array:
-    """Fourier tempogram: STFT of the onset envelope. Parity: feature/rhythm.py:194."""
+    """Fourier tempogram: the STFT of the onset envelope.
+
+    Parity: feature/rhythm.py:194.
+
+    Parameters
+    ----------
+    y, sr, onset_envelope, hop_length, win_length, center, window
+        as in ``tempogram``
+
+    Returns
+    -------
+    tempogram : jax.Array [shape=(..., 1 + win_length//2, t), complex]
+    """
     from ..onset import onset_strength
 
     if win_length < 1:
@@ -249,7 +283,25 @@ def tempogram_ratio(
     fill_value: float = 0,
     norm: Optional[float] = np.inf,
 ) -> jax.Array:
-    """Tempogram ratio (metrical-multiple sampling). Parity: feature/rhythm.py:474."""
+    """Harmonic sampling of a tempogram at metrical ratios.
+
+    Samples each frame's tempogram at fixed rational multiples of the
+    estimated tempo, summarizing meter structure (behavior parity with the
+    reference ``feature/rhythm.py:474``).
+
+    Parameters
+    ----------
+    y, sr, onset_envelope, tg, bpm, hop_length, win_length
+        tempogram sources / geometry
+    factors : np.ndarray or None
+        metrical ratios (default 13 standard factors)
+    aggregate, prior, center, window, norm, kind, fill_value
+        estimation and interpolation controls
+
+    Returns
+    -------
+    tgr : jax.Array [shape=(..., len(factors), t)]
+    """
     from ..core.harmonic import f0_harmonics
 
     if tg is None:

@@ -134,7 +134,26 @@ def spectral_bandwidth(
     norm: bool = True,
     p: float = 2,
 ) -> jax.Array:
-    """p-th moment spectral bandwidth. Parity: feature/spectral.py:194."""
+    """Spectral bandwidth: the p-th-order moment about the centroid.
+
+    ``(sum_k S[k] * (freq[k] - centroid)**p)**(1/p)`` (behavior parity with
+    the reference ``feature/spectral.py:194``).
+
+    Parameters
+    ----------
+    y, sr, S, n_fft, hop_length, win_length, window, center, pad_mode, freq
+        signal or spectrogram, and STFT controls
+    centroid : np.ndarray or None
+        precomputed centroid frequencies
+    norm : bool
+        normalize the spectral distribution per frame
+    p : float > 0
+        moment order (2 = standard deviation)
+
+    Returns
+    -------
+    bandwidth : jax.Array [shape=(..., 1, t)]
+    """
     S, n_fft = _spectrogram(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
         window=window, center=center, pad_mode=pad_mode,
@@ -179,10 +198,30 @@ def spectral_contrast(
     quantile: float = 0.02,
     linear: bool = False,
 ) -> jax.Array:
-    """Octave-band spectral contrast (peak − valley). Parity: feature/spectral.py:355.
+    """Octave-band spectral contrast (peak minus valley energy per band).
 
-    Band membership is static (host), so the per-band sort + quantile means
-    compile to fixed-shape device ops.
+    Each frame's spectrum splits into octave bands; the contrast is the dB
+    difference between the mean of the top and bottom ``quantile`` of bins
+    (behavior parity with the reference ``feature/spectral.py:355``).
+    Band membership is static, so the per-band sort + quantile means compile
+    to fixed-shape device ops.
+
+    Parameters
+    ----------
+    y, sr, S, n_fft, hop_length, win_length, window, center, pad_mode, freq
+        signal or spectrogram, and STFT controls
+    fmin : float > 0
+        lowest band edge
+    n_bands : int > 0
+        number of octave bands
+    quantile : float in (0, 1)
+        fraction of bins in the peak/valley means
+    linear : bool
+        return linear (not dB) differences
+
+    Returns
+    -------
+    contrast : jax.Array [shape=(..., n_bands + 1, t)]
     """
     S, n_fft = _spectrogram(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
@@ -250,7 +289,22 @@ def spectral_rolloff(
     freq: Optional[np.ndarray] = None,
     roll_percent: float = 0.85,
 ) -> jax.Array:
-    """Roll-off frequency (cumulative-energy threshold). Parity: feature/spectral.py:535."""
+    """Roll-off frequency: where cumulative energy crosses ``roll_percent``.
+
+    Parity: feature/spectral.py:535.
+
+    Parameters
+    ----------
+    y, sr, S, n_fft, hop_length, win_length, window, center, pad_mode, freq
+        signal or spectrogram, and STFT controls
+    roll_percent : float in (0, 1)
+        cumulative-energy threshold
+
+    Returns
+    -------
+    rolloff : jax.Array [shape=(..., 1, t)]
+        roll-off frequency per frame, in Hz
+    """
     if not 0.0 < roll_percent < 1.0:
         raise ParameterError("roll_percent must lie in the range (0, 1)")
 
@@ -286,7 +340,24 @@ def spectral_flatness(
     amin: float = 1e-10,
     power: float = 2.0,
 ) -> jax.Array:
-    """Spectral flatness (geometric/arithmetic mean ratio). Parity: feature/spectral.py:687."""
+    """Spectral flatness (Wiener entropy): geometric over arithmetic mean.
+
+    Values near 1 indicate noise-like spectra, near 0 tone-like (behavior
+    parity with the reference ``feature/spectral.py:687``).
+
+    Parameters
+    ----------
+    y, S, n_fft, hop_length, win_length, window, center, pad_mode
+        signal or spectrogram, and STFT controls
+    amin : float > 0
+        power floor
+    power : float
+        spectrum exponent
+
+    Returns
+    -------
+    flatness : jax.Array [shape=(..., 1, t)]
+    """
     if amin <= 0:
         raise ParameterError("amin must be strictly positive")
 
@@ -316,10 +387,23 @@ def poly_features(
     order: int = 1,
     freq: Optional[np.ndarray] = None,
 ) -> jax.Array:
-    """Polynomial fit coefficients over frequency. Parity: feature/spectral.py:919.
+    """Per-frame polynomial fit coefficients over frequency.
 
-    For static frequency grids the fit is a single precomputed pseudo-inverse
-    matmul (MXU); variable grids use a vmapped least-squares.
+    Least-squares fits an ``order``-degree polynomial to each spectral frame
+    (behavior parity with the reference ``feature/spectral.py:919``); the fit
+    is a batched normal-equation solve on device.
+
+    Parameters
+    ----------
+    y, sr, S, n_fft, hop_length, win_length, window, center, pad_mode, freq
+        signal or spectrogram, and STFT controls
+    order : int >= 0
+        polynomial degree
+
+    Returns
+    -------
+    coefficients : jax.Array [shape=(..., order + 1, t)]
+        highest degree first
     """
     S, n_fft = _spectrogram(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
@@ -443,7 +527,22 @@ def zero_crossing_rate(
     center: bool = True,
     **kwargs: Any,
 ) -> jax.Array:
-    """Zero-crossing rate per frame. Parity: feature/spectral.py:1062."""
+    """Fraction of zero crossings per frame.
+
+    Parity: feature/spectral.py:1062.
+
+    Parameters
+    ----------
+    y : input signal
+    frame_length, hop_length, center
+        framing controls
+    **kwargs
+        forwarded to ``zero_crossings``
+
+    Returns
+    -------
+    zcr : jax.Array [shape=(..., 1, t)]
+    """
     from ..core.audio import zero_crossings
 
     y = jnp.asarray(y)
@@ -575,7 +674,21 @@ def chroma_cqt(
     bins_per_octave: int = 36,
     cqt_mode: str = "full",
 ) -> jax.Array:
-    """Constant-Q chromagram. Parity: feature/spectral.py:1296."""
+    """Constant-Q chromagram: CQT magnitudes folded onto pitch classes.
+
+    Parity: feature/spectral.py:1296.
+
+    Parameters
+    ----------
+    y, sr, C, hop_length, fmin
+        signal or precomputed CQT magnitude
+    norm, threshold, tuning, n_chroma, n_octaves, window, bins_per_octave, cqt_mode
+        chroma construction controls
+
+    Returns
+    -------
+    chromagram : jax.Array [shape=(..., n_chroma, t)]
+    """
     from ..core import constantq
     from ..core.convert import note_to_hz
 
@@ -645,7 +758,27 @@ def chroma_cens(
     win_len_smooth: Optional[int] = 41,
     smoothing_window: _WindowSpec = "hann",
 ) -> jax.Array:
-    """CENS chroma (quantize → smooth → normalize). Parity: feature/spectral.py:1426."""
+    """Chroma Energy Normalized Statistics (CENS).
+
+    L1-normalized chroma, amplitude-quantized, smoothed, then L2-normalized —
+    robust to dynamics and timbre (behavior parity with the reference
+    ``feature/spectral.py:1426``).
+
+    Parameters
+    ----------
+    y, sr, C, hop_length, fmin
+        signal or precomputed CQT magnitude
+    win_len_smooth : int or None
+        smoothing window length
+    smoothing_window : window spec
+        smoothing window shape
+    norm, tuning, n_chroma, n_octaves, window, bins_per_octave, cqt_mode
+        chroma construction controls
+
+    Returns
+    -------
+    cens : jax.Array [shape=(..., n_chroma, t)]
+    """
     if win_len_smooth is not None and (
         not isinstance(win_len_smooth, (int, np.integer)) or win_len_smooth <= 0
     ):
@@ -707,7 +840,24 @@ def chroma_vqt(
     gamma: Optional[float] = None,
     bins_per_octave: int = 12,
 ) -> jax.Array:
-    """Variable-Q chromagram. Parity: feature/spectral.py:1576."""
+    """Variable-Q chromagram.
+
+    Parity: feature/spectral.py:1576 — like ``chroma_cqt`` but over a VQT
+    with arbitrary interval systems.
+
+    Parameters
+    ----------
+    y, sr, V, hop_length, fmin
+        signal or precomputed VQT magnitude
+    intervals : str or array
+        interval system (see ``vqt``)
+    norm, threshold, n_octaves, gamma, bins_per_octave
+        construction controls
+
+    Returns
+    -------
+    chromagram : jax.Array [shape=(..., bins_per_octave, t)]
+    """
     from ..core import constantq
     from ..core.convert import note_to_hz
 
@@ -757,7 +907,24 @@ def tonnetz(
     chroma: Any = None,
     **kwargs: Any,
 ) -> jax.Array:
-    """Tonal centroid features (tonnetz). Parity: feature/spectral.py:1709."""
+    """Tonal centroid features (tonnetz).
+
+    Projects chroma onto a 6-D basis of perfect-fifth, minor-third, and
+    major-third circles [Harte et al. 2006] (behavior parity with the
+    reference ``feature/spectral.py:1709``).
+
+    Parameters
+    ----------
+    y, sr : signal input (used if ``chroma`` is None)
+    chroma : np.ndarray or None
+        precomputed (normalized) chromagram
+    **kwargs
+        forwarded to ``chroma_cqt``
+
+    Returns
+    -------
+    tonnetz : jax.Array [shape=(..., 6, t)]
+    """
     if y is None and chroma is None:
         raise ParameterError(
             "Either the audio samples or the chromagram must be "

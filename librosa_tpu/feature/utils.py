@@ -113,9 +113,24 @@ def delta(
 def stack_memory(
     data: Any, *, n_steps: int = 2, delay: int = 1, **kwargs: Any
 ) -> jax.Array:
-    """Short-term history embedding: vertically stack delayed copies.
+    """Stack delayed copies of a feature sequence (context embedding).
 
-    Parity: feature/utils.py:134 (numba __stack → static rolls + pad).
+    ``output[..., k*d:(k+1)*d, t] = data[..., t - k*delay]`` for
+    ``k < n_steps`` (behavior parity with the reference
+    ``feature/utils.py:134``).
+
+    Parameters
+    ----------
+    data : feature matrix [shape=(..., d, t)]
+    n_steps : int > 0
+        history length
+    delay : int != 0
+        frames between copies (negative looks ahead)
+    **kwargs : forwarded to ``np.pad``
+
+    Returns
+    -------
+    data_history : jax.Array [shape=(..., d * n_steps, t)]
     """
     if n_steps < 1:
         raise ParameterError("n_steps must be a positive integer")

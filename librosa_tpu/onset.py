@@ -35,7 +35,38 @@ def onset_strength(
     aggregate: Optional[Union[Callable, bool]] = None,
     **kwargs: Any,
 ) -> jax.Array:
-    """Spectral flux onset strength envelope. Parity: onset.py:217."""
+    """Spectral-flux onset strength envelope.
+
+    The lagged positive first difference of a log-power mel spectrogram,
+    aggregated across bands (behavior parity with the reference
+    ``onset.py:217``).  Default configurations (mean or median aggregation)
+    run as ONE fused device program.
+
+    Parameters
+    ----------
+    y, sr, S, n_fft, hop_length
+        signal or precomputed log-power spectrogram
+    lag : int > 0
+        difference lag in frames
+    max_size : int > 0
+        SuperFlux frequency max-filter width (1 = plain flux)
+    ref : np.ndarray or None
+        explicit reference spectrum
+    detrend : bool
+        high-pass the envelope
+    center : bool
+        pad so the envelope aligns with centered frames
+    feature : callable
+        spectrogram feature (default mel)
+    aggregate : callable
+        band aggregation (default mean)
+    **kwargs
+        forwarded to the feature
+
+    Returns
+    -------
+    onset_envelope : jax.Array [shape=(..., t)]
+    """
     if aggregate is False:
         raise ParameterError(
             "aggregate parameter cannot be False when computing full-spectrum "
@@ -66,9 +97,21 @@ def onset_strength_multi(
     channels: Optional[Sequence] = None,
     **kwargs: Any,
 ) -> jax.Array:
-    """Multi-band spectral flux. Parity: onset.py:445 — log-power mel,
-    optional max-filter reference, lagged positive first difference,
-    channel aggregation, center-compensation pad."""
+    """Multi-band spectral-flux onset envelopes.
+
+    Parity: onset.py:445 — like ``onset_strength`` but aggregating over the
+    frequency slices in ``channels``.
+
+    Parameters
+    ----------
+    channels : sequence of slices/indices or None
+        band definitions (None = one global band)
+    (remaining parameters as in ``onset_strength``)
+
+    Returns
+    -------
+    onset_envelope : jax.Array [shape=(..., n_channels, t)]
+    """
     if feature is None:
         feature = melspectrogram
         kwargs.setdefault("fmax", 0.5 * sr)
@@ -230,9 +273,21 @@ def _onset_strength_default(
 
 
 def onset_backtrack(events: np.ndarray, energy: Any) -> np.ndarray:
-    """Roll back onsets to the preceding local energy minimum.
+    """Roll onset detections back to the preceding local energy minimum.
 
-    Parity: onset.py:370.
+    Useful for slicing audio at low-energy points before each attack
+    (behavior parity with the reference ``onset.py:370``).
+
+    Parameters
+    ----------
+    events : np.ndarray [int]
+        detected onset frames
+    energy : np.ndarray
+        energy curve (e.g. onset envelope or RMS)
+
+    Returns
+    -------
+    events_backtracked : np.ndarray [int]
     """
     energy = np.asarray(energy)
     minima = np.flatnonzero(

@@ -159,9 +159,23 @@ def cross_similarity(
     bandwidth: Any = None,
     full: bool = False,
 ):
-    """Cross-similarity kNN graph between two feature sequences.
+    """Cross-similarity matrix between two feature sequences.
 
-    Parity: segment.py:91.
+    Parity: segment.py:91 — the two-sequence analogue of
+    ``recurrence_matrix``.
+
+    Parameters
+    ----------
+    data : np.ndarray [shape=(..., d, n)]
+        comparison sequence
+    data_ref : np.ndarray [shape=(..., d, n_ref)]
+        reference sequence
+    k, metric, sparse, mode, bandwidth, full
+        as in ``recurrence_matrix``
+
+    Returns
+    -------
+    xsim : np.ndarray or scipy.sparse matrix [shape=(n_ref, n)]
     """
     data_ref = np.atleast_2d(np.asarray(data_ref))
     data = np.atleast_2d(np.asarray(data))
@@ -227,7 +241,42 @@ def recurrence_matrix(
     axis: int = -1,
     full: bool = False,
 ):
-    """Recurrence (self-similarity) kNN graph. Parity: segment.py:391."""
+    """Recurrence (self-similarity) matrix of a feature sequence.
+
+    kNN graph over frame feature vectors, with optional diagonal band
+    exclusion, symmetrization, and affinity weighting
+    ``exp(-d / bandwidth)`` (behavior parity with the reference
+    ``segment.py:391``).
+
+    Parameters
+    ----------
+    data : np.ndarray [shape=(..., d, n)]
+        feature sequence
+    k : int or None
+        neighbors per frame (default auto)
+    width : int >= 1
+        minimum |i-j| distance (band exclusion)
+    metric : str
+        distance metric
+    sym : bool
+        keep only mutual neighbors
+    sparse : bool
+        return a scipy sparse matrix
+    mode : 'connectivity', 'distance', or 'affinity'
+        edge weighting
+    bandwidth : scalar, ndarray, str, or None
+        affinity bandwidth (see the reference's estimator modes)
+    self : bool
+        include self-links
+    axis : int
+        frame axis
+    full : bool
+        skip the kNN pruning (dense distances)
+
+    Returns
+    -------
+    rec : np.ndarray or scipy.sparse matrix [shape=(n, n)]
+    """
     data = np.atleast_2d(np.asarray(data))
     data = np.swapaxes(data, axis, 0)
     t = data.shape[0]
@@ -389,7 +438,27 @@ def timelag_filter(function: Callable, pad: bool = True, index: int = 0) -> Call
 def subsegment(
     data: Any, frames: np.ndarray, *, n_segments: int = 4, axis: int = -1
 ) -> np.ndarray:
-    """Sub-divide a segmentation by feature clustering. Parity: segment.py:976."""
+    """Sub-divide a segmentation by feature clustering.
+
+    Within each segment, constrained agglomerative clustering splits frames
+    into up to ``n_segments`` sub-segments (behavior parity with the
+    reference ``segment.py:976``).
+
+    Parameters
+    ----------
+    data : feature matrix
+    frames : np.ndarray [int]
+        segment boundary frames
+    n_segments : int > 0
+        maximum sub-segments per segment
+    axis : int
+        frame axis
+
+    Returns
+    -------
+    boundaries : np.ndarray [int]
+        combined boundary frames
+    """
     data = np.asarray(data)
     frames = util.fix_frames(frames, x_min=0, x_max=data.shape[axis], pad=True)
 
@@ -418,9 +487,26 @@ def agglomerative(
     clusterer: Optional[Any] = None,
     axis: int = -1,
 ) -> np.ndarray:
-    """Connectivity-constrained agglomerative clustering boundaries.
+    """Bottom-up temporal segmentation by constrained agglomerative
+    clustering.
 
-    Parity: segment.py:1073.
+    Ward clustering with a time-adjacency connectivity constraint
+    (behavior parity with the reference ``segment.py:1073``).
+
+    Parameters
+    ----------
+    data : feature matrix
+    k : int > 0
+        number of segments
+    clusterer : sklearn clusterer or None
+        custom clustering object
+    axis : int
+        frame axis
+
+    Returns
+    -------
+    boundaries : np.ndarray [shape=(k,)]
+        left-boundary frame of each segment (first is 0)
     """
     data = np.atleast_2d(np.asarray(data))
     data = np.swapaxes(data, axis, 0)
@@ -458,10 +544,33 @@ def path_enhance(
     clip: bool = True,
     **kwargs: Any,
 ) -> jnp.ndarray:
-    """Multi-angle diagonal smoothing of a recurrence matrix.
+    """Multi-angle smoothing filter for recurrence/path structure.
 
-    Parity: segment.py:1167 — max over rotated diagonal-filter convolutions.
-    Convolutions run on device (one conv per filter angle, XLA-fused max).
+    Convolves with a bank of rotated diagonal filters and takes the
+    elementwise maximum, enhancing diagonal paths of varying slopes
+    [Mueller & Kurth 2006] (behavior parity with the reference
+    ``segment.py:1167``).
+
+    Parameters
+    ----------
+    R : recurrence / similarity matrix
+    n : int > 0
+        filter length
+    window : window spec
+        smoothing window
+    max_ratio, min_ratio : float
+        slope range
+    n_filters : int > 0
+        filters per direction
+    symmetric : bool
+        also filter the reversed slopes
+    zero_mean, clip : bool
+        filter normalization / output clipping
+    **kwargs : forwarded to ``scipy.ndimage.convolve``
+
+    Returns
+    -------
+    R_smooth : jax.Array, same shape as ``R``
     """
     import jax
 

@@ -409,11 +409,29 @@ def rqa(
     knight_moves: bool = True,
     backtrack: bool = True,
 ):
-    """Recurrence quantification analysis (DL score + optimal path).
+    """Recurrence quantification analysis (longest-path DP).
 
-    Parity: reference ``sequence.py:715`` — gap-penalized affinity
-    accumulation with optional knight moves.  Implemented as an
-    anti-diagonal wavefront (host NumPy; each anti-diagonal vectorized).
+    Scores diagonal path structure in a recurrence matrix with knight-move
+    continuations and gap penalties [Serra et al. 2009] (behavior parity
+    with the reference ``sequence.py:715``).
+
+    Parameters
+    ----------
+    sim : np.ndarray [shape=(N, M)]
+        similarity/recurrence matrix (non-negative)
+    gap_onset, gap_extend : float >= 0
+        gap penalties
+    knight_moves : bool
+        allow (1,2)/(2,1) steps
+    backtrack : bool
+        also return the optimal path
+
+    Returns
+    -------
+    score : np.ndarray [shape=(N, M)]
+        accumulated score matrix
+    path : np.ndarray [shape=(L, 2)]
+        optimal path (when ``backtrack``)
     """
     if gap_onset < 0:
         raise ParameterError("gap_onset={} must be strictly positive")
@@ -670,9 +688,28 @@ def viterbi_discriminative(
     return_logp: bool = False,
     transition_min_prob: Optional[float] = None,
 ):
-    """Viterbi decoding from discriminative state predictions P(state | obs).
+    """Viterbi decoding from *discriminative* state probabilities.
 
-    Parity: reference ``sequence.py:1455``.
+    Uses P(state | observation) (e.g. classifier outputs) in place of
+    likelihoods, dividing out the marginal state distribution (behavior
+    parity with the reference ``sequence.py:1455``).
+
+    Parameters
+    ----------
+    prob : np.ndarray [shape=(..., n_states, n_steps)]
+        per-frame state probabilities (columns sum to 1)
+    transition : np.ndarray [shape=(n_states, n_states)]
+        row-stochastic transition matrix
+    p_state : np.ndarray or None
+        marginal state distribution
+    p_init : np.ndarray or None
+        initial distribution
+    return_logp : bool
+        also return path log-probability
+
+    Returns
+    -------
+    states : np.ndarray [shape=(..., n_steps)]
     """
     prob_np = np.asarray(prob)
     n_states, _ = prob_np.shape[-2:]
@@ -754,7 +791,26 @@ def viterbi_binary(
     return_logp: bool = False,
     transition_min_prob: Optional[float] = None,
 ):
-    """Per-label binary Viterbi decoding. Parity: sequence.py:1702."""
+    """Independent binary Viterbi decoding per label.
+
+    Decodes each of ``n_labels`` as its own 2-state (off/on) HMM (behavior
+    parity with the reference ``sequence.py:1702``).
+
+    Parameters
+    ----------
+    prob : np.ndarray [shape=(..., n_labels, n_steps)]
+        per-frame label probabilities
+    transition : np.ndarray [shape=(2, 2) or (n_labels, 2, 2)]
+        per-label transition matrices
+    p_state, p_init : np.ndarray or None
+        per-label marginal / initial probabilities
+    return_logp : bool
+        also return log-probabilities
+
+    Returns
+    -------
+    states : np.ndarray [shape=(..., n_labels, n_steps)]
+    """
     prob = jnp.atleast_2d(jnp.asarray(prob))
     prob_np = np.asarray(prob)
     n_states, n_steps = prob_np.shape[-2:]
@@ -825,14 +881,39 @@ def viterbi_binary(
 
 
 def transition_uniform(n_states: int) -> np.ndarray:
-    """Uniform transition matrix. Parity: sequence.py:1877."""
+    """Uniform transition matrix: every move equally likely.
+
+    Parity: sequence.py:1877.
+
+    Parameters
+    ----------
+    n_states : int > 0
+
+    Returns
+    -------
+    transition : np.ndarray [shape=(n_states, n_states)]
+    """
     if not is_positive_int(n_states):
         raise ParameterError(f"n_states={n_states} must be a positive integer")
     return np.full((n_states, n_states), 1.0 / n_states)
 
 
 def transition_loop(n_states: int, prob: Any) -> np.ndarray:
-    """Self-loop transition matrix. Parity: sequence.py:1905."""
+    """Self-loop transition matrix: stay with probability ``prob``, move
+    uniformly otherwise.
+
+    Parity: sequence.py:1905.
+
+    Parameters
+    ----------
+    n_states : int > 1
+    prob : float or array of float in [0, 1]
+        per-state self-loop probability
+
+    Returns
+    -------
+    transition : np.ndarray [shape=(n_states, n_states)]
+    """
     if not (is_positive_int(n_states) and (n_states > 1)):
         raise ParameterError(f"n_states={n_states} must be a positive integer > 1")
 
@@ -854,7 +935,20 @@ def transition_loop(n_states: int, prob: Any) -> np.ndarray:
 
 
 def transition_cycle(n_states: int, prob: Any) -> np.ndarray:
-    """Cyclic transition matrix. Parity: sequence.py:1970."""
+    """Cyclic transition matrix: stay or advance to the next state.
+
+    Parity: sequence.py:1970.
+
+    Parameters
+    ----------
+    n_states : int > 1
+    prob : float or array in [0, 1]
+        per-state self-loop probability
+
+    Returns
+    -------
+    transition : np.ndarray [shape=(n_states, n_states)]
+    """
     if not (is_positive_int(n_states) and n_states > 1):
         raise ParameterError(f"n_states={n_states} must be a positive integer > 1")
 
@@ -878,7 +972,25 @@ def transition_cycle(n_states: int, prob: Any) -> np.ndarray:
 def transition_local(
     n_states: int, width: Any, *, window: str = "triangle", wrap: bool = False
 ) -> np.ndarray:
-    """Localized transition matrix. Parity: sequence.py:2034."""
+    """Banded local transition matrix over a sliding window.
+
+    Parity: sequence.py:2034 — each state moves within ``width`` neighbors,
+    weighted by ``window``.
+
+    Parameters
+    ----------
+    n_states : int > 1
+    width : int or array of int
+        neighborhood width per state
+    window : window spec
+        weighting within the neighborhood
+    wrap : bool
+        cyclic boundary
+
+    Returns
+    -------
+    transition : np.ndarray [shape=(n_states, n_states)]
+    """
     if not (is_positive_int(n_states) and n_states > 1):
         raise ParameterError(f"n_states={n_states} must be a positive integer > 1")
 

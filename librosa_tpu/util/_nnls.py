@@ -54,10 +54,22 @@ def _nnls_fista(A: jax.Array, B: jax.Array, *, n_iter: int = 300) -> jax.Array:
 
 
 def nnls(A: Any, B: Any, **kwargs: Any) -> jax.Array:
-    """Non-negative least squares: minimize ``||Ax - B||`` subject to ``x >= 0``.
+    """Non-negative least squares: minimize ``||A x - b||`` with ``x >= 0``.
 
-    Parity: reference ``util/_nnls.py:92`` (same solution up to solver
-    tolerance).  ``A`` has shape (m, n); ``B`` (m,) or (m, N).
+    A jit-compiled projected-gradient solver with Nesterov-style momentum,
+    batched over columns of ``b`` — the TPU replacement for the reference's
+    blocked scipy L-BFGS-B (util/_nnls.py:92); solutions agree in objective
+    value, not elementwise.
+
+    Parameters
+    ----------
+    A : np.ndarray [shape=(m, n)]
+    B : np.ndarray [shape=(m,) or (m, k)]
+    **kwargs : solver controls (iterations, tolerance)
+
+    Returns
+    -------
+    x : jax.Array [shape=(n,) or (n, k)], non-negative
     """
     A = jnp.asarray(A)
     B = jnp.asarray(B)

@@ -33,10 +33,23 @@ def _jaccard(int_a: np.ndarray, int_b: np.ndarray) -> np.ndarray:
 def match_intervals(
     intervals_from: np.ndarray, intervals_to: np.ndarray, *, strict: bool = True
 ) -> np.ndarray:
-    """Match one set of time intervals to another by maximum Jaccard overlap.
+    """Match one set of time intervals to another.
 
-    Parity: util/matching.py:119.  When ``strict`` and an interval has no
-    overlap, raises; otherwise falls back to minimum endpoint distance.
+    Each source interval maps to the candidate maximizing Jaccard overlap
+    (ties to the earlier candidate); with ``strict=False``, non-overlapping
+    intervals fall back to minimum boundary distance.  Parity:
+    util/matching.py:119.
+
+    Parameters
+    ----------
+    intervals_from : np.ndarray [shape=(n, 2)]
+    intervals_to : np.ndarray [shape=(m, 2)]
+    strict : bool
+        require a positive overlap
+
+    Returns
+    -------
+    interval_mapping : np.ndarray [shape=(n,), dtype=int]
     """
     intervals_from = np.asarray(intervals_from, dtype=float)
     intervals_to = np.asarray(intervals_to, dtype=float)
@@ -68,10 +81,20 @@ def match_events(
     left: bool = True,
     right: bool = True,
 ) -> np.ndarray:
-    """Match one set of events to another, minimizing |from - to|.
+    """Match one set of event times to another.
 
-    Parity: util/matching.py:215 — optional restriction to matches at or
-    before (``left``) / at or after (``right``) each event.
+    Each source event maps to its closest target, optionally constrained to
+    be left/right of the source.  Parity: util/matching.py:215.
+
+    Parameters
+    ----------
+    events_from, events_to : 1-D arrays
+    left, right : bool
+        allow targets before / after the source
+
+    Returns
+    -------
+    event_mapping : np.ndarray [shape=(n,), dtype=int]
     """
     if len(events_from) == 0 or len(events_to) == 0:
         raise ParameterError("Attempting to match empty event list")

@@ -79,14 +79,24 @@ def frame(
     writeable: bool = False,
     subok: bool = False,
 ) -> jax.Array:
-    """Slice a data array into (overlapping) frames.
+    """Slice an array into overlapping frames (no copy semantics).
 
-    Parity: reference ``util/utils.py:79`` (``frame``).  The reference uses
-    ``as_strided`` views; on TPU we express framing as a static gather so XLA
-    can fuse it into downstream kernels (windowing / FFT / matmul).
+    ``frame(x)[..., j, k]`` is ``x[..., k * hop_length + j]`` for the default
+    trailing axis (behavior parity with the reference ``util/utils.py:79``).
+    On device this is a static gather XLA folds into downstream ops.
 
-    For ``axis=-1``, output shape is ``(..., frame_length, n_frames)``;
-    for ``axis=0``, ``(n_frames, frame_length, ...)``.
+    Parameters
+    ----------
+    x : input array
+    frame_length : int > 0
+    hop_length : int > 0
+    axis : int
+        axis to frame
+    writeable : ignored (JAX arrays are immutable)
+
+    Returns
+    -------
+    frames : jax.Array [shape=(..., frame_length, n_frames) for axis=-1]
     """
     x = jnp.asarray(x)
     if x.shape[axis] < frame_length:
@@ -334,10 +344,27 @@ def normalize(
     threshold: Optional[float] = None,
     fill: Optional[bool] = None,
 ) -> jax.Array:
-    """Normalize an array along a chosen axis.
+    """Normalize an array along an axis (lp / infinity / peak norms).
 
-    Parity: util/utils.py:797 — supports l-p norms, +-inf, l0 counting norm,
-    ``threshold`` + ``fill`` small-value semantics.
+    Parity: util/utils.py:797, including the ``threshold`` (leave small
+    columns unnormalized) and ``fill`` semantics.
+
+    Parameters
+    ----------
+    S : input array
+    norm : float, np.inf, -np.inf, 0, or None
+        norm order (inf = peak); None is a no-op
+    axis : int or None
+        normalization axis
+    threshold : float > 0 or None
+        norms below this are not normalized
+    fill : bool or None
+        None leaves sub-threshold columns as-is; False zeroes them; True
+        fills with the uniform unit vector
+
+    Returns
+    -------
+    S_norm : jax.Array
     """
     if threshold is None:
         threshold = tiny(S)
@@ -394,10 +421,19 @@ def normalize(
 
 
 def localmax(x: _ArrayLike, *, axis: int = 0) -> jax.Array:
-    """Local maxima: ``x[i] > x[i-1]`` and ``x[i] >= x[i+1]``.
+    """Boolean mask of local maxima (``x[i] > x[i-1]`` and ``x[i] >= x[i+1]``).
 
-    Boundary: first element never a max; last uses only the left condition.
-    Parity: util/utils.py:1060.
+    Parity: util/utils.py:1060 as a shift-compare (the reference uses a
+    numba stencil).
+
+    Parameters
+    ----------
+    x : input array
+    axis : int
+
+    Returns
+    -------
+    mask : jax.Array [bool]
     """
     x = jnp.asarray(x)
     xi = jnp.swapaxes(x, -1, axis)
@@ -414,9 +450,18 @@ def localmax(x: _ArrayLike, *, axis: int = 0) -> jax.Array:
 
 
 def localmin(x: _ArrayLike, *, axis: int = 0) -> jax.Array:
-    """Local minima: ``x[i] < x[i-1]`` and ``x[i] <= x[i+1]``.
+    """Boolean mask of local minima (``x[i] < x[i-1]`` and ``x[i] <= x[i+1]``).
 
-    Parity: util/utils.py:1121.
+    Parity: util/utils.py:1121 as a shift-compare.
+
+    Parameters
+    ----------
+    x : input array
+    axis : int
+
+    Returns
+    -------
+    mask : jax.Array [bool]
     """
     x = jnp.asarray(x)
     xi = jnp.swapaxes(x, -1, axis)
@@ -536,8 +581,35 @@ def peak_pick(
 ) -> np.ndarray:
     """Pick peaks in an onset-strength-like envelope.
 
-    Parity: util/utils.py:1326 — greedy and DP (``dp_count`` / ``dp_value``)
-    variants, sparse index or boolean-mask output.
+    A sample is a peak if it is the maximum over a local window, exceeds the
+    local mean by ``delta``, and is at least ``wait`` samples after the
+    previous peak (behavior parity with the reference ``util/utils.py:1326``,
+    including the ``dp_count``/``dp_value`` optimal variants).  Batched
+    inputs run as wait-countdown ``lax.scan`` kernels (``ops/peaks``).
+
+    Parameters
+    ----------
+    x : np.ndarray
+        envelope(s); the last axis is scanned
+    pre_max, post_max : int
+        max-window extent (before / after)
+    pre_avg, post_avg : int
+        mean-window extent
+    delta : float >= 0
+        required margin over the local mean
+    wait : int >= 0
+        minimum spacing between peaks
+    sparse : bool
+        return indices (1-D input only) or a boolean mask
+    method : 'greedy', 'dp_count', or 'dp_value'
+        greedy scan, or DP maximizing count / total height
+    axis : int
+        scan axis
+
+    Returns
+    -------
+    peaks : np.ndarray
+        peak indices (sparse) or boolean mask
     """
     x = np.asarray(x)
     if sparse and x.ndim != 1:
@@ -614,10 +686,22 @@ def peak_pick(
 def sparsify_rows(
     x: _ArrayLike, *, quantile: float = 0.01, dtype: Any = None
 ) -> scipy.sparse.csr_matrix:
-    """Keep only the top (1-quantile) energy entries of each row, as CSR.
+    """Zero out small entries per row, keeping the top (1 - quantile)
+    energy mass, as a CSR matrix.
 
-    Parity: util/utils.py:1500.  On TPU the CQT path keeps bases dense; this
-    helper exists for API compatibility and host-side use.
+    Parity: util/utils.py:1500 (used for CQT basis sparsification; the TPU
+    CQT keeps bases dense and uses this only for thresholding parity).
+
+    Parameters
+    ----------
+    x : 1-D or 2-D array
+    quantile : float in [0, 1)
+        fraction of per-row magnitude mass to discard
+    dtype : output dtype
+
+    Returns
+    -------
+    x_sparse : scipy.sparse.csr_matrix
     """
     x = np.asarray(x)
     if x.ndim == 1:
@@ -664,7 +748,27 @@ def sync(
     pad: bool = True,
     axis: int = -1,
 ) -> jax.Array:
-    """Aggregate data between boundary indices/slices. Parity: util/utils.py:1691."""
+    """Aggregate an array between boundary indices or slices.
+
+    Parity: util/utils.py:1691 — e.g. beat-synchronous feature aggregation.
+
+    Parameters
+    ----------
+    data : input array
+    idx : iterable of int or slice
+        segment boundaries
+    aggregate : callable
+        segment reduction (default mean)
+    pad : bool
+        include the implicit leading/trailing boundaries
+    axis : int
+        aggregation axis
+
+    Returns
+    -------
+    data_sync : np.ndarray
+        one aggregated column per segment
+    """
     if aggregate is None:
         aggregate = jnp.mean
     data = jnp.asarray(data)
@@ -694,10 +798,26 @@ def sync(
 def softmask(
     X: _ArrayLike, X_ref: _ArrayLike, *, power: float = 1, split_zeros: bool = False
 ) -> jax.Array:
-    """Robustly compute a soft-mask operation ``M = X**power / (X**power + X_ref**power)``.
+    """Ratio soft mask ``X**power / (X**power + X_ref**power)``.
 
-    Parity: util/utils.py:1817 — log-space stabilization, ``power=inf`` hard
-    mask, ``split_zeros`` semantics.
+    Computed in log space for numerical stability; ``power=np.inf`` gives a
+    hard mask, and ``split_zeros`` splits all-zero positions evenly
+    (behavior parity with the reference ``util/utils.py:1817``).
+
+    Parameters
+    ----------
+    X : non-negative array
+        target energies
+    X_ref : non-negative array
+        reference energies (broadcastable to ``X``)
+    power : float > 0 or np.inf
+        mask exponent
+    split_zeros : bool
+        assign 0.5 where both inputs are zero
+
+    Returns
+    -------
+    mask : jax.Array in [0, 1]
     """
     X = jnp.asarray(X)
     X_ref = jnp.asarray(X_ref)
