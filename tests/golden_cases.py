@@ -860,3 +860,129 @@ def _(L, s):
         "o4": L.lpc(s["noise"][:4096], order=4),
         "o16": L.lpc(s["noise"][:4096], order=16),
     })
+
+
+# ---- configuration sweeps (non-default parameter paths) -------------------
+
+@case("stft_configs", compare=_snr_compare(80))
+def _(L, s):
+    y = s["chirp"][: SR]
+    return _np({
+        "win_smaller": L.stft(y, n_fft=1024, win_length=512),
+        "hop_odd": np.abs(np.asarray(L.stft(y, n_fft=1024, hop_length=300))),
+        "blackman": L.stft(y, window="blackmanharris"),
+        "reflect": L.stft(y, pad_mode="reflect"),
+        "uncentered": L.stft(y, center=False),
+    })
+
+
+@case("mfcc_configs", compare=_snr_compare(55))
+def _(L, s):
+    y = s["tone"]
+    return _np({
+        "dct3": L.feature.mfcc(y=y, sr=SR, dct_type=3),
+        "dct1": L.feature.mfcc(y=y, sr=SR, dct_type=1, norm=None),
+        "n40": L.feature.mfcc(y=y, sr=SR, n_mfcc=40),
+    })
+
+
+@case("superflux", compare=_snr_compare(50))
+def _(L, s):
+    return _np({
+        "env": L.onset.onset_strength(
+            y=s["clicks"], sr=SR, max_size=3, lag=2
+        ),
+    })
+
+
+@case("pcen_maxfilter", compare=_snr_compare(60))
+def _(L, s):
+    S = np.abs(np.asarray(L.stft(s["chirp"][:SR]))) ** 2
+    return _np({
+        "mf": L.pcen(S, sr=SR, max_size=5),
+        "gain": L.pcen(S, sr=SR, gain=0.8, bias=10, power=0.25,
+                       time_constant=0.06),
+    })
+
+
+@case("hpss_configs", compare=_snr_compare(45))
+def _(L, s):
+    S = np.abs(np.asarray(L.stft(s["clicks"] + s["tone"])))
+    h_m, p_m = L.decompose.hpss(S, mask=True, power=1.0)
+    h_k, p_k = L.decompose.hpss(S, kernel_size=(17, 7))
+    return _np({"h_mask": h_m, "p_mask": p_m, "h_k": h_k, "p_k": p_k})
+
+
+@case("cqt_configs", compare=_snr_compare(40))
+def _(L, s):
+    y = s["tone"]
+    return _np({
+        "hop256": np.abs(np.asarray(L.cqt(
+            y, sr=SR, n_bins=36, hop_length=256, res_type="polyphase"))),
+        "bpo24": np.abs(np.asarray(L.cqt(
+            y, sr=SR, n_bins=48, bins_per_octave=24, fmin=110.0,
+            res_type="polyphase"))),
+        "no_scale": np.abs(np.asarray(L.cqt(
+            y, sr=SR, n_bins=36, scale=False, res_type="polyphase"))),
+        "fscale2": np.abs(np.asarray(L.cqt(
+            y, sr=SR, n_bins=36, filter_scale=2, res_type="polyphase"))),
+    })
+
+
+@case("yin_configs", compare=_snr_compare(50))
+def _(L, s):
+    return _np({
+        "uncentered": L.yin(s["tone"], fmin=200, fmax=800, sr=SR,
+                            center=False),
+        "short_frame": L.yin(s["tone"], fmin=300, fmax=900, sr=SR,
+                             frame_length=512, hop_length=128),
+        "thresh": L.yin(s["tone"], fmin=200, fmax=800, sr=SR,
+                        trough_threshold=0.2),
+    })
+
+
+@case("delta_configs", compare=_snr_compare(70))
+def _(L, s):
+    m = np.asarray(L.feature.mfcc(y=s["tone"], sr=SR)).astype(np.float64)
+    return _np({
+        "w5": L.feature.delta(m, width=5),
+        "nearest": L.feature.delta(m, mode="nearest"),
+        "o3": L.feature.delta(m, width=11, order=3),
+    })
+
+
+@case("normalize_configs", rtol=1e-6, atol=1e-8)
+def _(L, s):
+    X = s["feat_noise"].astype(np.float64)
+    Xz = X.copy()
+    Xz[:, ::7] = 0.0
+    return _np({
+        "thresh_fill_false": L.util.normalize(
+            Xz, axis=0, threshold=0.5, fill=False),
+        "thresh_fill_true": L.util.normalize(
+            Xz, axis=0, threshold=0.5, fill=True),
+        "norm0": L.util.normalize(X, norm=0, axis=0),
+        "minus_inf": L.util.normalize(np.abs(X) + 0.1, norm=-np.inf, axis=1),
+    })
+
+
+@case("tempo_configs", compare=_snr_compare(60))
+def _(L, s):
+    oenv = np.asarray(L.onset.onset_strength(y=s["pulse"], sr=SR))
+    return _np({
+        "frame_wise": np.asarray(L.feature.tempo(
+            onset_envelope=oenv, sr=SR, aggregate=None)),
+        "start90": np.atleast_1d(L.feature.tempo(
+            onset_envelope=oenv, sr=SR, start_bpm=90, std_bpm=0.5)),
+    })
+
+
+@case("istft_windows", compare=_snr_compare(70))
+def _(L, s):
+    y = s["chirp"][: SR]
+    D = L.stft(y, n_fft=1024, window="hamming")
+    return _np({
+        "y": L.istft(D, window="hamming", length=len(y)),
+        "winlen": L.istft(L.stft(y, n_fft=1024, win_length=768),
+                          n_fft=1024, win_length=768, length=len(y)),
+    })
