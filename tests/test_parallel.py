@@ -130,3 +130,31 @@ def test_pod_mesh_shape():
     mesh = pod_mesh(track_axis=2)
     assert mesh.shape["track"] == 2
     assert mesh.shape["time"] == len(jax.devices()) // 2
+
+
+def test_pod_mesh_2d_mel(rng):
+    # (track, time) 2-D mesh: batch shards over 'track', signals over 'time'
+    from librosa_tpu.parallel import melspectrogram_sharded, pod_mesh
+
+    mesh = pod_mesh(track_axis=2)
+    n = 4 * 512 * 8  # divisible by time-axis (4) * hop
+    y = rng.randn(2, n).astype(np.float32)
+    M_ref = np.asarray(lt.feature.melspectrogram(y=y))
+    M_sh = np.asarray(
+        melspectrogram_sharded(y, mesh=mesh, axis_name="time")
+    )
+    assert M_sh.shape == M_ref.shape
+    # 2-D layouts reassociate the mel reduction; fp-level tolerance
+    np.testing.assert_allclose(M_sh, M_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_onset_sharded_multichannel(mesh8, rng):
+    import jax.numpy as jnp
+    from librosa_tpu.parallel import onset_strength_sharded
+
+    n = 8 * 512 * 16
+    y = rng.randn(2, n).astype(np.float32) * 0.1
+    env_sh = np.asarray(onset_strength_sharded(y, mesh=mesh8))
+    env = np.asarray(lt.onset.onset_strength(y=y, sr=22050, aggregate=jnp.mean))
+    assert env_sh.shape == env.shape
+    np.testing.assert_allclose(env_sh, env, atol=2e-5)
