@@ -986,3 +986,71 @@ def _(L, s):
         "winlen": L.istft(L.stft(y, n_fft=1024, win_length=768),
                           n_fft=1024, win_length=768, length=len(y)),
     })
+
+
+@case("vqt_gamma", compare=_snr_compare(40))
+def _(L, s):
+    y = s["tone"]
+    return _np({
+        "gamma5": np.abs(np.asarray(L.vqt(
+            y, sr=SR, n_bins=48, gamma=5.0, res_type="polyphase"))),
+        "gamma_none": np.abs(np.asarray(L.vqt(
+            y, sr=SR, n_bins=48, gamma=None, res_type="polyphase"))),
+        "pyth": np.abs(np.asarray(L.vqt(
+            y, sr=SR, n_bins=48, intervals="pythagorean",
+            res_type="polyphase"))),
+    })
+
+
+@case("piptrack_configs", compare=_snr_compare(40))
+def _(L, s):
+    p1, m1 = L.piptrack(y=s["tone"], sr=SR, threshold=0.5)
+    p2, m2 = L.piptrack(y=s["chirp"], sr=SR, fmin=500, fmax=3000,
+                        n_fft=1024)
+    return _np({"p1": p1, "m1": m1, "p2": p2, "m2": m2})
+
+
+@case("harmonics_2d", compare=_snr_compare(55))
+def _(L, s):
+    S = np.abs(np.asarray(L.stft(s["chirp"][:SR])))
+    freqs_1d = np.asarray(L.fft_frequencies(sr=SR))
+    # time-varying frequency grid: slight per-frame warp
+    freqs_2d = freqs_1d[:, None] * (
+        1.0 + 0.01 * np.sin(np.linspace(0, 3, S.shape[-1]))[None, :]
+    )
+    return _np({
+        "tv": L.interp_harmonics(S, freqs=freqs_2d, harmonics=[1, 2]),
+        "f0h": L.f0_harmonics(
+            S, f0=220.0 * np.ones(S.shape[-1]), freqs=freqs_1d,
+            harmonics=[1, 2, 3],
+        ),
+    })
+
+
+@case("spectrogram_inputs", compare=_snr_compare(60))
+def _(L, s):
+    # S-input paths (y=None) across features
+    S_mag = np.abs(np.asarray(L.stft(s["chirp"][:SR]))).astype(np.float32)
+    mel_from_S = L.feature.melspectrogram(S=S_mag**2, sr=SR)
+    return _np({
+        "mel_S": mel_from_S,
+        "cent_S": L.feature.spectral_centroid(S=S_mag, sr=SR),
+        "rms_S": L.feature.rms(S=S_mag),
+        "chroma_S": L.feature.chroma_stft(S=S_mag**2, sr=SR, tuning=0.0),
+        "mfcc_S": L.feature.mfcc(
+            S=np.asarray(L.power_to_db(mel_from_S)), sr=SR),
+    })
+
+
+@case("sync_aggregates", rtol=1e-5, atol=1e-6)
+def _(L, s):
+    X = s["feat_noise"].astype(np.float64)
+    idx = [0, 10, 25, 40, 64]
+    sls = [slice(0, 10), slice(10, 30), slice(30, 64)]
+    return _np({
+        "mean_idx": L.util.sync(X, idx, aggregate=np.mean),
+        "max_idx": L.util.sync(X, idx, aggregate=np.max),
+        "med_slices": L.util.sync(X, sls, aggregate=np.median),
+        "nopad": L.util.sync(X, idx, aggregate=np.mean, pad=False),
+        "ax0": L.util.sync(X, [0, 4, 9], aggregate=np.mean, axis=0),
+    })
