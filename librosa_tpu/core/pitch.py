@@ -311,6 +311,59 @@ def yin(
     return sr / period
 
 
+@functools.lru_cache(maxsize=16)
+def _pyin_constants(
+    sr, fmin, fmax, hop_length, n_thresholds, beta_parameters, resolution,
+    max_transition_rate, switch_prob, transition_min_prob,
+):
+    """Device-resident pYIN priors + HMM matrices, cached per config.
+
+    The (2·n_bins)² log-transition matrix is ~3 MB; rebuilding and
+    re-uploading it per call costs tens of milliseconds over a remote
+    device link, so the device arrays are memoized.
+    """
+    import scipy.stats
+
+    from ..sequence import transition_local, transition_loop
+
+    thresholds = np.linspace(0, 1, n_thresholds + 1)
+    beta_cdf = scipy.stats.beta.cdf(
+        thresholds, beta_parameters[0], beta_parameters[1]
+    )
+    beta_probs = np.diff(beta_cdf)
+
+    n_bins_per_semitone = int(np.ceil(1.0 / resolution))
+    n_pitch_bins = (
+        int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
+    )
+
+    max_semitones_per_frame = round(max_transition_rate * 12 * hop_length / sr)
+    transition_width = max_semitones_per_frame * n_bins_per_semitone + 1
+    transition = transition_local(
+        n_pitch_bins, transition_width, window="triangle", wrap=False
+    )
+    t_switch = transition_loop(2, 1 - switch_prob)
+    transition = np.kron(t_switch, np.asarray(transition))
+
+    # Uniform over ALL states (reference core/pitch.py:840) — older librosa
+    # started in the unvoiced half, 1.0dev does not.
+    p_init = np.full(2 * n_pitch_bins, 1 / (2 * n_pitch_bins))
+
+    eps = np.finfo(np.float64).tiny
+    log_trans = np.log(transition + eps)
+    if transition_min_prob is not None and transition_min_prob > 0:
+        feasible = log_trans >= np.log(transition_min_prob + eps)
+        log_trans = np.where(feasible, log_trans, -np.inf)
+    log_p_init = np.log(p_init + eps)
+
+    return (
+        jnp.asarray(thresholds),
+        jnp.asarray(beta_probs),
+        jnp.asarray(log_trans, dtype=jnp.float32),
+        jnp.asarray(log_p_init, dtype=jnp.float32),
+    )
+
+
 def pyin(
     y: Any,
     *,
@@ -390,43 +443,22 @@ def pyin(
     min_period = int(np.floor(sr / fmax))
     max_period = min(int(np.ceil(sr / fmin)), frame_length - 1)
 
-    # ------------------------------------------------------------------
-    # Host-side constants (reference __pyin_helper priors + HMM matrices)
-    # ------------------------------------------------------------------
-    import scipy.stats
-
-    thresholds = np.linspace(0, 1, n_thresholds + 1)
-    beta_cdf = scipy.stats.beta.cdf(thresholds, beta_parameters[0], beta_parameters[1])
-    beta_probs = np.diff(beta_cdf)  # (n_thresholds,)
-
     n_bins_per_semitone = int(np.ceil(1.0 / resolution))
     n_pitch_bins = int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
 
-    max_semitones_per_frame = round(max_transition_rate * 12 * hop_length / sr)
-    transition_width = max_semitones_per_frame * n_bins_per_semitone + 1
-    transition = transition_local(
-        n_pitch_bins, transition_width, window="triangle", wrap=False
+    thresholds_d, beta_probs_d, log_trans_d, log_p_init_d = _pyin_constants(
+        float(sr), float(fmin), float(fmax), hop_length, int(n_thresholds),
+        (float(beta_parameters[0]), float(beta_parameters[1])),
+        float(resolution), float(max_transition_rate), float(switch_prob),
+        None if transition_min_prob is None else float(transition_min_prob),
     )
-    t_switch = transition_loop(2, 1 - switch_prob)
-    transition = np.kron(t_switch, np.asarray(transition))
-
-    # Uniform over ALL states (reference core/pitch.py:840) — older librosa
-    # started in the unvoiced half, 1.0dev does not.
-    p_init = np.full(2 * n_pitch_bins, 1 / (2 * n_pitch_bins))
-
-    eps = np.finfo(np.float64).tiny
-    log_trans = np.log(transition + eps)
-    if transition_min_prob is not None and transition_min_prob > 0:
-        feasible = log_trans >= np.log(transition_min_prob + eps)
-        log_trans = np.where(feasible, log_trans, -np.inf)
-    log_p_init = np.log(p_init + eps)
 
     f0, voiced_flag, voiced_prob = _pyin_core(
         y,
-        jnp.asarray(thresholds),
-        jnp.asarray(beta_probs),
-        jnp.asarray(log_trans, dtype=jnp.float32),
-        jnp.asarray(log_p_init, dtype=jnp.float32),
+        thresholds_d,
+        beta_probs_d,
+        log_trans_d,
+        log_p_init_d,
         sr=float(sr), fmin=float(fmin),
         frame_length=frame_length, hop_length=hop_length,
         min_period=min_period, max_period=max_period,
