@@ -131,6 +131,32 @@ def _remap_basis(basis: np.ndarray, n_fft: int, n1: int, n2: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _device_consts(n_fft: int, n2: int, win_key: bytes, basis_key: bytes,
+                   n_out: int):
+    """Device-resident window/table/basis constants, cached per config.
+
+    Re-uploading ~0.7 MB of trig tables + basis per eager call costs
+    10-20 ms over a remote device link; the arrays are immutable per
+    configuration, so cache the uploaded copies (keys are the raw bytes
+    of the window and basis, so a changed filterbank re-uploads).
+    """
+    n1 = n_fft // n2
+    kh = n2 // 2 + 1
+    c2, s2, ctw, stw, c1, s1 = _host_tables(n_fft, n2)
+    win = np.frombuffer(win_key, dtype=np.float32).reshape(n2, n1)
+    basis_np = np.frombuffer(basis_key, dtype=np.float32).reshape(n_out, -1)
+    remapped = _remap_basis(basis_np, n_fft, n1, n2)
+    return (
+        jnp.asarray(win),
+        jnp.asarray(np.concatenate([c2.T[:kh], -s2.T[:kh]], axis=0)),
+        jnp.asarray(np.ascontiguousarray(ctw.T[:kh])),
+        jnp.asarray(np.ascontiguousarray(stw.T[:kh])),
+        jnp.asarray(np.concatenate([c1, s1], axis=1)),
+        jnp.asarray(remapped),
+    )
+
+
 @functools.lru_cache(maxsize=128)
 def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
                  precision, interpret, n_tracks=1):
@@ -339,19 +365,21 @@ def stft_mel_pallas(
         y = y.reshape(-1, y.shape[-1])
 
     n1, n2 = _factor(n_fft)
-    c2, s2, ctw, stw, c1, s1 = _host_tables(n_fft, n2)
 
     if hop_length % n1:
         raise ValueError(
             f"pallas stft kernel needs hop_length divisible by {n1}"
         )
 
-    basis_np = np.asarray(basis, dtype=np.float32)
+    basis_np = np.ascontiguousarray(np.asarray(basis, dtype=np.float32))
     n_out = basis_np.shape[0]
-    remapped = _remap_basis(basis_np, n_fft, n1, n2)
-
-    # window in the (t2, t1) frame-tensor layout: win[t1 + n1*t2]
-    win = jnp.asarray(window, dtype=jnp.float32).reshape(n2, n1)
+    win_np = np.ascontiguousarray(
+        np.asarray(window, dtype=np.float32).reshape(n2, n1)
+    )
+    # device-resident constants, uploaded once per configuration
+    win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d = _device_consts(
+        n_fft, n2, win_np.tobytes(), basis_np.tobytes(), n_out
+    )
 
     # One combined pad (center + tile rounding) — padding a large input
     # twice would cost two full HBM copies.
@@ -388,15 +416,7 @@ def stft_mel_pallas(
         n_fft, hop_length, n1, n2, tt, n_tiles, n_out, float(power),
         precision, interpret, n_tracks,
     )
-    out = call(
-        rows, win,
-        jnp.asarray(np.concatenate(                      # [c2; -s2] (2kh, n2)
-            [c2.T[:kh], -s2.T[:kh]], axis=0)),
-        jnp.asarray(np.ascontiguousarray(ctw.T[:kh])),   # [k2, t1]
-        jnp.asarray(np.ascontiguousarray(stw.T[:kh])),
-        jnp.asarray(np.concatenate([c1, s1], axis=1)),   # [c1 | s1] (n1, 2n1)
-        jnp.asarray(remapped),                           # [k2, k1, m] folded
-    )
+    out = call(rows, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d)
     if not lead_shape:
         return out[:, :n_frames]
     # (n_out, n_tracks·n_tiles·tt) → (..., n_out, n_frames)
