@@ -1054,3 +1054,44 @@ def _(L, s):
         "nopad": L.util.sync(X, idx, aggregate=np.mean, pad=False),
         "ax0": L.util.sync(X, [0, 4, 9], aggregate=np.mean, axis=0),
     })
+
+
+@case("weighting_multi", rtol=1e-5, atol=1e-5)
+def _(L, s):
+    f = np.linspace(30.0, 8000.0, 41)
+    return _np({
+        "fw_a": L.frequency_weighting(f, kind="A"),
+        "fw_z": L.frequency_weighting(f, kind="Z"),
+        "multi": L.multi_frequency_weighting(f, kinds="ZAC"),
+        "pw": L.perceptual_weighting(
+            np.abs(np.fft.rfft(s["noise"][:512]))[:, None].astype(np.float64) ** 2,
+            np.asarray(L.fft_frequencies(sr=SR, n_fft=512)),
+            kind="B",
+        ),
+    })
+
+
+@case("interval_systems", rtol=1e-10, atol=1e-12)
+def _(L, s):
+    return _np({
+        "eq": L.interval_frequencies(24, fmin=55.0, intervals="equal"),
+        "pyth": L.interval_frequencies(24, fmin=55.0, intervals="pythagorean"),
+        "ji3": L.interval_frequencies(24, fmin=55.0, intervals="ji3"),
+        "ji5": L.interval_frequencies(24, fmin=55.0, intervals="ji5"),
+        "ji7": L.interval_frequencies(24, fmin=55.0, intervals="ji7"),
+        "explicit": L.interval_frequencies(
+            10, fmin=100.0, intervals=[1, 9 / 8, 5 / 4, 4 / 3, 3 / 2, 5 / 3]),
+        "pyth_sorted": L.pythagorean_intervals(bins_per_octave=17),
+        "plimit": L.plimit_intervals(primes=[3, 5, 7], bins_per_octave=19),
+    })
+
+
+@case("fourier_tempo_variants", compare=_snr_compare(50))
+def _(L, s):
+    oenv = np.asarray(L.onset.onset_strength(y=s["pulse"], sr=SR)).astype(np.float32)
+    return _np({
+        "ftg_w192": np.abs(np.asarray(L.feature.fourier_tempogram(
+            onset_envelope=oenv, sr=SR, win_length=192))),
+        "ftg_w64": np.abs(np.asarray(L.feature.fourier_tempogram(
+            onset_envelope=oenv, sr=SR, win_length=64))),
+    })
