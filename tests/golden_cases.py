@@ -1076,7 +1076,12 @@ def _(L, s):
     return _np({
         "eq": L.interval_frequencies(24, fmin=55.0, intervals="equal"),
         "pyth": L.interval_frequencies(24, fmin=55.0, intervals="pythagorean"),
-        "ji3": L.interval_frequencies(24, fmin=55.0, intervals="ji3"),
+        # NB: ji3 at the default 12 bins/octave hits an EXACT harmonic-
+        # distance tie whose resolution is summation-order dependent (the
+        # reference's own docstring and its live execution disagree);
+        # 24 bins/octave is tie-free.
+        "ji3": L.interval_frequencies(
+            24, fmin=55.0, intervals="ji3", bins_per_octave=24),
         "ji5": L.interval_frequencies(24, fmin=55.0, intervals="ji5"),
         "ji7": L.interval_frequencies(24, fmin=55.0, intervals="ji7"),
         "explicit": L.interval_frequencies(
