@@ -312,16 +312,11 @@ def yin(
 
 
 @functools.lru_cache(maxsize=16)
-def _pyin_constants(
+def _pyin_constants_host(
     sr, fmin, fmax, hop_length, n_thresholds, beta_parameters, resolution,
     max_transition_rate, switch_prob, transition_min_prob,
 ):
-    """Device-resident pYIN priors + HMM matrices, cached per config.
-
-    The (2·n_bins)² log-transition matrix is ~3 MB; rebuilding and
-    re-uploading it per call costs tens of milliseconds over a remote
-    device link, so the device arrays are memoized.
-    """
+    """Host-side pYIN priors + HMM matrices, cached per config."""
     import scipy.stats
 
     from ..sequence import transition_local, transition_loop
@@ -357,11 +352,30 @@ def _pyin_constants(
     log_p_init = np.log(p_init + eps)
 
     return (
-        jnp.asarray(thresholds),
-        jnp.asarray(beta_probs),
-        jnp.asarray(log_trans, dtype=jnp.float32),
-        jnp.asarray(log_p_init, dtype=jnp.float32),
+        thresholds,
+        beta_probs,
+        log_trans.astype(np.float32),
+        log_p_init.astype(np.float32),
     )
+
+
+_PYIN_DEV: dict = {}
+
+
+def _pyin_constants(*key):
+    """Device-resident pYIN constants, cached per config.
+
+    The (2·n_bins)² log-transition matrix is ~3 MB; re-uploading it per
+    call costs tens of milliseconds over a remote device link.  Tracer
+    values (calls under an outer jit) are never cached.
+    """
+    cached = _PYIN_DEV.get(key)
+    if cached is not None:
+        return cached
+    dev = tuple(jnp.asarray(a) for a in _pyin_constants_host(*key))
+    if not isinstance(dev[0], jax.core.Tracer):
+        _PYIN_DEV[key] = dev
+    return dev
 
 
 def pyin(

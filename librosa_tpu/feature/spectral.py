@@ -9,6 +9,7 @@ XLA-fused.  Parity citations refer to ``librosa/feature/spectral.py``.
 from __future__ import annotations
 
 import itertools
+import warnings
 from typing import Any, Optional, Union
 
 import jax
@@ -1040,9 +1041,15 @@ def melspectrogram(
                     n_fft=n_fft, hop_length=hop_length, power=float(power),
                     center=center, pad_mode=pad_mode,
                 )
-            except Exception:
-                # fall back to the XLA path on any kernel-support gap
-                pass
+            except Exception as _e:
+                # fall back to the XLA path on any kernel-support gap —
+                # but never silently: a swallowed error here once hid a
+                # 3x throughput regression
+                warnings.warn(
+                    f"fused mel kernel unavailable ({_e!r}); "
+                    "falling back to the XLA pipeline",
+                    stacklevel=2,
+                )
 
         return _stft_mel_core(
             y,

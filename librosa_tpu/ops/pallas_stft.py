@@ -132,29 +132,45 @@ def _remap_basis(basis: np.ndarray, n_fft: int, n1: int, n2: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _device_consts(n_fft: int, n2: int, win_key: bytes, basis_key: bytes,
-                   n_out: int):
-    """Device-resident window/table/basis constants, cached per config.
-
-    Re-uploading ~0.7 MB of trig tables + basis per eager call costs
-    10-20 ms over a remote device link; the arrays are immutable per
-    configuration, so cache the uploaded copies (keys are the raw bytes
-    of the window and basis, so a changed filterbank re-uploads).
-    """
+def _host_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
+    """Host-side (numpy) kernel table constants, cached per configuration."""
     n1 = n_fft // n2
     kh = n2 // 2 + 1
     c2, s2, ctw, stw, c1, s1 = _host_tables(n_fft, n2)
-    win = np.frombuffer(win_key, dtype=np.float32).reshape(n2, n1)
     basis_np = np.frombuffer(basis_key, dtype=np.float32).reshape(n_out, -1)
     remapped = _remap_basis(basis_np, n_fft, n1, n2)
     return (
-        jnp.asarray(win),
-        jnp.asarray(np.concatenate([c2.T[:kh], -s2.T[:kh]], axis=0)),
-        jnp.asarray(np.ascontiguousarray(ctw.T[:kh])),
-        jnp.asarray(np.ascontiguousarray(stw.T[:kh])),
-        jnp.asarray(np.concatenate([c1, s1], axis=1)),
-        jnp.asarray(remapped),
+        np.concatenate([c2.T[:kh], -s2.T[:kh]], axis=0),
+        np.ascontiguousarray(ctw.T[:kh]),
+        np.ascontiguousarray(stw.T[:kh]),
+        np.concatenate([c1, s1], axis=1),
+        remapped,
     )
+
+
+_DEV_CONSTS: dict = {}
+
+
+def _device_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
+    """Device-resident kernel table constants, cached per configuration.
+
+    Re-uploading ~0.7 MB of trig tables + basis per eager call costs
+    10-20 ms over a remote device link.  Under an outer jit trace,
+    jnp.asarray yields TRACERS — those must never be cached (a cached
+    tracer poisons every later call), so tracing calls return fresh
+    values that embed as compile-time constants of that program.  The
+    window is NOT handled here: it may itself be a traced value and is
+    tiny, so callers pass it through directly.
+    """
+    key = (n_fft, n2, basis_key, n_out)
+    cached = _DEV_CONSTS.get(key)
+    if cached is not None:
+        return cached
+    host = _host_consts(n_fft, n2, basis_key, n_out)
+    dev = tuple(jnp.asarray(a) for a in host)
+    if not isinstance(dev[0], jax.core.Tracer):
+        _DEV_CONSTS[key] = dev
+    return dev
 
 
 @functools.lru_cache(maxsize=128)
@@ -373,12 +389,11 @@ def stft_mel_pallas(
 
     basis_np = np.ascontiguousarray(np.asarray(basis, dtype=np.float32))
     n_out = basis_np.shape[0]
-    win_np = np.ascontiguousarray(
-        np.asarray(window, dtype=np.float32).reshape(n2, n1)
-    )
-    # device-resident constants, uploaded once per configuration
-    win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d = _device_consts(
-        n_fft, n2, win_np.tobytes(), basis_np.tobytes(), n_out
+    # window may be a traced value (caller under jit): keep it in jnp-land
+    win = jnp.asarray(window, dtype=jnp.float32).reshape(n2, n1)
+    # device-resident table constants, uploaded once per configuration
+    cs2_d, ctw_d, stw_d, c1s1_d, remapped_d = _device_consts(
+        n_fft, n2, basis_np.tobytes(), n_out
     )
 
     # One combined pad (center + tile rounding) — padding a large input

@@ -102,3 +102,45 @@ def test_chroma_stft_kernel_path_matches_xla(rng, tone_440):
     S = np.asarray(np.abs(np.asarray(lt.stft(y))) ** 2)
     c2 = np.asarray(lt.feature.chroma_stft(S=S, sr=SR, tuning=0.0))
     assert np.allclose(c1[:, : c2.shape[1]], c2, atol=1e-5)
+
+
+def test_kernel_accepts_traced_window():
+    # Regression: converting the window via np.asarray blew up when the
+    # caller was under an outer jit (window is a tracer), silently falling
+    # back to the XLA pipeline — a 3x throughput loss on TPU.
+    import jax
+    import jax.numpy as jnp
+
+    from librosa_tpu import filters
+    from librosa_tpu.ops.pallas_stft import stft_mel_pallas
+
+    y = np.random.RandomState(0).randn(8192).astype(np.float32)
+    mel = filters.mel(sr=22050, n_fft=256, n_mels=32)
+    win = filters.get_window("hann", 256).astype(np.float32)
+
+    @jax.jit
+    def run(yy, w):
+        return stft_mel_pallas(
+            yy, w, mel, n_fft=256, hop_length=128, interpret=True
+        )
+
+    out = np.asarray(run(jnp.asarray(y), jnp.asarray(win)))
+    ref = np.asarray(
+        stft_mel_pallas(y, win, mel, n_fft=256, hop_length=128,
+                        interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_device_const_cache_never_holds_tracers():
+    import jax
+    import jax.numpy as jnp
+
+    from librosa_tpu.ops import pallas_stft as P
+
+    for v in P._DEV_CONSTS.values():
+        assert not any(isinstance(a, jax.core.Tracer) for a in v)
+    from librosa_tpu.core import pitch as pitch_mod
+
+    for v in pitch_mod._PYIN_DEV.values():
+        assert not any(isinstance(a, jax.core.Tracer) for a in v)
