@@ -108,51 +108,26 @@ def thaat_to_degrees(thaat: str) -> np.ndarray:
     return np.asarray(THAAT_MAP[thaat.lower()])
 
 
+# The melakarta system enumerates its Ri/Ga (and Dha/Ni) choices as the six
+# 2-element subsets of four consecutive semitone slots, in lexicographic
+# order.  Index arithmetic below decodes a mela number into those subsets.
+_MELA_PAIRS = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+
+
 def mela_to_degrees(mela: Union[str, int]) -> np.ndarray:
     """Pitch classes for a melakarta raga. Parity: notation.py:200."""
     if isinstance(mela, str):
         index = MELAKARTA_MAP[mela.lower()] - 1
     elif 0 < mela <= 72:
-        index = mela - 1
+        index = int(mela) - 1
     else:
         raise ParameterError(f"mela={mela} must be in range [1, 72]")
 
-    degrees = [0]
-    lower = index % 36
-    if 0 <= lower < 6:
-        degrees.extend([1, 2])
-    elif 6 <= lower < 12:
-        degrees.extend([1, 3])
-    elif 12 <= lower < 18:
-        degrees.extend([1, 4])
-    elif 18 <= lower < 24:
-        degrees.extend([2, 3])
-    elif 24 <= lower < 30:
-        degrees.extend([2, 4])
-    else:
-        degrees.extend([3, 4])
-
-    if index < 36:
-        degrees.append(5)
-    else:
-        degrees.append(6)
-    degrees.append(7)
-
-    upper = index % 6
-    if upper == 0:
-        degrees.extend([8, 9])
-    elif upper == 1:
-        degrees.extend([8, 10])
-    elif upper == 2:
-        degrees.extend([8, 11])
-    elif upper == 3:
-        degrees.extend([9, 10])
-    elif upper == 4:
-        degrees.extend([9, 11])
-    else:
-        degrees.extend([10, 11])
-
-    return np.array(degrees)
+    # mela = 36 * chakra_half + 6 * lower_pair + upper_pair
+    ri, ga = _MELA_PAIRS[index % 36 // 6]
+    dha, ni = _MELA_PAIRS[index % 6]
+    ma = 5 + index // 36  # suddha (melas 1-36) vs prati (37-72) madhyama
+    return np.array([0, 1 + ri, 1 + ga, ma, 7, 8 + dha, 8 + ni])
 
 
 def mela_to_svara(

@@ -129,17 +129,18 @@ def get_window(window: _WindowSpec, Nx: int, *, fftbins: bool = True) -> np.ndar
     Parity: reference ``filters.py:915`` — str/tuple/scalar specs dispatch to
     ``scipy.signal.get_window``; callables and precomputed arrays pass through.
     """
+    # Precomputed vectors pass through after a length check; factories are
+    # invoked; named/parameterized specs delegate to scipy's window table.
+    if isinstance(window, (list, np.ndarray)):
+        win = np.asarray(window)
+        if win.shape[0] != Nx:
+            raise ParameterError(f"Window size mismatch: {win.shape[0]:d} != {Nx:d}")
+        return win
     if callable(window):
         return window(Nx)
-    elif isinstance(window, (str, tuple)) or np.isscalar(window):
-        win: np.ndarray = scipy.signal.get_window(window, Nx, fftbins=fftbins)
-        return win
-    elif isinstance(window, (np.ndarray, list)):
-        if len(window) == Nx:
-            return np.asarray(window)
-        raise ParameterError(f"Window size mismatch: {len(window):d} != {Nx:d}")
-    else:
+    if not (isinstance(window, (str, tuple)) or np.isscalar(window)):
         raise ParameterError(f"Invalid window specification: {window!r}")
+    return np.asarray(scipy.signal.get_window(window, Nx, fftbins=fftbins))
 
 
 # Equivalent-noise-bandwidth lookup (standard ENBW constants; reference
@@ -659,15 +660,20 @@ def diagonal_filter(
     """Build a two-dimensional diagonal smoothing filter. Parity: filters.py:1343."""
     if angle is None:
         angle = np.arctan(slope)
-    win: np.ndarray = np.diag(get_window(window, n, fftbins=False))
-    if not np.isclose(angle, np.pi / 4):
-        import scipy.ndimage
 
-        win = scipy.ndimage.rotate(
-            win, 45 - angle * 180 / np.pi, order=5, prefilter=False
+    # Lay the 1-D window along the main diagonal (a 45-degree line in image
+    # coordinates), then spline-rotate the plane to the requested angle.
+    kernel = np.diag(get_window(window, n, fftbins=False))
+    if not np.isclose(angle, np.pi / 4):
+        from scipy.ndimage import rotate as _nd_rotate
+
+        kernel = _nd_rotate(
+            kernel, 45.0 - np.degrees(angle), order=5, prefilter=False
         )
-    np.clip(win, 0, None, out=win)
-    win /= win.sum()
+
+    # Spline interpolation can ring negative; clamp, then normalize mass.
+    kernel = np.maximum(kernel, 0.0)
+    kernel = kernel / kernel.sum()
     if zero_mean:
-        win -= win.mean()
-    return win
+        kernel = kernel - kernel.mean()
+    return kernel

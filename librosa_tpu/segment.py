@@ -1,8 +1,12 @@
 """Self-similarity, recurrence, and temporal segmentation (L5).
 
-Recurrence graphs are small host-side sparse structures (sklearn
-NearestNeighbors, as in the reference); dense affinity math and path
-enhancement run on device.  Parity citations refer to ``librosa/segment.py``.
+Recurrence/cross-similarity kNN graphs are computed on device for
+matmul-shaped metrics (euclidean/sqeuclidean/l2/cosine): a tiled pairwise
+distance matmul + ``lax.top_k`` in ``ops.knn``, followed by vectorized
+band-exclusion and top-k pruning on the candidate arrays.  Exotic metrics
+fall back to host sklearn, as in the reference.  Dense affinity math and
+path enhancement run on device.  Parity citations refer to
+``librosa/segment.py``.
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ import numpy as np
 import scipy.sparse
 
 from .filters import diagonal_filter
+from .ops import knn as _knn_ops
 from .util import utils as util
 from .util.exceptions import ParameterError
 
@@ -137,7 +142,11 @@ def _knn_graph(data_fit, k_neighbors: int, metric: str, mode: str, X=None):
 
 
 def _topk_prune(g, n_rows: int, k: int) -> None:
-    """Retain only the top-k (closest) links per row of a LIL graph."""
+    """Retain only the top-k (closest) links per row of a LIL graph.
+
+    Host fallback for exotic metrics; the device path prunes candidate
+    arrays directly (``_graph_from_candidates``).
+    """
     for i in range(n_rows):
         links = g.rows[i]
         if len(links) <= k:
@@ -146,6 +155,53 @@ def _topk_prune(g, n_rows: int, k: int) -> None:
         order = np.argsort(vals)
         for j in np.array(links)[order[k:]]:
             g[i, j] = 0
+
+
+def _graph_from_candidates(
+    dist: np.ndarray,
+    idx: np.ndarray,
+    n_cols: int,
+    *,
+    mode: str,
+    k: Optional[int] = None,
+    width: int = 0,
+):
+    """Build the pruned kNN LIL graph from (n, m) nearest-candidate arrays.
+
+    Candidates arrive sorted ascending by distance (``ops.knn.topm``).
+    Pruning reproduces the reference's post-hoc order (segment.py:652-668):
+    drop candidates inside the |i-j| < width band, then keep k per row — by
+    ascending distance in distance/affinity mode, or by lowest column index
+    in connectivity mode (where the reference sorts all-equal 1.0 weights).
+    Fully vectorized; no per-element sparse writes.
+    """
+    n, m = idx.shape
+    if k is None:
+        # no pruning: keep every candidate
+        rows = np.repeat(np.arange(n), m)
+        cols = idx.ravel()
+        vals = (
+            np.ones(cols.size) if mode == "connectivity"
+            else dist.ravel().astype(np.float64)
+        )
+    else:
+        valid = np.abs(idx - np.arange(n)[:, None]) >= width
+        if mode == "connectivity":
+            cand = np.where(valid, idx, n_cols)  # sentinel past the last col
+            cand = np.sort(cand, axis=1)[:, :k]
+            keep = cand < n_cols
+            rows = np.repeat(np.arange(n), cand.shape[1])[keep.ravel()]
+            cols = cand[keep]
+            vals = np.ones(cols.size)
+        else:
+            keep = valid & (np.cumsum(valid, axis=1) <= k)
+            rows = np.nonzero(keep)[0]
+            cols = idx[keep]
+            vals = dist[keep].astype(np.float64)
+    g = scipy.sparse.coo_matrix(
+        (vals, (rows, cols)), shape=(n, n_cols)
+    )
+    return g.tolil()
 
 
 def cross_similarity(
@@ -207,10 +263,16 @@ def cross_similarity(
         k = n
 
     kng_mode = "distance" if mode == "affinity" else mode
-    xsim = _knn_graph(data_ref, min(n_ref, k), metric, kng_mode, X=data)
-
-    if not full:
-        _topk_prune(xsim, n, k)
+    if metric in _knn_ops.DEVICE_METRICS:
+        dist_c, idx_c = _knn_ops.topm(
+            data, data_ref, min(n_ref, k), metric=metric, exclude_self=False
+        )
+        # m <= k, so the reference's post-hoc top-k prune never fires here.
+        xsim = _graph_from_candidates(dist_c, idx_c, n_ref, mode=kng_mode)
+    else:
+        xsim = _knn_graph(data_ref, min(n_ref, k), metric, kng_mode, X=data)
+        if not full:
+            _topk_prune(xsim, n, k)
 
     xsim = xsim.tocsr()
     xsim.eliminate_zeros()
@@ -301,12 +363,21 @@ def recurrence_matrix(
         k = t
 
     kng_mode = "distance" if mode == "affinity" else mode
-    rec = _knn_graph(data, min(t - 1, k + 2 * width), metric, kng_mode)
-
-    if not full:
-        for diag in range(-width + 1, width):
-            rec.setdiag(0, diag)
-        _topk_prune(rec, t, k)
+    if metric in _knn_ops.DEVICE_METRICS:
+        dist_c, idx_c = _knn_ops.topm(
+            data, data, min(t - 1, k + 2 * width),
+            metric=metric, exclude_self=True,
+        )
+        rec = _graph_from_candidates(
+            dist_c, idx_c, t, mode=kng_mode,
+            k=None if full else k, width=width,
+        )
+    else:
+        rec = _knn_graph(data, min(t - 1, k + 2 * width), metric, kng_mode)
+        if not full:
+            for diag in range(-width + 1, width):
+                rec.setdiag(0, diag)
+            _topk_prune(rec, t, k)
 
     if self:
         if mode == "connectivity":

@@ -199,3 +199,54 @@ def test_nn_filter(features):
 
     out = decompose.nn_filter(features)
     assert out.shape == features.shape
+
+
+# --- device kNN path: equivalence with the host sklearn fallback ------------
+#
+# Tie-free random features: the structured `features` fixture contains exact
+# duplicate frames, and when distances tie the k-th-neighbor cutoff is
+# implementation-defined in sklearn too — both graphs are valid but differ.
+
+
+@pytest.fixture(scope="module")
+def knn_features(rng):
+    return rng.randn(6, 60).astype(np.float32)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine", "sqeuclidean"])
+@pytest.mark.parametrize("mode", ["connectivity", "distance", "affinity"])
+@pytest.mark.parametrize("k,width", [(None, 1), (5, 1), (5, 3), (1, 3)])
+def test_recurrence_device_matches_sklearn(knn_features, metric, mode, k, width):
+    """ops.knn distance-matmul path must reproduce the sklearn graph exactly
+    (same neighbor sets, same weights) across the pruning parameter space."""
+    from librosa_tpu.ops import knn as knn_ops
+
+    features = knn_features
+    kw = dict(metric=metric, mode=mode, k=k, width=width)
+    R_dev = np.asarray(segment.recurrence_matrix(features, **kw), dtype=float)
+    saved = knn_ops.DEVICE_METRICS
+    knn_ops.DEVICE_METRICS = frozenset()
+    try:
+        R_host = np.asarray(segment.recurrence_matrix(features, **kw), dtype=float)
+    finally:
+        knn_ops.DEVICE_METRICS = saved
+    np.testing.assert_allclose(R_dev, R_host, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+@pytest.mark.parametrize("mode", ["connectivity", "distance", "affinity"])
+@pytest.mark.parametrize("k", [None, 5])
+def test_cross_similarity_device_matches_sklearn(knn_features, rng, metric, mode, k):
+    from librosa_tpu.ops import knn as knn_ops
+
+    features = knn_features
+    other = rng.randn(6, 45).astype(np.float32)
+    kw = dict(metric=metric, mode=mode, k=k)
+    C_dev = np.asarray(segment.cross_similarity(features, other, **kw), dtype=float)
+    saved = knn_ops.DEVICE_METRICS
+    knn_ops.DEVICE_METRICS = frozenset()
+    try:
+        C_host = np.asarray(segment.cross_similarity(features, other, **kw), dtype=float)
+    finally:
+        knn_ops.DEVICE_METRICS = saved
+    np.testing.assert_allclose(C_dev, C_host, rtol=1e-4, atol=1e-5)
