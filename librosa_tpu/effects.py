@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import core, decompose, feature
+from .ops import iir as _iir_ops
 from .util import utils as util
 from .util.exceptions import ParameterError
 
@@ -458,21 +459,19 @@ def preemphasis(
     -------
     y_out : jax.Array (and ``zf`` if requested)
     """
-    import scipy.signal
-
-    y = np.asarray(y)
-    b = np.asarray([1.0, -coef], dtype=y.dtype)
-    a = np.asarray([1.0], dtype=y.dtype)
+    y = jnp.asarray(y)
 
     if zi is None:
         # linear extrapolation for the pre-signal sample
         zi = 2 * y[..., 0:1] - y[..., 1:2]
-    zi = np.atleast_1d(zi)
+    zi = jnp.atleast_1d(jnp.asarray(zi, dtype=y.dtype))
 
-    y_out, z_f = scipy.signal.lfilter(b, a, y, zi=np.asarray(zi, dtype=y.dtype))
+    y_out, z_f = _iir_ops.first_order_filter(
+        y, b0=1.0, b1=-float(coef), a1=0.0, zi=zi
+    )
     if return_zf:
-        return jnp.asarray(y_out), z_f
-    return jnp.asarray(y_out)
+        return y_out, z_f[..., None]
+    return y_out
 
 
 def deemphasis(
@@ -501,24 +500,26 @@ def deemphasis(
     -------
     y_out : jax.Array (and ``zf`` if requested)
     """
-    import scipy.signal
-
-    y = np.asarray(y)
-    b = np.array([1.0, -coef], dtype=y.dtype)
-    a = np.array([1.0], dtype=y.dtype)
+    y = jnp.asarray(y)
 
     if zi is None:
-        zi0 = np.zeros([*list(y.shape[:-1]), 1], dtype=y.dtype)
-        y_out, zf = scipy.signal.lfilter(a, b, y, zi=zi0)
-        y_out -= (
+        y_out, zf = _iir_ops.first_order_filter(
+            y, b0=1.0, b1=0.0, a1=-float(coef),
+            zi=jnp.zeros(y.shape[:-1] + (1,), dtype=y.dtype),
+        )
+        # The zi=None branch estimates the pre-signal state from linear
+        # extrapolation and removes its decaying transient (effects.py:985).
+        y_out = y_out - (
             ((2 - coef) * y[..., 0:1] - y[..., 1:2])
             / (3 - coef)
-            * (coef ** np.arange(y.shape[-1]))
+            * (coef ** jnp.arange(y.shape[-1], dtype=y.dtype))
         )
     else:
-        zi = np.atleast_1d(zi)
-        y_out, zf = scipy.signal.lfilter(a, b, y, zi=zi.astype(y.dtype))
+        zi = jnp.atleast_1d(jnp.asarray(zi, dtype=y.dtype))
+        y_out, zf = _iir_ops.first_order_filter(
+            y, b0=1.0, b1=0.0, a1=-float(coef), zi=zi
+        )
 
     if return_zf:
-        return jnp.asarray(y_out), zf
-    return jnp.asarray(y_out)
+        return y_out, zf[..., None]
+    return y_out

@@ -14,6 +14,7 @@ import numpy as np
 
 from . import core
 from .feature.spectral import melspectrogram
+from .ops import iir as _iir_ops
 from .util import utils as util
 from .util.exceptions import ParameterError
 from .util.matching import match_events
@@ -210,12 +211,12 @@ def onset_strength_multi(
     onset_env = jnp.pad(onset_env, padding, mode="constant")
 
     if detrend:
-        import scipy.signal
-
-        onset_env = jnp.asarray(
-            scipy.signal.lfilter(
-                [1.0, -1.0], [1.0, -0.99], np.asarray(onset_env), axis=-1
-            )
+        # DC-removal filter (1 - z^-1)/(1 - 0.99 z^-1) (reference onset.py:638),
+        # run as a device associative scan instead of a host lfilter bounce.
+        onset_env, _ = _iir_ops.first_order_filter(
+            jnp.asarray(onset_env), b0=1.0, b1=-1.0, a1=-0.99,
+            zi=jnp.zeros(np.shape(onset_env)[:-1] + (1,),
+                         dtype=jnp.asarray(onset_env).dtype),
         )
 
     if center:

@@ -527,7 +527,10 @@ def _(L, s):
     return _np({"h": h, "p": p})
 
 
-@case("preemphasis", compare=_snr_compare(90))
+# Pre-emphasis (FIR) is exact; the deemphasis inverse runs as a float32
+# associative scan vs the reference's float64 sequential lfilter — measured
+# 136 dB on this case, so 125 leaves margin without hiding real regressions.
+@case("preemphasis", compare=_snr_compare(125))
 def _(L, s):
     y = s["tone"][:8192]
     pre, zf = L.effects.preemphasis(y, return_zf=True)
