@@ -175,27 +175,55 @@ def _device_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
 
 @functools.lru_cache(maxsize=128)
 def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
-                 precision, interpret, n_tracks=1):
-    """Build (and cache) the jitted pallas_call for one configuration.
+                 precision, interpret, n_tracks, sig_len, lpad, reflect):
+    """Build (and cache) the jitted kernel wrapper for one configuration.
+
+    The wrapper owns ALL input staging: the bulk of the signal is handed
+    to the kernel as a zero-copy (rows, hop) bitcast view of the caller's
+    buffer, and only the statically-known boundary tiles read from small
+    pre-assembled edge buffers that carry the center/tail padding.  This
+    keeps HBM traffic at exactly one read of the input — a `jnp.pad` of
+    the whole signal (the previous approach) costs a full extra HBM
+    read+write, which at 64M samples is ~25% of the kernel's runtime.
 
     pallas_call returns a fresh callable each time; without this cache an
     eager caller would re-lower and re-compile the kernel per invocation.
+    Everything (edge assembly + kernel) is one jitted program, so the
+    eager API path stays a single dispatch.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     r = n_fft // hop_length
     rpad = ((r - 1 + 7) // 8) * 8
+    # Row-shift geometry: with lpad % hop == 0 the padded row matrix is a
+    # pure row-shift of the unpadded one by loff rows.  Interior tiles DMA
+    # from the A-row-earlier 8-aligned start and the assembly loop reads
+    # at a constant sublane offset A - loff.
+    loff = lpad // hop_length
+    A = max(8, -(-loff // 8) * 8)
+    rows_buf = tt + rpad + A
+    phys_rows = sig_len // hop_length
+    # Tile w (within-track) is interior iff its aligned read
+    # [w·tt − A, w·tt − A + rows_buf) lies inside [0, phys_rows).
+    e_start = max(1, (phys_rows - rpad) // tt) if phys_rows > rpad else 1
+    edge_tiles = [0] + list(range(min(e_start, n_tiles), n_tiles))
+    n_edge = len(edge_tiles)
+    aligned = n_tracks == 1 or phys_rows % 8 == 0
+
     prec3 = precision if isinstance(precision, tuple) else (precision,) * 3
     kern = functools.partial(
         _kernel, tt=tt, hop=hop_length, n_fft=n_fft, n1=n1, n2=n2,
         power=power, precision=prec3, tiles_per_track=n_tiles,
+        phys_rows=phys_rows, e_start=e_start, n_edge=n_edge, A=A,
+        loff=loff, aligned=aligned,
     )
     call = pl.pallas_call(
         kern,
         grid=(n_tracks * n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),          # rows (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),          # edge buffers
             pl.BlockSpec(memory_space=pltpu.VMEM),         # window
             pl.BlockSpec(memory_space=pltpu.VMEM),         # [c2; -s2]
             pl.BlockSpec(memory_space=pltpu.VMEM),         # ctw
@@ -210,19 +238,80 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
             (n_out, n_tracks * n_tiles * tt), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tt + rpad, hop_length), jnp.float32),
+            pltpu.VMEM((2, rows_buf, hop_length), jnp.float32),
             pltpu.VMEM((tt, n2, n1), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )
-    return jax.jit(call)
+
+    hop = hop_length
+    L = sig_len
+
+    def _edge_buf(y2d, w):
+        """Rows-buffer contents for boundary tile ``w``, in padded coords.
+
+        The virtually padded signal is [left pad (lpad) | y | right pad
+        (lpad, reflect only) | zeros).  Tile ``w``'s buffer covers padded
+        samples [(w·tt − A + loff)·hop, +rows_buf·hop); segments outside
+        the physical signal are synthesized here so the kernel never
+        needs a padded copy of the bulk.
+        """
+        pstart = (w * tt - A + loff) * hop
+        pend = pstart + rows_buf * hop
+        parts = []
+
+        def _left(a, b):      # padded coords ⊂ [0, lpad): pad[p] = y[lpad−p]
+            if not reflect:
+                return jnp.zeros((n_tracks, b - a), jnp.float32)
+            return y2d[:, lpad - b + 1: lpad - a + 1][:, ::-1]
+
+        def _core(a, b):
+            return y2d[:, a - lpad: b - lpad]
+
+        def _right(a, b):     # ⊂ [lpad+L, lpad+L+lpad): pad[p] = y[2L−2−(p−lpad)]
+            if not reflect:
+                return jnp.zeros((n_tracks, b - a), jnp.float32)
+            i0 = 2 * L - 2 - (a - lpad)
+            i1 = 2 * L - 2 - (b - 1 - lpad)
+            return y2d[:, i1: i0 + 1][:, ::-1]
+
+        def _zeros(a, b):
+            return jnp.zeros((n_tracks, b - a), jnp.float32)
+
+        regions = [
+            (pstart, 0, _zeros),                # alignment garbage rows
+            (0, lpad, _left),
+            (lpad, lpad + L, _core),
+            (lpad + L, lpad + L + lpad, _right),
+            (lpad + L + lpad, pend, _zeros),
+        ]
+        for lo, hi, fn in regions:
+            a, b = max(lo, pstart), min(hi, pend)
+            if a < b:
+                parts.append(fn(a, b))
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+        return out.reshape(n_tracks, 1, rows_buf, hop)
+
+    def fn(y2d, win, cs2, ctw, stw, c1s1, basis):
+        if phys_rows > 0:
+            rows = y2d[:, : phys_rows * hop].reshape(n_tracks * phys_rows, hop)
+        else:  # input shorter than one hop row — everything is edge tiles
+            rows = jnp.zeros((8, hop), jnp.float32)
+        edges = jnp.concatenate(
+            [_edge_buf(y2d, w) for w in edge_tiles], axis=1
+        ).reshape(n_tracks * n_edge, rows_buf, hop)
+        return call(rows, edges, win, cs2, ctw, stw, c1s1, basis)
+
+    return jax.jit(fn)
 
 
-def _kernel(rows_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
+def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
             c1_ref, basis_ref, out_ref, ybufs, xstack, sems,
             *, tt: int, hop: int, n_fft: int, n1: int, n2: int,
-            power: float, precision, tiles_per_track: int):
+            power: float, precision, tiles_per_track: int,
+            phys_rows: int, e_start: int, n_edge: int, A: int, loff: int,
+            aligned: bool):
     """One grid step = one tile of ``tt`` frames.
 
     Frames are never assembled: frame t spans r = n_fft/hop consecutive
@@ -231,6 +320,14 @@ def _kernel(rows_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
     tensor.  Stage A is therefore a sum of r partial contractions, one per
     DMA'd block — no cross-offset concatenation (which Mosaic rejects) and
     r overlapped DMAs per tile.
+
+    Interior tiles DMA straight from the caller's unpadded signal (viewed
+    as hop-rows): the padded row grid is a pure loff-row shift of the
+    physical one, so tile w reads physical rows [w·tt − A, +rows_buf)
+    (A ≥ loff keeps the start 8-aligned) and the assembly loop compensates
+    with a constant A − loff sublane offset.  Boundary tiles — a
+    statically known set — read identical-shape buffers pre-assembled
+    with the center/tail padding from ``edges_hbm``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -240,23 +337,37 @@ def _kernel(rows_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
     r = n_fft // hop
     q = hop // n1
     rpad = ((r - 1 + 7) // 8) * 8
-    rows_per_track = tiles_per_track * tt + rpad
-
-    # Tile i belongs to track i // tiles_per_track; its rows start at
-    # track*rows_per_track + (i mod tiles_per_track)*tt.  Both terms are
-    # 8-aligned (tt and rows_per_track are multiples of 8).
-    def _row_start(tile):
-        track = tile // tiles_per_track
-        within = tile % tiles_per_track
-        return pl.multiple_of(track * rows_per_track + within * tt, 8)
+    rows_buf = tt + rpad + A
 
     # Double-buffered input DMA: tile i computes from slot i%2 while the
     # DMA for tile i+1 streams into the other slot.
     def _start(tile, slot):
-        pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(_row_start(tile), tt + rpad), :],
-            ybufs.at[slot], sems.at[slot],
-        ).start()
+        track = tile // tiles_per_track
+        within = jax.lax.rem(tile, tiles_per_track)
+        is_edge = jnp.logical_or(within == 0, within >= e_start)
+
+        @pl.when(is_edge)
+        def _():
+            eslot = jnp.where(within == 0, 0, within - (e_start - 1))
+            pltpu.make_async_copy(
+                edges_hbm.at[track * n_edge + eslot],
+                ybufs.at[slot], sems.at[slot],
+            ).start()
+
+        # Interior tiles exist only when the signal spans ≥ 2 tiles of
+        # physical rows; otherwise every tile is an edge tile and this
+        # branch must not even be traced (its slice would exceed the
+        # rows operand's static shape).
+        if min(e_start, tiles_per_track) > 1:
+            @pl.when(jnp.logical_not(is_edge))
+            def _():
+                start = track * phys_rows + within * tt - A
+                if aligned:
+                    start = pl.multiple_of(start, 8)
+                pltpu.make_async_copy(
+                    rows_hbm.at[pl.ds(start, rows_buf), :],
+                    ybufs.at[slot], sems.at[slot],
+                ).start()
 
     slot = jax.lax.rem(i, 2)
 
@@ -268,9 +379,10 @@ def _kernel(rows_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
     def _():
         _start(i + 1, jax.lax.rem(i + 1, 2))
 
+    # Wait via an any-source descriptor of the same shape/byte count
+    # (which DMA filled the slot doesn't matter to the semaphore).
     pltpu.make_async_copy(
-        rows_hbm.at[pl.ds(_row_start(i), tt + rpad), :],
-        ybufs.at[slot], sems.at[slot],
+        edges_hbm.at[0], ybufs.at[slot], sems.at[slot],
     ).wait()
     ybuf = ybufs.at[slot]
 
@@ -279,12 +391,14 @@ def _kernel(rows_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
 
     # ---- assemble the windowed frame tensor in VMEM ---------------------
     # xstack[t, t2, t1] = win[t2, t1] · y[t·hop + n1·t2 + t1]: hop-row
-    # block j of frame t is ybuf row t+j and covers t2 ∈ [j·q, (j+1)·q).
-    # Staging through VMEM keeps stage A as ONE dot pair (K = n2) — per-j
-    # partial dots each cost a full MXU pass regardless of their tiny K.
+    # block j of frame t is ybuf row (A − loff) + t + j (buffer row b holds
+    # logical padded row w·tt − (A − loff) + b) and covers t2 ∈ [j·q,
+    # (j+1)·q).  Staging through VMEM keeps stage A as ONE dot pair
+    # (K = n2) — per-j partial dots each cost a full MXU pass regardless
+    # of their tiny K.
     for j in range(r):
         xstack[:, pl.ds(j * q, q), :] = (
-            ybuf[pl.ds(j, tt), :].reshape(tt, q, n1)
+            ybuf[pl.ds(j + A - loff, tt), :].reshape(tt, q, n1)
             * win_ref[pl.ds(j * q, q), :]
         )
 
@@ -375,10 +489,10 @@ def stft_mel_pallas(
 
     y = jnp.asarray(y, dtype=jnp.float32)
     lead_shape = y.shape[:-1]
-    if y.ndim > 1:
-        # fold leading (track/channel) dims into the kernel grid — Mosaic
-        # cannot lower a vmapped ANY-memory-space operand under jit
-        y = y.reshape(-1, y.shape[-1])
+    # fold leading (track/channel) dims into the kernel grid — Mosaic
+    # cannot lower a vmapped ANY-memory-space operand under jit
+    y = y.reshape(-1, y.shape[-1])
+    n_tracks = int(np.prod(lead_shape)) if lead_shape else 1
 
     n1, n2 = _factor(n_fft)
 
@@ -396,9 +510,15 @@ def stft_mel_pallas(
         n_fft, n2, basis_np.tobytes(), n_out
     )
 
-    # One combined pad (center + tile rounding) — padding a large input
-    # twice would cost two full HBM copies.
     lpad = n_fft // 2 if center else 0
+    if lpad % hop_length:
+        # lpad isn't a whole number of hop rows (hop > n_fft/2): the
+        # row-shift trick doesn't apply, so center-pad up front (rare —
+        # standard configs have hop ≤ n_fft/2) and run with lpad = 0.
+        mode = "reflect" if pad_mode == "reflect" else "constant"
+        y = jnp.pad(y, [(0, 0), (lpad, lpad)], mode=mode)
+        lpad = 0
+
     n = y.shape[-1] + 2 * lpad
     n_frames = 1 + (n - n_fft) // hop_length
     if n_frames <= 0:
@@ -406,32 +526,16 @@ def stft_mel_pallas(
 
     tt = tile_frames
     n_tiles = -(-n_frames // tt)
-    r = n_fft // hop_length
-    rpad = ((r - 1 + 7) // 8) * 8
-    # rows layout per track: tile i DMA-reads rows [i*tt, i*tt + tt + rpad)
-    rows_needed = n_tiles * tt + rpad
-    tail = max(0, rows_needed * hop_length - n) + lpad
-    batched = y.ndim > 1
-    pads = [(0, 0)] * (y.ndim - 1)
-    if lpad > 0 or tail > 0:
-        if pad_mode == "reflect" and lpad > 0:
-            # reflect only applies to the centering portion
-            y = jnp.pad(y, pads + [(lpad, lpad)], mode="reflect")
-            y = jnp.pad(y, pads + [(0, tail - lpad)])
-        else:
-            y = jnp.pad(y, pads + [(lpad, tail)])
-    rows = y[..., : rows_needed * hop_length].reshape(-1, hop_length)
-    n_tracks = int(np.prod(lead_shape)) if batched else 1
 
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
-    kh = n2 // 2 + 1
 
     call = _cached_call(
         n_fft, hop_length, n1, n2, tt, n_tiles, n_out, float(power),
-        precision, interpret, n_tracks,
+        precision, interpret, n_tracks, y.shape[-1], lpad,
+        pad_mode == "reflect",
     )
-    out = call(rows, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d)
+    out = call(y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d)
     if not lead_shape:
         return out[:, :n_frames]
     # (n_out, n_tracks·n_tiles·tt) → (..., n_out, n_frames)

@@ -15,10 +15,11 @@ from librosa_tpu.ops.pallas_stft import pallas_supported, stft_mel_pallas
 SR = 22050
 
 
-def _ref_mel(y, win, mb, n_fft, hop, power=2.0, center=True):
+def _ref_mel(y, win, mb, n_fft, hop, power=2.0, center=True,
+             pad_mode="constant"):
     pad = n_fft // 2 if center else 0
     fr = np.lib.stride_tricks.sliding_window_view(
-        np.pad(y, pad), n_fft
+        np.pad(y, pad, mode=pad_mode), n_fft
     )[::hop].astype(np.float64)
     spec = np.abs(np.fft.rfft(fr * win.astype(np.float64), axis=-1))
     return ((spec**power) @ mb.astype(np.float64).T).T
@@ -67,6 +68,52 @@ def test_kernel_multichannel_vmap(rng):
     for ch in range(2):
         ref = _ref_mel(y[ch], win, mb, 512, 128)
         assert _snr(out[ch], ref) > 120
+
+
+@pytest.mark.parametrize(
+    "n_fft,hop,length,center,pad_mode",
+    [
+        # long input → interior tiles DMA straight from the unpadded
+        # signal (the zero-copy fast path); edges carry the padding
+        (512, 128, 40000, True, "constant"),
+        (512, 128, 40000, True, "reflect"),
+        (512, 128, 40000, False, "constant"),
+        # n_frames ≡ 1 (mod tile): the tail reaches back past the last
+        # tile, so two consecutive right-edge tiles are pre-assembled
+        (512, 128, 2 * 128 * 128, True, "constant"),
+        # input shorter than one hop row: no physical rows at all
+        (512, 128, 400, True, "constant"),
+        (512, 128, 400, True, "reflect"),
+    ],
+)
+def test_kernel_edge_tiles(rng, n_fft, hop, length, center, pad_mode):
+    y = (rng.randn(length) * 0.1).astype(np.float32)
+    win = np.hanning(n_fft).astype(np.float32)
+    mb = filters.mel(sr=SR, n_fft=n_fft, n_mels=64).astype(np.float32)
+    out = np.asarray(
+        stft_mel_pallas(y, win, mb, n_fft=n_fft, hop_length=hop,
+                        center=center, pad_mode=pad_mode, interpret=True)
+    )
+    ref = _ref_mel(y, win, mb, n_fft, hop, center=center, pad_mode=pad_mode)
+    assert out.shape == ref.shape
+    assert _snr(out, ref) > 115
+
+
+def test_kernel_multitrack_unaligned_rows(rng):
+    # 3 tracks whose per-track row count is not a multiple of 8: interior
+    # DMA starts lose their 8-alignment guarantee across track boundaries
+    n_fft, hop = 512, 128
+    length = 129 * hop + 57          # phys_rows = 129 ≢ 0 (mod 8)
+    y = (rng.randn(3, length) * 0.1).astype(np.float32)
+    win = np.hanning(n_fft).astype(np.float32)
+    mb = filters.mel(sr=SR, n_fft=n_fft, n_mels=64).astype(np.float32)
+    out = np.asarray(
+        stft_mel_pallas(y, win, mb, n_fft=n_fft, hop_length=hop,
+                        interpret=True)
+    )
+    for ch in range(3):
+        ref = _ref_mel(y[ch], win, mb, n_fft, hop)
+        assert _snr(out[ch], ref) > 115
 
 
 def test_kernel_support_matrix():
