@@ -508,8 +508,6 @@ def _pyin_core(
     observation scatter → max-plus Viterbi scan → decode.  Fusing removes
     ~30 per-op dispatches (22 ms each over the axon tunnel) per call.
     """
-    from ..sequence import _viterbi_scan
-
     if center:
         padding = [(0, 0)] * y.ndim
         padding[-1] = (frame_length // 2, frame_length // 2)
@@ -517,6 +515,31 @@ def _pyin_core(
 
     y_frames = util.frame(y, frame_length=frame_length, hop_length=hop_length)
 
+    obs_full, voiced_prob = _pyin_observe(
+        y_frames, thresholds, beta_probs, sr=sr, fmin=fmin,
+        min_period=min_period, max_period=max_period,
+        n_pitch_bins=n_pitch_bins, n_bins_per_semitone=n_bins_per_semitone,
+        boltzmann_parameter=boltzmann_parameter,
+        no_trough_prob=no_trough_prob,
+    )
+    f0, voiced_flag = _pyin_decode(
+        obs_full, log_trans, log_p_init, fmin=fmin,
+        n_pitch_bins=n_pitch_bins, n_bins_per_semitone=n_bins_per_semitone,
+    )
+    return f0, voiced_flag, voiced_prob
+
+
+def _pyin_observe(
+    y_frames, thresholds, beta_probs, *, sr, fmin, min_period, max_period,
+    n_pitch_bins, n_bins_per_semitone, boltzmann_parameter, no_trough_prob,
+):
+    """Per-frame half of pYIN: frames → HMM observation probabilities.
+
+    Every step here is independent across frames, so the time-sharded
+    path (``parallel.analysis.pyin_sharded``) runs this inside a
+    shard_map and gathers only the tiny (2·n_bins, T) output for the
+    sequential decode.  Returns ``(obs_full, voiced_prob)``.
+    """
     yin_frames = _cumulative_mean_normalized_difference(
         y_frames, min_period, max_period
     )
@@ -578,6 +601,15 @@ def _pyin_core(
         [observation_probs, jnp.broadcast_to(unvoiced, observation_probs.shape)],
         axis=-2,
     )
+    return obs_full, voiced_prob[..., 0, :]
+
+
+def _pyin_decode(
+    obs_full, log_trans, log_p_init, *, fmin, n_pitch_bins,
+    n_bins_per_semitone,
+):
+    """Sequential half of pYIN: Viterbi over the gathered observations."""
+    from ..sequence import _viterbi_scan
 
     # Max-plus Viterbi over the (precomputed, possibly pruned) transition
     log_prob = jnp.log(obs_full + np.finfo(np.float64).tiny)
@@ -591,7 +623,7 @@ def _pyin_core(
     f0 = freqs[states % n_pitch_bins]
     voiced_flag = states < n_pitch_bins
 
-    return f0, voiced_flag, voiced_prob[..., 0, :]
+    return f0, voiced_flag
 
 
 def _pyin_trough_probs(

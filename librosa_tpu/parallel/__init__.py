@@ -14,5 +14,7 @@ from .analysis import (  # noqa: F401
     onset_strength_sharded,
     tempo_sharded,
     pcen_sharded,
+    pyin_sharded,
+    beat_track_sharded,
 )
 from .constantq import cqt_sharded  # noqa: F401

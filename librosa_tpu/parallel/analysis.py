@@ -36,7 +36,13 @@ from ..core.spectrum import _win_device
 from ..util.exceptions import ParameterError
 from .sharded import _final_frame, _halo_sizes, _local_frames
 
-__all__ = ["onset_strength_sharded", "tempo_sharded", "pcen_sharded"]
+__all__ = [
+    "onset_strength_sharded",
+    "tempo_sharded",
+    "pcen_sharded",
+    "pyin_sharded",
+    "beat_track_sharded",
+]
 
 _AMIN = 1e-10
 _TOP_DB = 80.0
@@ -54,12 +60,14 @@ def onset_strength_sharded(
     n_mels: int = 128,
     center: bool = True,
     pad_mode: str = "constant",
+    aggregate: Any = jnp.mean,
 ) -> jax.Array:
     """Spectral-flux onset envelope of a time-sharded signal.
 
-    Matches ``onset.onset_strength(y=y, sr=sr, aggregate=mean)`` (the
-    reference defaults) on the same signal.  Same legality constraints as
-    ``stft_sharded``: n divisible by D·hop, shards ≥ n_fft samples.
+    Matches ``onset.onset_strength(y=y, sr=sr, aggregate=aggregate)`` on
+    the same signal; ``aggregate`` reduces the mel-channel axis per frame
+    (pointwise in time, so it shards freely).  Same legality constraints
+    as ``stft_sharded``: n divisible by D·hop, shards ≥ n_fft samples.
     """
     y = jnp.asarray(y)
     n = y.shape[-1]
@@ -120,7 +128,7 @@ def onset_strength_sharded(
         g = d * t_loc + jnp.arange(t_loc)
         flux = jnp.where(g >= lag, flux, 0.0)
 
-        env_loc = jnp.mean(flux, axis=-2)               # aggregate channels
+        env_loc = aggregate(flux, axis=-2)              # aggregate channels
         return env_loc, s_db[..., -lag:]                # + boundary columns
 
     fn = shard_map(
@@ -139,7 +147,7 @@ def onset_strength_sharded(
     gmax_all = jnp.maximum(jnp.max(boundary_cols), tail_max)
     tail_db = jnp.maximum(tail_log, gmax_all - _TOP_DB)
     prev_cols = boundary_cols[..., -lag:]
-    flux_tail = jnp.mean(
+    flux_tail = aggregate(
         jnp.maximum(0.0, tail_db[..., -1:] - prev_cols[..., :1]), axis=-2
     )
 
@@ -264,3 +272,158 @@ def pcen_sharded(
         check_vma=False,
     )
     return fn(S)
+
+
+def pyin_sharded(
+    y: Any,
+    *,
+    mesh: Mesh,
+    axis_name: str = "time",
+    fmin: float,
+    fmax: float,
+    sr: float = 22050,
+    frame_length: int = 2048,
+    hop_length: Optional[int] = None,
+    n_thresholds: int = 100,
+    beta_parameters: tuple = (2, 18),
+    boltzmann_parameter: float = 2,
+    resolution: float = 0.1,
+    max_transition_rate: float = 35.92,
+    switch_prob: float = 0.01,
+    no_trough_prob: float = 0.01,
+    fill_na: Optional[float] = np.nan,
+    pad_mode: str = "constant",
+    transition_min_prob: Optional[float] = 1e-4,
+):
+    """pYIN f0 of a time-sharded signal; matches ``pyin`` (center=True).
+
+    The per-frame work — CMND, parabolic interpolation, trough priors,
+    observation scatter (``core.pitch._pyin_observe``) — runs inside a
+    shard_map with ppermute frame halos, exactly like the sharded STFT.
+    Only the tiny (2·n_bins, T) observation matrix is gathered for the
+    sequential Viterbi decode, per the SURVEY §5 rule that DPs run
+    post-gather.  Same legality constraints as ``stft_sharded``:
+    ``n % (D·hop) == 0`` and each shard ≥ ``frame_length`` samples.
+
+    Returns ``(f0, voiced_flag, voiced_prob)``.
+    """
+    from ..core import pitch as _pitch
+
+    _pitch._check_yin_params(
+        sr=sr, fmax=fmax, fmin=fmin, frame_length=frame_length,
+        win_length=None,
+    )
+    if hop_length is None:
+        hop_length = frame_length // 4
+    if pad_mode not in ("constant", "reflect"):
+        raise ParameterError(f"Unsupported sharded pad_mode: {pad_mode}")
+
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    D = mesh.shape[axis_name]
+    if n % (D * hop_length) != 0:
+        raise ParameterError(
+            f"Signal length {n} must be divisible by D*hop = {D * hop_length}"
+        )
+    per = n // D
+    lh, rh = _halo_sizes(frame_length, hop_length)
+    if per < max(frame_length, lh + 1, rh + 1):
+        raise ParameterError(
+            f"Shard size {per} too small for frame_length={frame_length}"
+        )
+
+    min_period = int(np.floor(sr / fmax))
+    max_period = min(int(np.ceil(sr / fmin)), frame_length - 1)
+    n_bins_per_semitone = int(np.ceil(1.0 / resolution))
+    n_pitch_bins = (
+        int(np.floor(12 * n_bins_per_semitone * np.log2(fmax / fmin))) + 1
+    )
+
+    thresholds_d, beta_probs_d, log_trans_d, log_p_init_d = (
+        _pitch._pyin_constants(
+            float(sr), float(fmin), float(fmax), hop_length,
+            int(n_thresholds),
+            (float(beta_parameters[0]), float(beta_parameters[1])),
+            float(resolution), float(max_transition_rate),
+            float(switch_prob),
+            None if transition_min_prob is None
+            else float(transition_min_prob),
+        )
+    )
+
+    def observe(frames):
+        # frames: (..., T_loc, frame_length) → observe wants (..., fl, T)
+        return _pitch._pyin_observe(
+            jnp.swapaxes(frames, -2, -1), thresholds_d, beta_probs_d,
+            sr=float(sr), fmin=float(fmin), min_period=min_period,
+            max_period=max_period, n_pitch_bins=n_pitch_bins,
+            n_bins_per_semitone=n_bins_per_semitone,
+            boltzmann_parameter=float(boltzmann_parameter),
+            no_trough_prob=float(no_trough_prob),
+        )
+
+    in_spec = P(*((None,) * (y.ndim - 1) + (axis_name,)))
+    obs_spec = P(*((None,) * y.ndim + (axis_name,)))
+    vp_spec = P(*((None,) * (y.ndim - 1) + (axis_name,)))
+
+    def local(y_loc):
+        fr = _local_frames(
+            y_loc, jnp.ones((), y_loc.dtype), axis_name=axis_name,
+            n_devices=D, n_fft=frame_length, hop_length=hop_length,
+            pad_mode=pad_mode,
+        )
+        return observe(fr)
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(in_spec,), out_specs=(obs_spec, vp_spec),
+        check_vma=False,
+    )
+    obs_main, vp_main = fn(y)                     # (..., 2S, T), (..., T)
+
+    # trailing centered frame (t = n // hop), replicated — one frame
+    tail = _final_frame(
+        y, jnp.ones((), y.dtype), n_fft=frame_length, pad_mode=pad_mode
+    )[..., None, :]
+    obs_tail, vp_tail = observe(tail)
+
+    obs = jnp.concatenate([obs_main, obs_tail], axis=-1)
+    voiced_prob = jnp.concatenate([vp_main, vp_tail], axis=-1)
+
+    f0, voiced_flag = _pitch._pyin_decode(
+        obs, log_trans_d, log_p_init_d, fmin=float(fmin),
+        n_pitch_bins=n_pitch_bins, n_bins_per_semitone=n_bins_per_semitone,
+    )
+    if fill_na is not None:
+        f0 = jnp.where(voiced_flag, f0, fill_na)
+    return f0, voiced_flag, voiced_prob
+
+
+def beat_track_sharded(
+    y: Any,
+    *,
+    mesh: Mesh,
+    axis_name: str = "time",
+    sr: float = 22050,
+    hop_length: int = 512,
+    **beat_kwargs: Any,
+):
+    """Beat tracking of a time-sharded signal.
+
+    The onset envelope — the heavy spectral part — is computed sharded
+    (``onset_strength_sharded``); the envelope itself is one value per
+    hop, so the tempo estimate and the sequential beat DP run on the
+    gathered envelope (SURVEY §5: DPs run post-gather).  Matches
+    ``beat.beat_track(y=y)`` on the same signal.
+
+    Returns ``(tempo, beats)`` as ``beat.beat_track`` does.
+    """
+    from .. import beat as _beat
+
+    env = onset_strength_sharded(
+        y, mesh=mesh, axis_name=axis_name, sr=sr, hop_length=hop_length,
+        aggregate=jnp.median,
+    )
+    return _beat.beat_track(
+        onset_envelope=np.asarray(env), sr=sr, hop_length=hop_length,
+        **beat_kwargs,
+    )

@@ -158,3 +158,46 @@ def test_onset_sharded_multichannel(mesh8, rng):
     env = np.asarray(lt.onset.onset_strength(y=y, sr=22050, aggregate=jnp.mean))
     assert env_sh.shape == env.shape
     np.testing.assert_allclose(env_sh, env, atol=2e-5)
+
+
+def test_pyin_sharded_matches_unsharded(mesh8):
+    import librosa_tpu as lt
+    from librosa_tpu.parallel import pyin_sharded
+
+    sr, hop = 22050, 512
+    n = 8 * hop * 24
+    t = np.arange(n) / sr
+    f_true = 220 * 2 ** (0.5 * np.sin(2 * np.pi * 0.7 * t))
+    y = (0.4 * np.sin(2 * np.pi * np.cumsum(f_true) / sr)).astype(np.float32)
+
+    f0_sh, vf_sh, vp_sh = pyin_sharded(y, mesh=mesh8, fmin=65, fmax=800, sr=sr)
+    f0, vf, vp = lt.pyin(y, fmin=65, fmax=800, sr=sr)
+    f0_sh, f0 = np.asarray(f0_sh), np.asarray(f0)
+    assert f0_sh.shape == f0.shape
+    # voicing decisions identical; f0 to f32 rounding; probs bit-exact
+    assert np.array_equal(np.asarray(vf_sh), np.asarray(vf))
+    both = np.isfinite(f0) & np.isfinite(f0_sh)
+    np.testing.assert_allclose(f0_sh[both], f0[both], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(vp_sh), np.asarray(vp), atol=1e-6)
+
+
+def test_beat_track_sharded_matches_unsharded(mesh8, rng):
+    import librosa_tpu as lt
+    from librosa_tpu.parallel import beat_track_sharded
+
+    sr, hop = 22050, 512
+    n = 8 * hop * 32
+    # click track at 120 bpm + noise floor
+    y = 0.01 * rng.randn(n).astype(np.float32)
+    period = int(0.5 * sr)
+    for s in range(0, n - 256, period):
+        y[s: s + 256] += np.hanning(256).astype(np.float32)
+
+    tempo_sh, beats_sh = beat_track_sharded(y, mesh=mesh8, sr=sr,
+                                            hop_length=hop)
+    tempo, beats = lt.beat.beat_track(y=y, sr=sr, hop_length=hop)
+    np.testing.assert_allclose(
+        np.asarray(tempo_sh, dtype=float), np.asarray(tempo, dtype=float),
+        rtol=1e-6,
+    )
+    assert np.array_equal(np.asarray(beats_sh), np.asarray(beats))
