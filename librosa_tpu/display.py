@@ -29,6 +29,8 @@ __all__ = [
     "highlight",
     "cmap",
     "TimeFormatter",
+    "AdaptiveFormatterBase",
+    "AdaptiveEngFormatter",
     "NoteFormatter",
     "LogHzFormatter",
     "ChromaFormatter",
@@ -113,53 +115,101 @@ class TimeFormatter(Formatter):
         return f"{sign:s}{s:s}"
 
 
-class NoteFormatter(Formatter):
+class AdaptiveFormatterBase(Formatter):
+    """Frequency-tick formatter whose labels react to the zoom level.
+
+    Non-positive tick positions are never labeled.  A formatter built
+    with ``major=False`` (the minor-tick role) only labels its ticks
+    while the visible span is narrower than two octaves — zoomed out,
+    minor labels vanish and the major grid carries the axis alone.
+    Subclasses render one tick via ``_format_tick`` and may consult
+    ``self.vmin``/``self.vmax`` (the view interval, normalized for
+    inverted axes) for their own precision decisions.
+
+    Parity: reference display.py:293.
+    """
+
+    def __init__(self, major: bool = True):
+        super().__init__()
+        self.major = major
+        self.vmin: Optional[float] = None
+        self.vmax: Optional[float] = None
+
+    def _span_within(self, octaves: float) -> bool:
+        """True iff the current view spans at most ``octaves`` octaves."""
+        return self.vmax <= (2.0 ** octaves) * max(1, self.vmin)
+
+    def __call__(self, x: float, pos: Optional[int] = None) -> str:
+        if x <= 0:
+            return ""
+        lo, hi = self.axis.get_view_interval()
+        self.vmin, self.vmax = (lo, hi) if lo <= hi else (hi, lo)
+        if not self.major and not self._span_within(2):
+            return ""
+        return self._format_tick(x, pos)
+
+    def _format_tick(self, x: float, pos: Optional[int] = None) -> str:
+        raise NotImplementedError
+
+
+class AdaptiveEngFormatter(AdaptiveFormatterBase):
+    """Engineering-notation Hz ticks with two-octave minor suppression.
+
+    Wraps :class:`matplotlib.ticker.EngFormatter` for the rendering;
+    the adaptive base decides *whether* a label appears at this zoom.
+    Parity: reference display.py:624.
+    """
+
+    def __init__(self, major: bool = True, **kwargs: Any):
+        super().__init__(major=major)
+        from matplotlib.ticker import EngFormatter
+
+        self._eng = EngFormatter(**kwargs)
+
+    def _format_tick(self, x: float, pos: Optional[int] = None) -> str:
+        return self._eng(x, pos)
+
+
+class NoteFormatter(AdaptiveFormatterBase):
     """Frequency → note name ticks. Parity: display.py:336."""
 
     def __init__(
         self, octave: bool = True, major: bool = True, key: str = "C:maj",
         unicode: bool = True,
     ):
+        super().__init__(major=major)
         self.octave = octave
-        self.major = major
         self.key = key
         self.unicode = unicode
 
-    def __call__(self, x: float, pos: Optional[int] = None) -> str:
-        if x <= 0:
-            return ""
-        vmin, vmax = self.axis.get_view_interval()
-        if self.major and vmax > 4 * max(1, vmin):
-            if np.mod(np.round(convert.hz_to_midi(x)), 12) != 0:
-                return ""
+    def _format_tick(self, x: float, pos: Optional[int] = None) -> str:
+        # cent deviations only make sense once zoomed inside one octave
         return str(
             convert.hz_to_note(
-                x, octave=self.octave, cents=False, key=self.key,
-                unicode=self.unicode,
+                x, octave=self.octave, cents=self._span_within(1),
+                key=self.key, unicode=self.unicode,
             )
         )
 
 
-class SvaraFormatter(Formatter):
+class SvaraFormatter(AdaptiveFormatterBase):
     """Frequency → svara ticks. Parity: display.py:405."""
 
     def __init__(
-        self, Sa: float, mela: Optional[Union[str, int]] = None,
-        abbr: bool = True, octave: bool = True, major: bool = True,
+        self, Sa: float, octave: bool = True, major: bool = True,
+        abbr: bool = False, mela: Optional[Union[str, int]] = None,
         unicode: bool = True,
     ):
         if Sa is None:
             raise ParameterError("Sa frequency is required for svara display")
+        super().__init__(major=major)
         self.Sa = Sa
         self.mela = mela
         self.abbr = abbr
         self.octave = octave
-        self.major = major
         self.unicode = unicode
 
-    def __call__(self, x: float, pos: Optional[int] = None) -> str:
-        if x <= 0:
-            return ""
+    def _format_tick(self, x: float, pos: Optional[int] = None) -> str:
         if self.mela is None:
             return str(
                 convert.hz_to_svara_h(
@@ -175,23 +225,44 @@ class SvaraFormatter(Formatter):
         )
 
 
-class FJSFormatter(Formatter):
-    """Frequency → FJS note ticks. Parity: display.py:494."""
+class FJSFormatter(AdaptiveFormatterBase):
+    """Frequency → FJS note ticks. Parity: display.py:494.
+
+    When the bin grid is known (``n_bins`` + ``intervals``), each tick
+    is snapped to the nearest just-intonation bin frequency before
+    naming, so labels stay exact on log-spaced vqt axes.
+    """
 
     def __init__(
         self, *, fmin: float, unison: Optional[str] = None,
-        unicode: bool = True, intervals: Optional[Any] = None,
+        major: bool = True, unicode: bool = True,
+        intervals: Optional[Any] = None, n_bins: Optional[int] = None,
         bins_per_octave: int = 12,
     ):
+        super().__init__(major=major)
         self.fmin = fmin
         self.unison = unison
         self.unicode = unicode
         self.intervals = intervals
+        self.n_bins = n_bins
         self.bins_per_octave = bins_per_octave
+        self.frequencies_: Optional[np.ndarray] = None
+        if intervals is not None and n_bins is not None:
+            from .core.intervals import interval_frequencies
 
-    def __call__(self, x: float, pos: Optional[int] = None) -> str:
-        if x <= 0:
-            return ""
+            self.frequencies_ = np.asarray(
+                interval_frequencies(
+                    n_bins, fmin=fmin, intervals=intervals,
+                    bins_per_octave=bins_per_octave,
+                )
+            )
+
+    def _format_tick(self, x: float, pos: Optional[int] = None) -> str:
+        if self.frequencies_ is not None:
+            from .util.matching import match_events
+
+            idx = match_events(np.atleast_1d(x), self.frequencies_)[0]
+            x = float(self.frequencies_[idx])
         try:
             return str(
                 convert.hz_to_fjs(
@@ -203,19 +274,10 @@ class FJSFormatter(Formatter):
             return ""
 
 
-class LogHzFormatter(Formatter):
+class LogHzFormatter(AdaptiveFormatterBase):
     """Log-frequency ticks. Parity: display.py:588."""
 
-    def __init__(self, major: bool = True):
-        self.major = major
-
-    def __call__(self, x: float, pos: Optional[int] = None) -> str:
-        if x <= 0:
-            return ""
-        vmin, vmax = self.axis.get_view_interval()
-        if self.major and vmax > 4 * max(1, vmin):
-            if np.mod(np.round(convert.hz_to_midi(x)), 12) != 0:
-                return ""
+    def _format_tick(self, x: float, pos: Optional[int] = None) -> str:
         return f"{x:g}"
 
 
@@ -608,25 +670,42 @@ def _coords(
     raise ParameterError(f"Unknown axis type: {axis_type}")
 
 
+def _log_offset(f: float) -> float:
+    """Position of ``f`` within its power-of-two octave (∈ [1, 2))."""
+    e = np.log2(f)
+    return float(2.0 ** (e - np.floor(e)))
+
+
 def _decorate_axis(
     axis, ax_type: Optional[str], *, key: str = "C:maj",
     Sa: Optional[float] = None, mela: Optional[Any] = None,
     thaat: Optional[str] = None, unicode: bool = True,
     fmin: Optional[float] = None, intervals: Optional[Any] = None,
     unison: Optional[str] = None, bins_per_octave: int = 12,
+    n_bins: Optional[int] = None,
 ) -> None:
     from matplotlib.ticker import (
         LogLocator, MaxNLocator, NullFormatter, ScalarFormatter,
         SymmetricalLogLocator, FixedLocator,
     )
 
+    # Semitone grid within one octave, anchored at ``subs`` × 2^k
+    def _semitone_minor(anchor: float) -> LogLocator:
+        return LogLocator(
+            base=2.0, subs=anchor * 2.0 ** (np.arange(1, 12) / 12.0)
+        )
+
+    _time_loc = MaxNLocator(prune=None, steps=[1, 1.5, 5, 6, 10])
+
     if ax_type in ("time", "lag"):
         axis.set_major_formatter(TimeFormatter(lag=(ax_type == "lag")))
+        axis.set_major_locator(_time_loc)
         axis.set_label_text("Lag" if ax_type == "lag" else "Time")
     elif ax_type in ("s", "ms", "h", "m", "lag_s", "lag_ms", "lag_h", "lag_m"):
         lag = ax_type.startswith("lag")
         unit = ax_type[4:] if lag else ax_type
         axis.set_major_formatter(TimeFormatter(lag=lag, unit=unit))
+        axis.set_major_locator(_time_loc)
         label_unit = {"h": "h:m:s", "m": "m:s"}.get(unit, unit)
         axis.set_label_text(
             ("Lag" if lag else "Time") + f" ({label_unit})"
@@ -636,42 +715,109 @@ def _decorate_axis(
     elif ax_type in ("linear", "hz", "fft"):
         axis.set_major_formatter(ScalarFormatter())
         axis.set_label_text("Hz")
-    elif ax_type == "log":
-        axis.set_major_formatter(LogHzFormatter())
-        axis.set_label_text("Hz")
-    elif ax_type == "mel":
+    elif ax_type in ("log", "mel"):
         axis.set_major_formatter(ScalarFormatter())
+        axis.set_major_locator(SymmetricalLogLocator(axis.get_transform()))
         axis.set_label_text("Hz")
     elif ax_type in ("cqt_hz",):
+        c_off = _log_offset(convert.note_to_hz("C1"))
         axis.set_major_formatter(LogHzFormatter())
+        axis.set_major_locator(LogLocator(base=2.0))
+        axis.set_minor_formatter(LogHzFormatter(major=False))
+        axis.set_minor_locator(_semitone_minor(c_off))
         axis.set_label_text("Hz")
-    elif ax_type in ("cqt", "cqt_note", "fft_note"):
+    elif ax_type in ("cqt", "cqt_note"):
+        c_off = _log_offset(convert.note_to_hz("C1"))
         axis.set_major_formatter(NoteFormatter(key=key, unicode=unicode))
+        axis.set_major_locator(LogLocator(base=2.0, subs=(c_off,)))
+        axis.set_minor_formatter(
+            NoteFormatter(key=key, major=False, unicode=unicode)
+        )
+        axis.set_minor_locator(_semitone_minor(c_off))
+        axis.set_label_text("Note")
+    elif ax_type == "fft_note":
+        axis.set_major_formatter(NoteFormatter(key=key, unicode=unicode))
+        axis.set_major_locator(SymmetricalLogLocator(axis.get_transform()))
+        axis.set_minor_formatter(
+            NoteFormatter(key=key, major=False, unicode=unicode)
+        )
+        axis.set_minor_locator(_semitone_minor(1.0))
         axis.set_label_text("Note")
     elif ax_type in ("cqt_svara", "fft_svara"):
+        sa_off = _log_offset(Sa) if Sa else 1.0
         axis.set_major_formatter(SvaraFormatter(Sa, mela=mela, unicode=unicode))
+        if ax_type == "fft_svara":
+            axis.set_major_locator(
+                SymmetricalLogLocator(
+                    axis.get_transform(), base=2.0, subs=[sa_off]
+                )
+            )
+        else:
+            axis.set_major_locator(LogLocator(base=2.0, subs=(sa_off,)))
+        axis.set_minor_formatter(
+            SvaraFormatter(Sa, mela=mela, major=False, unicode=unicode)
+        )
+        axis.set_minor_locator(_semitone_minor(sa_off))
         axis.set_label_text("Svara")
     elif ax_type == "vqt_fjs":
+        f0 = fmin if fmin else float(convert.note_to_hz("C1"))
+        ivals = intervals if intervals is not None else "equal"
         axis.set_major_formatter(
-            FJSFormatter(fmin=fmin if fmin else 32.7, unicode=unicode)
+            FJSFormatter(
+                fmin=f0, unison=unison, unicode=unicode, intervals=ivals,
+                n_bins=n_bins, bins_per_octave=bins_per_octave,
+            )
         )
+        f_off = _log_offset(f0)
+        axis.set_major_locator(LogLocator(base=2.0, subs=(f_off,)))
+        axis.set_minor_formatter(
+            FJSFormatter(
+                fmin=f0, unison=unison, unicode=unicode, intervals=ivals,
+                n_bins=n_bins, bins_per_octave=bins_per_octave, major=False,
+            )
+        )
+        if n_bins is not None:
+            from .core.intervals import interval_frequencies
+
+            axis.set_minor_locator(
+                FixedLocator(
+                    np.asarray(
+                        interval_frequencies(
+                            n_bins * 12 // bins_per_octave, fmin=f0,
+                            intervals=ivals, bins_per_octave=12,
+                        )
+                    )
+                )
+            )
         axis.set_label_text("Note (FJS)")
     elif ax_type in ("vqt_hz",):
+        f0 = fmin if fmin else float(convert.note_to_hz("C1"))
+        f_off = _log_offset(f0)
         axis.set_major_formatter(LogHzFormatter())
+        axis.set_major_locator(LogLocator(base=2.0, subs=(f_off,)))
+        axis.set_minor_formatter(LogHzFormatter(major=False))
+        axis.set_minor_locator(_semitone_minor(f_off))
         axis.set_label_text("Hz")
     elif ax_type in ("vqt_note",):
+        f0 = fmin if fmin else float(convert.note_to_hz("C1"))
+        f_off = _log_offset(f0)
         axis.set_major_formatter(NoteFormatter(key=key, unicode=unicode))
+        axis.set_major_locator(LogLocator(base=2.0, subs=(f_off,)))
+        axis.set_minor_formatter(
+            NoteFormatter(key=key, major=False, unicode=unicode)
+        )
+        axis.set_minor_locator(_semitone_minor(f_off))
         axis.set_label_text("Note")
     elif ax_type in ("oct3", "cqt_oct3", "vqt_oct3", "log_oct3", "mel_oct3"):
-        from matplotlib.ticker import EngFormatter, FixedLocator
-
-        # label once per octave; minor ticks at the 1/3 octaves
+        # label once per octave; minor ticks at the 1/3 octaves fade out
+        # when the view is wider than two octaves
         if ax_type == "mel_oct3":
             axis.set_major_locator(FixedLocator(_OCT3_FREQUENCIES[5::3]))
         else:
             axis.set_major_locator(FixedLocator(_OCT3_FREQUENCIES[::3]))
-        axis.set_major_formatter(EngFormatter(unit="Hz", sep=" "))
+        axis.set_major_formatter(AdaptiveEngFormatter(major=True, unit="Hz"))
         axis.set_minor_locator(FixedLocator(_OCT3_FREQUENCIES))
+        axis.set_minor_formatter(AdaptiveEngFormatter(major=False, unit="Hz"))
         axis.set_label_text("Frequency")
     elif ax_type == "chroma_fjs":
         from matplotlib.ticker import FixedLocator
@@ -698,11 +844,9 @@ def _decorate_axis(
         )
         axis.set_major_locator(FixedLocator(0.5 + np.arange(12)))
         axis.set_label_text("Svara")
-    elif ax_type == "tempo":
+    elif ax_type in ("tempo", "fourier_tempo"):
         axis.set_major_formatter(ScalarFormatter())
-        axis.set_label_text("BPM")
-    elif ax_type == "fourier_tempo":
-        axis.set_major_formatter(ScalarFormatter())
+        axis.set_major_locator(LogLocator(base=2.0))
         axis.set_label_text("BPM")
     elif ax_type == "tonnetz":
         axis.set_major_formatter(TonnetzFormatter())
@@ -716,6 +860,7 @@ def _decorate_axis(
 _LOG_SCALED = {"log", "cqt", "cqt_hz", "cqt_note", "cqt_svara", "cqt_oct3",
                "vqt_hz", "vqt_note", "vqt_oct3", "vqt_fjs",
                "log_oct3", "oct3", "mel", "mel_oct3",
+               "fft_note", "fft_svara",
                "tempo", "fourier_tempo"}
 
 # vscale grammar (reference display.py:2625): dBFS | dB, optional
@@ -949,12 +1094,12 @@ def specshow(
     _decorate_axis(
         ax.yaxis, y_axis, key=key, Sa=Sa, mela=mela, thaat=thaat,
         unicode=unicode, fmin=fmin, intervals=intervals, unison=unison,
-        bins_per_octave=bins_per_octave,
+        bins_per_octave=bins_per_octave, n_bins=data.shape[0],
     )
     _decorate_axis(
         ax.xaxis, x_axis, key=key, Sa=Sa, mela=mela, thaat=thaat,
         unicode=unicode, fmin=fmin, intervals=intervals, unison=unison,
-        bins_per_octave=bins_per_octave,
+        bins_per_octave=bins_per_octave, n_bins=data.shape[1],
     )
 
     return out

@@ -6,6 +6,12 @@ Re-run after an INTENTIONAL rendering change; commit the updated fixtures.
 import sys
 from pathlib import Path
 
+import jax
+
+# Rendering needs no accelerator; keep baselines reproducible on CPU even
+# when the axon sitecustomize forces jax_platforms='axon,cpu'.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))

@@ -150,6 +150,173 @@ def render_case(name: str):
             lt.display.specshow(
                 np.asarray(M), sr=SR, x_axis="frames", y_axis="frames", ax=ax
             )
+        elif name == "specshow_cqt_svara":
+            C = lt.amplitude_to_db(
+                np.abs(np.asarray(lt.cqt(y, sr=SR, res_type="polyphase"))),
+                ref=np.max,
+            )
+            lt.display.specshow(
+                np.asarray(C), sr=SR, x_axis="time", y_axis="cqt_svara",
+                Sa=220.0, ax=ax,
+            )
+        elif name == "specshow_vqt_note":
+            V = lt.amplitude_to_db(
+                np.abs(np.asarray(
+                    lt.vqt(y, sr=SR, res_type="polyphase"))),
+                ref=np.max,
+            )
+            lt.display.specshow(
+                np.asarray(V), sr=SR, x_axis="time", y_axis="vqt_note", ax=ax
+            )
+        elif name == "specshow_vqt_hz":
+            V = lt.amplitude_to_db(
+                np.abs(np.asarray(
+                    lt.vqt(y, sr=SR, res_type="polyphase"))),
+                ref=np.max,
+            )
+            lt.display.specshow(
+                np.asarray(V), sr=SR, x_axis="time", y_axis="vqt_hz", ax=ax
+            )
+        elif name == "specshow_vqt_fjs":
+            V = lt.amplitude_to_db(
+                np.abs(np.asarray(lt.vqt(
+                    y, sr=SR, intervals="ji5", res_type="polyphase"))),
+                ref=np.max,
+            )
+            lt.display.specshow(
+                np.asarray(V), sr=SR, x_axis="time", y_axis="vqt_fjs",
+                intervals="ji5", ax=ax,
+            )
+        elif name == "specshow_fft_note":
+            S = lt.power_to_db(
+                np.abs(np.asarray(lt.stft(y))) ** 2, ref=np.max
+            )
+            lt.display.specshow(
+                np.asarray(S), sr=SR, x_axis="time", y_axis="fft_note", ax=ax
+            )
+        elif name == "specshow_fft_svara":
+            S = lt.power_to_db(
+                np.abs(np.asarray(lt.stft(y))) ** 2, ref=np.max
+            )
+            lt.display.specshow(
+                np.asarray(S), sr=SR, x_axis="time", y_axis="fft_svara",
+                Sa=220.0, ax=ax,
+            )
+        elif name == "specshow_chroma_fjs":
+            ch = np.asarray(lt.feature.chroma_stft(y=y, sr=SR, tuning=0.0))
+            lt.display.specshow(
+                ch, sr=SR, x_axis="time", y_axis="chroma_fjs",
+                intervals="ji5", ax=ax,
+            )
+        elif name == "specshow_log_oct3":
+            S = lt.power_to_db(
+                np.abs(np.asarray(lt.stft(y))) ** 2, ref=np.max
+            )
+            lt.display.specshow(
+                np.asarray(S), sr=SR, x_axis="time", y_axis="log_oct3", ax=ax
+            )
+        elif name == "specshow_mel_oct3":
+            M = lt.power_to_db(
+                np.asarray(lt.feature.melspectrogram(y=y, sr=SR)), ref=np.max
+            )
+            lt.display.specshow(
+                np.asarray(M), sr=SR, x_axis="time", y_axis="mel_oct3", ax=ax
+            )
+        elif name == "specshow_cqt_note_zoom":
+            # zoomed inside 2 octaves: adaptive minor labels become visible
+            C = lt.amplitude_to_db(
+                np.abs(np.asarray(lt.cqt(y, sr=SR, res_type="polyphase"))),
+                ref=np.max,
+            )
+            lt.display.specshow(
+                np.asarray(C), sr=SR, x_axis="time", y_axis="cqt_note", ax=ax
+            )
+            ax.set_ylim(180, 700)
+        elif name == "specshow_oct3_zoom":
+            S = lt.power_to_db(
+                np.abs(np.asarray(lt.stft(y))) ** 2, ref=np.max
+            )
+            lt.display.specshow(
+                np.asarray(S), sr=SR, x_axis="time", y_axis="log_oct3", ax=ax
+            )
+            ax.set_ylim(150, 500)
+        elif name == "specshow_keyed_note":
+            C = lt.amplitude_to_db(
+                np.abs(np.asarray(lt.cqt(y, sr=SR, res_type="polyphase"))),
+                ref=np.max,
+            )
+            lt.display.specshow(
+                np.asarray(C), sr=SR, x_axis="time", y_axis="cqt_note",
+                key="Eb:maj", ax=ax,
+            )
+        elif name == "specshow_lag_s":
+            X = np.asarray(lt.feature.mfcc(y=y, sr=SR)).astype(float)
+            R = np.asarray(
+                lt.segment.recurrence_matrix(X, sparse=False), dtype=float
+            )
+            lag = np.asarray(lt.segment.recurrence_to_lag(R))
+            lt.display.specshow(lag, sr=SR, x_axis="s", y_axis="lag_s", ax=ax)
+        elif name == "specshow_chroma_c":
+            ch = np.asarray(lt.feature.chroma_stft(y=y, sr=SR, tuning=0.0))
+            lt.display.specshow(
+                ch, sr=SR, x_axis="time", y_axis="chroma_c", Sa=0,
+                mela="mayamalavagaula", ax=ax,
+            )
+        elif name == "specshow_x_chroma":
+            ch = np.asarray(lt.feature.chroma_stft(y=y, sr=SR, tuning=0.0))
+            lt.display.specshow(ch.T, sr=SR, x_axis="chroma", y_axis="time",
+                                ax=ax)
+        elif name == "waveshow_stereo":
+            ys = np.stack([y, -0.6 * y])
+            lt.display.waveshow(ys, sr=SR, ax=ax)
+        elif name == "wavebars_colored":
+            lt.display.wavebars(y, sr=SR, color="#2a6f97", ax=ax)
+        elif name == "wavef0_transpose":
+            f0 = np.asarray(
+                lt.yin(y, fmin=100, fmax=800, sr=SR), dtype=float
+            )
+            lt.display.wavef0(y, f0=f0, sr=SR, transpose=True, ax=ax)
+        elif name == "colorbar_phase":
+            D = np.asarray(lt.stft(y))
+            img = lt.display.specshow(
+                np.angle(D), sr=SR, x_axis="time", y_axis="linear",
+                cmap="twilight_shifted", ax=ax,
+            )
+            lt.display.colorbar_phase(img, ax=ax)
+        elif name == "multiplot_waveshow":
+            ys = np.stack([y[: SR // 2], -0.5 * y[: SR // 2]])
+            plt.close(fig)
+            fig = plt.figure(figsize=(5, 3), dpi=72)
+            lt.display.multiplot("waveshow", ys, sr=SR, fig=fig)
+        elif name == "multiplot_specshow":
+            M = lt.power_to_db(
+                np.asarray(lt.feature.melspectrogram(
+                    y=np.stack([y, 0.5 * y]), sr=SR)),
+                ref=np.max,
+            )
+            plt.close(fig)
+            fig = plt.figure(figsize=(5, 3), dpi=72)
+            lt.display.multiplot(
+                "specshow", np.asarray(M), sr=SR, fig=fig,
+                x_axis="time", y_axis="mel",
+            )
+        elif name == "highlight_colored":
+            M = lt.power_to_db(
+                np.asarray(lt.feature.melspectrogram(y=y, sr=SR)), ref=np.max
+            )
+            lt.display.specshow(
+                np.asarray(M), sr=SR, x_axis="time", y_axis="mel", ax=ax
+            )
+            env = np.asarray(lt.onset.onset_strength(y=y, sr=SR))
+            times = np.asarray(lt.times_like(env, sr=SR))
+            lines = ax.plot(times, 200 + 3000 * env / env.max(), color="w")
+            lt.display.highlight(artist=lines[0], color="black", ax=ax)
+        elif name == "legend_for_axes":
+            env = np.asarray(lt.onset.onset_strength(y=y, sr=SR))
+            times = np.asarray(lt.times_like(env, sr=SR))
+            ax.plot(times, env, label="onset strength")
+            ax.plot(times, env[::-1], label="reversed")
+            lt.display.legend_for_axes(ax)
         else:
             raise KeyError(name)
 
@@ -181,4 +348,27 @@ CASES = [
     "wavef0",
     "colorbar_db",
     "highlight",
+    "specshow_cqt_svara",
+    "specshow_vqt_note",
+    "specshow_vqt_hz",
+    "specshow_vqt_fjs",
+    "specshow_fft_note",
+    "specshow_fft_svara",
+    "specshow_chroma_fjs",
+    "specshow_log_oct3",
+    "specshow_mel_oct3",
+    "specshow_cqt_note_zoom",
+    "specshow_oct3_zoom",
+    "specshow_keyed_note",
+    "specshow_lag_s",
+    "specshow_chroma_c",
+    "specshow_x_chroma",
+    "waveshow_stereo",
+    "wavebars_colored",
+    "wavef0_transpose",
+    "colorbar_phase",
+    "multiplot_waveshow",
+    "multiplot_specshow",
+    "highlight_colored",
+    "legend_for_axes",
 ]

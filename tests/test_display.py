@@ -272,3 +272,61 @@ def test_time_formatter_units(unit):
     assert isinstance(f(3725.0), str)
     with pytest.raises(lt.ParameterError):
         display.TimeFormatter(unit="days")
+
+
+class _SpanAxis:
+    """Minimal axis stub with a settable view interval."""
+
+    def __init__(self, lo, hi):
+        self.lo, self.hi = lo, hi
+
+    def get_view_interval(self):
+        return (self.lo, self.hi)
+
+
+def test_adaptive_eng_formatter_zoom():
+    # minor labels vanish beyond a 2-octave span and return when zoomed
+    minor = display.AdaptiveEngFormatter(major=False, unit="Hz")
+    major = display.AdaptiveEngFormatter(major=True, unit="Hz")
+    minor.axis = major.axis = _SpanAxis(32, 8192)
+    assert minor(1250.0) == ""
+    assert major(1000.0) != ""
+    minor.axis = major.axis = _SpanAxis(1000, 2500)
+    assert minor(1250.0) != ""
+    # inverted axes normalize
+    minor.axis = _SpanAxis(2500, 1000)
+    assert minor(1250.0) != ""
+    # non-positive ticks are never labeled
+    assert major(0.0) == "" and major(-5.0) == ""
+
+
+def test_note_formatter_cents_zoom():
+    f = display.NoteFormatter()
+    f.axis = _SpanAxis(400, 10000)
+    assert f(446.0) == "A4"            # wide span: no cent deviation
+    f.axis = _SpanAxis(430, 460)
+    assert "+" in f(446.0)             # inside one octave: cents appear
+
+
+def test_adaptive_formatters_in_specshow(tone_440):
+    # the oct3 axes wire adaptive Eng formatters on major AND minor ticks
+    S = np.abs(np.asarray(lt.stft(np.asarray(tone_440))))
+    fig, ax = plt.subplots()
+    display.specshow(S, sr=22050, y_axis="log_oct3", x_axis="time", ax=ax)
+    fig.canvas.draw()
+    assert isinstance(
+        ax.yaxis.get_major_formatter(), display.AdaptiveEngFormatter
+    )
+    assert isinstance(
+        ax.yaxis.get_minor_formatter(), display.AdaptiveEngFormatter
+    )
+    wide_minor = [
+        ax.yaxis.get_minor_formatter()(v) for v in (125.0, 250.0)
+    ]
+    ax.set_ylim(100, 300)
+    fig.canvas.draw()
+    zoom_minor = [
+        ax.yaxis.get_minor_formatter()(v) for v in (125.0, 250.0)
+    ]
+    assert all(s == "" for s in wide_minor)
+    assert all(s != "" for s in zoom_minor)
