@@ -117,9 +117,34 @@ def find_files(
     return out[start:]
 
 
-def cite(version: Optional[str] = None) -> str:
-    """Retrieve the citation DOI (requires network in the reference).
+# Known release DOIs (the reference fetches version_index.msgpack over the
+# network; this offline build embeds the subset it can vouch for and falls
+# back to the all-versions concept DOI).
+_CITE_INDEX = {
+    "0.10.0": "10.5281/zenodo.7746972",
+    "0.10.1": "10.5281/zenodo.8252662",
+    "0.10.2": "10.5281/zenodo.11192913",
+}
+_CONCEPT_DOI = "10.5281/zenodo.591533"
 
-    Parity: util/files.py:290 — offline build returns the concept DOI.
+
+def cite(version: Optional[str] = None) -> str:
+    """Retrieve the citation DOI for a release.
+
+    Parity: util/files.py:290 — same failure semantics (unreleased or
+    unknown versions raise ``ParameterError``); ``version=None`` cites
+    the concept DOI covering all releases, since the offline build
+    cannot fetch the full per-release index.
     """
-    return "https://doi.org/10.5281/zenodo.591533"
+    if version is None:
+        return f"https://doi.org/{_CONCEPT_DOI}"
+    if version in _CITE_INDEX:
+        return f"https://doi.org/{_CITE_INDEX[version]}"
+    if "dev" in version:
+        raise ParameterError(
+            f"Version {version} is not yet released and therefore does "
+            "not yet have a citable DOI."
+        )
+    raise ParameterError(
+        f"Version {version} not found in the citation index"
+    )

@@ -32,9 +32,7 @@ def _stacked_equals_per_channel(fn, y, atol=1e-5, rtol=1e-4):
         np.testing.assert_allclose(full[ch], single, atol=atol, rtol=rtol)
 
 
-@pytest.mark.parametrize(
-    "name,fn",
-    [
+BASIC_FNS = [
         ("stft", lambda y: lt.stft(y)),
         ("melspectrogram", lambda y: lt.feature.melspectrogram(y=y, sr=SR)),
 
@@ -55,15 +53,15 @@ def _stacked_equals_per_channel(fn, y, atol=1e-5, rtol=1e-4):
         ("autocorrelate", lambda y: lt.autocorrelate(y)),
         ("zero_crossings", lambda y: lt.zero_crossings(y)),
         ("yin", lambda y: lt.yin(y, fmin=65, fmax=800, sr=SR)),
-    ],
-)
+]
+
+
+@pytest.mark.parametrize("name,fn", BASIC_FNS)
 def test_multichannel_matches_per_channel(y_stereo, name, fn):
     _stacked_equals_per_channel(fn, y_stereo)
 
 
-@pytest.mark.parametrize(
-    "name,fn",
-    [
+EXTENDED_FNS = [
         ("vqt", lambda y: np.abs(np.asarray(
             lt.vqt(y, sr=SR, n_bins=48, res_type="polyphase")))),
         ("chroma_cqt", lambda y: lt.feature.chroma_cqt(
@@ -112,10 +110,39 @@ def test_multichannel_matches_per_channel(y_stereo, name, fn):
             np.abs(np.asarray(lt.stft(y))),
             freqs=lt.fft_frequencies(sr=SR), harmonics=[1, 2],
             fill_value=0.0)))),
-    ],
-)
+]
+
+
+@pytest.mark.parametrize("name,fn", EXTENDED_FNS)
 def test_multichannel_extended(y_stereo, name, fn):
     _stacked_equals_per_channel(fn, y_stereo, atol=1e-4, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def y_batch():
+    # (batch=2, ch=2, t): stereo pairs stacked over a batch dim — the
+    # reference exercises 2-D leading shapes the same way
+    # (tests/test_multichannel.py:27-47)
+    t = np.arange(SR) / SR
+    rng = np.random.RandomState(441)
+    sigs = np.stack([
+        np.sin(2 * np.pi * f * t * (1 + c * t))
+        for f, c in ((220, 0.0), (330, 0.05), (440, 0.0), (550, 0.08))
+    ]).reshape(2, 2, -1)
+    return (0.4 * sigs + 0.01 * rng.randn(2, 2, len(t))).astype(np.float32)
+
+
+@pytest.mark.parametrize("name,fn", BASIC_FNS + EXTENDED_FNS)
+def test_batch_2d_leading_dims(y_batch, name, fn):
+    # (2, 2, t) stacks: results equal the per-(i, j) single computation
+    full = np.asarray(fn(y_batch))
+    for i in range(2):
+        for j in range(2):
+            single = np.asarray(fn(y_batch[i, j]))
+            assert full[i, j].shape == single.shape, (full.shape, single.shape)
+            np.testing.assert_allclose(
+                full[i, j], single, atol=2e-4, rtol=2e-3
+            )
 
 
 def test_multichannel_mel_to_stft(y_stereo):
