@@ -256,7 +256,37 @@ def get_duration(
 def to_mono(
     *signals: Any, pad: bool = True, norm: bool = True, out: Any = None
 ) -> jax.Array:
-    """Mix one or more signals down to mono. Parity: core/audio.py:628."""
+    """Mix one or more (possibly multichannel) signals down to mono.
+
+    Channels are averaged over every leading axis; multiple input
+    signals are then summed (padded to the longest when ``pad``) and
+    optionally normalized by the number of signals.
+
+    Parameters
+    ----------
+    *signals : array-like
+        one or more audio buffers
+    pad : bool
+        pad shorter signals before summing
+    norm : bool
+        divide the mix by the number of signals
+    out : unsupported
+        accepted for signature parity; must be None
+
+    Returns
+    -------
+    y_mono : jax.Array [shape=(n,)]
+        the mono mixdown
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> y = np.array([[1.0, 2.0], [3.0, 4.0]])
+    >>> np.asarray(lt.to_mono(y)).tolist()
+    [2.0, 3.0]
+
+    Parity: reference core/audio.py:628.
+    """
     if not signals:
         raise ParameterError("At least one signal must be provided to `to_mono`.")
     arrs = [jnp.asarray(y) for y in signals]

@@ -685,7 +685,30 @@ def power_to_db(
 
 
 def db_to_power(S_db: Any, *, ref: float = 1.0) -> jax.Array:
-    """Invert dB scaling to power. Parity: core/spectrum.py:1887."""
+    """Invert decibel scaling back to a power spectrogram.
+
+    Inverse of ``power_to_db``: ``ref · 10^(S_db / 10)``.
+
+    Parameters
+    ----------
+    S_db : array-like
+        dB-scaled values
+    ref : float > 0
+        reference power used in the forward scaling
+
+    Returns
+    -------
+    S : jax.Array
+        power values
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> np.asarray(lt.db_to_power(np.array([0.0, 10.0, 20.0]))).round(6).tolist()
+    [1.0, 10.0, 100.0]
+
+    Parity: reference core/spectrum.py:1887.
+    """
     return ref * jnp.power(10.0, 0.1 * jnp.asarray(S_db))
 
 
@@ -746,7 +769,30 @@ def amplitude_to_db(
 
 
 def db_to_amplitude(S_db: Any, *, ref: float = 1.0) -> jax.Array:
-    """Invert dB scaling to amplitude. Parity: core/spectrum.py:2054."""
+    """Invert decibel scaling back to an amplitude (magnitude) spectrogram.
+
+    Inverse of ``amplitude_to_db``: ``ref · 10^(S_db / 20)``.
+
+    Parameters
+    ----------
+    S_db : array-like
+        dB-scaled values
+    ref : float > 0
+        reference amplitude used in the forward scaling
+
+    Returns
+    -------
+    S : jax.Array
+        amplitude values
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> np.asarray(lt.db_to_amplitude(np.array([0.0, 20.0]))).round(6).tolist()
+    [1.0, 10.0]
+
+    Parity: reference core/spectrum.py:2054.
+    """
     return db_to_power(S_db, ref=ref**2) ** 0.5
 
 

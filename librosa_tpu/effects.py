@@ -137,15 +137,28 @@ def hpss(y: Any, **kwargs: Any) -> Tuple[jax.Array, jax.Array]:
 
 
 def harmonic(y: Any, **kwargs: Any) -> jax.Array:
-    """Extract the harmonic component of an audio signal.
+    """Extract the harmonic (tonal) component of an audio signal.
 
-    ``istft(harmonic_mask * stft(y))`` in one fused program; see
-    ``effects.hpss`` (parity: effects.py:198).
+    Runs ``istft(harmonic_mask · stft(y))`` as one fused device
+    program; the mask comes from median-filter HPSS (see
+    ``decompose.hpss``).
 
     Parameters
     ----------
-    y : input signal
-    **kwargs : forwarded to ``decompose.hpss``
+    y : array-like
+        input signal (multichannel supported on leading axes)
+    **kwargs
+        forwarded to ``decompose.hpss`` (``kernel_size``, ``power``,
+        ``margin``, ...)
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> t = np.arange(22050) / 22050
+    >>> y = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    >>> yh = np.asarray(lt.effects.harmonic(y))
+    >>> yh.shape == y.shape
+    True
 
     Returns
     -------

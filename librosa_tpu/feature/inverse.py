@@ -159,9 +159,25 @@ def mfcc_to_audio(
     lifter: float = 0,
     **kwargs: Any,
 ) -> jax.Array:
-    """Invert MFCCs all the way to audio (mel inversion + Griffin-Lim).
+    """Invert MFCCs all the way back to a time-domain signal.
 
-    Parity: feature/inverse.py:290.
+    Chains the inverse DCT (``mfcc_to_mel``), mel-to-linear NNLS
+    inversion, and Griffin-Lim phase recovery (``mel_to_audio``).
+    Lossy: only as much structure as ``n_mfcc`` coefficients carry can
+    be recovered.
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> t = np.arange(11025) / 22050
+    >>> y = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    >>> m = np.asarray(lt.feature.mfcc(y=y, sr=22050))
+    >>> out = np.asarray(lt.feature.inverse.mfcc_to_audio(
+    ...     m, sr=22050, n_iter=2, length=len(y)))
+    >>> out.shape == y.shape
+    True
+
+    Parity: reference feature/inverse.py:290.
 
     Parameters
     ----------

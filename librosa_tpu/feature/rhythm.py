@@ -122,9 +122,12 @@ def fourier_tempogram(
     center: bool = True,
     window: Any = "hann",
 ) -> jax.Array:
-    """Fourier tempogram: the STFT of the onset envelope.
+    """Fourier tempogram: the short-time Fourier transform of the onset
+    envelope.
 
-    Parity: feature/rhythm.py:194.
+    Each column is the complex spectrum of a ``win_length``-frame slice
+    of the onset strength signal; bin frequencies convert to BPM via
+    ``fourier_tempo_frequencies``.
 
     Parameters
     ----------
@@ -134,6 +137,23 @@ def fourier_tempogram(
     Returns
     -------
     tempogram : jax.Array [shape=(..., 1 + win_length//2, t), complex]
+        complex Fourier tempogram
+
+    See Also
+    --------
+    tempogram, hybrid_tempogram
+    librosa_tpu.fourier_tempo_frequencies
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> env = np.zeros(512, dtype=np.float32)
+    >>> env[::22] = 1.0
+    >>> F = lt.feature.fourier_tempogram(onset_envelope=env, sr=22050)
+    >>> F.shape, bool(np.iscomplexobj(np.asarray(F)))
+    ((193, 513), True)
+
+    Parity: reference feature/rhythm.py:194.
     """
     from ..onset import onset_strength
 
@@ -350,8 +370,41 @@ def hybrid_tempogram(
     window: Any = "hann",
     **kwargs: Any,
 ) -> jax.Array:
-    """Hybrid tempogram: geometric mean of Fourier and resampled
-    autocorrelation tempograms. Parity: feature/rhythm.py:675."""
+    """Hybrid tempogram: geometric mean of the Fourier and
+    autocorrelation tempograms.
+
+    The autocorrelation tempogram is interpolated onto the Fourier
+    tempogram's BPM grid, and the two magnitude surfaces are combined
+    multiplicatively — suppressing peaks that only one representation
+    supports (harmonic vs subharmonic tempo confusions).
+
+    Parameters
+    ----------
+    y, sr, onset_envelope, hop_length, win_length, center, window
+        as in ``tempogram``
+    **kwargs
+        forwarded to the interpolator
+
+    Returns
+    -------
+    tempogram : jax.Array [shape=(..., 1 + win_length//2, t)]
+        hybrid tempo salience
+
+    See Also
+    --------
+    tempogram, fourier_tempogram
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> env = np.zeros(512, dtype=np.float32)
+    >>> env[::22] = 1.0
+    >>> H = np.asarray(lt.feature.hybrid_tempogram(onset_envelope=env))
+    >>> H.shape, bool((H >= 0).all())
+    ((193, 512), True)
+
+    Parity: reference feature/rhythm.py:675.
+    """
     import scipy.interpolate
 
     interp_kwargs: dict = dict(kwargs) if kwargs else {}
@@ -410,9 +463,45 @@ def metrogram(
     kind: str = "linear",
     fill_value: float = 0,
 ) -> jax.Array:
-    """Metrical-structure product of a tempogram with its sub-harmonics.
+    """Metrical-structure enhancement of a tempogram.
 
-    Parity: feature/rhythm.py:826.
+    For each metric factor (1/3, 1/4, 1/5, 1/7 by default — i.e. 3/4,
+    4/4, 5/4, 7/4 time), multiplies the tempogram with itself sampled
+    at that tempo ratio and collapses the tempo axis, yielding one
+    ratio-salience row per factor over time (Cozens & Godsill 2023).
+
+    Parameters
+    ----------
+    tg : np.ndarray or jax.Array [shape=(..., n_bpm, t)]
+        input tempogram
+    freqs : np.ndarray
+        BPM value of each tempogram row
+    factors : np.ndarray or None
+        sub-harmonic factors to aggregate over
+    aggregate : callable or None
+        reduction over factors (default sum); None stacks instead
+    kind : str
+        interpolation mode for the factor sampling
+    fill_value : float
+        value for out-of-range samples
+
+    Returns
+    -------
+    metrogram : jax.Array [shape=(..., n_factors, t)]
+        ratio salience per factor and frame (per tempo bin when
+        ``aggregate=None``)
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> env = np.zeros(256, dtype=np.float32); env[::22] = 1.0
+    >>> tg = np.abs(np.asarray(lt.feature.tempogram(onset_envelope=env)))
+    >>> freqs = lt.tempo_frequencies(tg.shape[-2])
+    >>> M = lt.feature.metrogram(tg=tg, freqs=freqs)
+    >>> M.shape
+    (4, 256)
+
+    Parity: reference feature/rhythm.py:826.
     """
     from ..core.harmonic import interp_harmonics
 

@@ -528,9 +528,25 @@ def zero_crossing_rate(
     center: bool = True,
     **kwargs: Any,
 ) -> jax.Array:
-    """Fraction of zero crossings per frame.
+    """Fraction of sign changes per analysis frame.
 
-    Parity: feature/spectral.py:1062.
+    High rates indicate noisy/unvoiced content; low rates indicate
+    tonal content.  Matches the reference's convention of counting a
+    crossing at position ``i`` when ``sign(y[i]) != sign(y[i-1])``
+    (with ``sign(0)`` treated as positive by default).
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> t = np.arange(22050) / 22050
+    >>> y = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    >>> z = np.asarray(lt.feature.zero_crossing_rate(y))
+    >>> z.shape
+    (1, 44)
+    >>> bool(abs(float(z.mean()) - 2 * 440 / 22050) < 5e-3)
+    True
+
+    Parity: reference feature/spectral.py:1062.
 
     Parameters
     ----------

@@ -124,10 +124,40 @@ def _np_pad_center(data: np.ndarray, *, size: int, axis: int = -1, **kwargs: Any
 
 
 def get_window(window: _WindowSpec, Nx: int, *, fftbins: bool = True) -> np.ndarray:
-    """Compute a window function (host, float64).
+    """Compute a window function as a float64 host array.
 
-    Parity: reference ``filters.py:915`` — str/tuple/scalar specs dispatch to
-    ``scipy.signal.get_window``; callables and precomputed arrays pass through.
+    Accepts the full window grammar: a name (``'hann'``), a
+    parameterized tuple (``('kaiser', 4.0)``), a scalar beta, a
+    callable window factory, or a precomputed vector (validated for
+    length and passed through).
+
+    Parameters
+    ----------
+    window : str, tuple, number, callable, or np.ndarray
+        window specification
+    Nx : int > 0
+        window length
+    fftbins : bool
+        periodic window (for spectral analysis) rather than symmetric
+
+    Returns
+    -------
+    win : np.ndarray [shape=(Nx,)]
+        the window samples
+
+    Raises
+    ------
+    ParameterError
+        for an unusable spec or a vector of the wrong length
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> w = lt.filters.get_window('hann', 8)
+    >>> float(w[0]), len(w)
+    (0.0, 8)
+
+    Parity: reference filters.py:915.
     """
     # Precomputed vectors pass through after a length check; factories are
     # invoked; named/parameterized specs delegate to scipy's window table.
@@ -192,7 +222,29 @@ WINDOW_BANDWIDTHS: dict = {
 def window_bandwidth(window: _WindowSpec, n: int = 1000) -> float:
     """Equivalent noise bandwidth (in FFT bins) of a window function.
 
-    Parity: filters.py:865 — ``enbw = n * sum(w**2) / sum(w)**2``.
+    Known window names resolve from a precomputed table; anything else
+    is measured directly as ``n · Σw² / (Σw)²`` on an ``n``-point
+    realization.
+
+    Parameters
+    ----------
+    window : str or callable
+        window specification
+    n : int > 0
+        sample count for the direct measurement
+
+    Returns
+    -------
+    bandwidth : float
+        equivalent noise bandwidth in bins
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> float(np.round(lt.filters.window_bandwidth('hann'), 6))
+    1.500183
+
+    Parity: reference filters.py:865.
     """
     if hasattr(window, "__name__"):
         key = window.__name__
@@ -287,10 +339,48 @@ def mel(
     norm: Union[str, float, None] = "slaney",
     dtype: Any = np.float32,
 ) -> np.ndarray:
-    """Create a Mel filterbank matrix ``(n_mels, 1 + n_fft//2)``.
+    """Create a mel filterbank projecting FFT bins onto mel bands.
 
-    Parity: reference ``filters.py:117`` — triangle overlap of mel-frequency
-    ramps with optional Slaney area normalization.
+    Each row is a triangular response centered on one mel frequency,
+    overlapping its neighbors; ``norm='slaney'`` area-normalizes each
+    triangle so bands integrate to equal energy.
+
+    Parameters
+    ----------
+    sr : number > 0
+        sampling rate
+    n_fft : int > 0
+        FFT size the filterbank will be applied to
+    n_mels : int > 0
+        number of mel bands
+    fmin : float >= 0
+        lowest band edge (Hz)
+    fmax : float or None
+        highest band edge (defaults to ``sr / 2``)
+    htk : bool
+        use the HTK mel formula instead of Slaney
+    norm : {'slaney', number, None}
+        triangle normalization mode
+    dtype : dtype
+        output dtype
+
+    Returns
+    -------
+    M : np.ndarray [shape=(n_mels, 1 + n_fft//2)]
+        mel transformation matrix
+
+    See Also
+    --------
+    librosa_tpu.feature.melspectrogram
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> M = lt.filters.mel(sr=22050, n_fft=2048, n_mels=40)
+    >>> M.shape
+    (40, 1025)
+
+    Parity: reference filters.py:117.
     """
     if fmax is None:
         fmax = float(sr) / 2
@@ -356,10 +446,44 @@ def chroma(
     base_c: bool = True,
     dtype: Any = np.float32,
 ) -> np.ndarray:
-    """Create a chroma filterbank ``(n_chroma, 1 + n_fft//2)``.
+    """Create a chroma filterbank projecting FFT bins onto pitch classes.
 
-    Parity: reference ``filters.py:255`` — Gaussian pitch-class bins with
-    octave-dominance weighting.
+    Each FFT bin contributes Gaussian mass to its nearest pitch class;
+    an octave-dominance Gaussian (``ctroct``/``octwidth``) de-weights
+    extreme registers.
+
+    Parameters
+    ----------
+    sr : number > 0
+        sampling rate
+    n_fft : int > 0
+        FFT size
+    n_chroma : int > 0
+        number of pitch classes
+    tuning : float
+        tuning deviation in fractions of a chroma bin
+    ctroct, octwidth : float
+        center (in octaves) and width of the dominance window;
+        ``octwidth=None`` disables weighting
+    norm : number or None
+        column normalization order
+    base_c : bool
+        start the rotation at C (else A)
+    dtype : dtype
+        output dtype
+
+    Returns
+    -------
+    C : np.ndarray [shape=(n_chroma, 1 + n_fft//2)]
+        chroma transformation matrix
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.filters.chroma(sr=22050, n_fft=2048).shape
+    (12, 1025)
+
+    Parity: reference filters.py:255.
     """
     return _chroma_cached(
         float(sr), int(n_fft), int(n_chroma), float(tuning), float(ctroct),
@@ -452,6 +576,46 @@ def wavelet(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Construct a wavelet basis of windowed complex sinusoids.
 
+    Each basis row is a windowed complex exponential at one requested
+    frequency, with length set by the frequency's Q factor; rows are
+    centered and zero-padded to a common (optionally pow2) length.
+
+    Parameters
+    ----------
+    freqs : np.ndarray
+        center frequencies in Hz
+    sr : number > 0
+        sampling rate
+    window : window spec
+        envelope window
+    filter_scale : float > 0
+        Q-factor scale
+    pad_fft : bool
+        pad to the next power of two
+    norm : number or None
+        per-filter normalization order
+    dtype : dtype
+        output (complex) dtype
+    gamma : float >= 0
+        bandwidth offset (variable-Q)
+    alpha : float or None
+        precomputed relative bandwidth(s)
+
+    Returns
+    -------
+    filters : np.ndarray [shape=(len(freqs), length)]
+        wavelet basis
+    lengths : np.ndarray
+        effective length of each filter
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> basis, lengths = lt.filters.wavelet(
+    ...     freqs=lt.cqt_frequencies(12, fmin=220.0), sr=22050)
+    >>> basis.shape[0], int(lengths.size)
+    (12, 12)
+
     Parity: reference ``filters.py:589``.  Returns ``(filters, lengths)``;
     filters are center-padded to a power of 2 when ``pad_fft``.
     """
@@ -497,7 +661,42 @@ def cq_to_chroma(
     base_c: bool = True,
     dtype: Any = np.float32,
 ) -> np.ndarray:
-    """Map Constant-Q bins onto chroma bins. Parity: filters.py:737."""
+    """Build a map from constant-Q bins onto chroma (pitch-class) bins.
+
+    Merges every ``bins_per_octave / n_chroma`` CQ bins into one pitch
+    class, rolls so the first class matches ``fmin``'s pitch, and
+    optionally smooths with a window across merged bins.
+
+    Parameters
+    ----------
+    n_input : int > 0
+        number of constant-Q bins
+    bins_per_octave : int > 0
+        CQ bins per octave
+    n_chroma : int > 0
+        output pitch classes (must divide ``bins_per_octave``)
+    fmin : float or None
+        frequency of the first CQ bin (default C1)
+    window : np.ndarray or None
+        smoothing window across merged bins
+    base_c : bool
+        rotate so class 0 is C
+    dtype : dtype
+        output dtype
+
+    Returns
+    -------
+    cq_to_ch : np.ndarray [shape=(n_chroma, n_input)]
+        transformation matrix
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.filters.cq_to_chroma(84).shape
+    (12, 84)
+
+    Parity: reference filters.py:737.
+    """
     n_merge = float(bins_per_octave) / n_chroma
     if fmin is None:
         fmin_ = note_to_hz("C1")
@@ -580,7 +779,29 @@ def _multirate_fb(
 def mr_frequencies(tuning: float) -> Tuple[np.ndarray, np.ndarray]:
     """Center frequency / sample-rate pairs for the semitone filterbank.
 
-    Parity: filters.py:1103 (Müller pitch filterbank layout, starting at C0).
+    The multi-rate layout follows Müller's pitch filterbank: MIDI 24-59
+    at 882 Hz, 60-93 at 4410 Hz, 94-108 at 22050 Hz.
+
+    Parameters
+    ----------
+    tuning : float
+        tuning deviation in fractions of a semitone
+
+    Returns
+    -------
+    center_freqs : np.ndarray [shape=(85,)]
+        filter center frequencies in Hz
+    sample_rates : np.ndarray [shape=(85,)]
+        sampling rate for each filter
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> freqs, rates = lt.filters.mr_frequencies(0.0)
+    >>> int(freqs.size), float(rates[0]), float(rates[-1])
+    (85, 882.0, 22050.0)
+
+    Parity: reference filters.py:1103.
     """
     center_freqs = midi_to_hz(np.arange(24 + tuning, 109 + tuning))
     sample_rates = np.asarray(36 * [882.0] + 34 * [4410.0] + 15 * [22050.0])
@@ -596,7 +817,41 @@ def semitone_filterbank(
     flayout: str = "ba",
     **kwargs: Any,
 ) -> Tuple[List[Any], np.ndarray]:
-    """Multi-rate IIR band-pass bank at semitone centers. Parity: filters.py:1156."""
+    """Construct a multi-rate bank of IIR band-pass filters at semitones.
+
+    Each filter is an order-4 elliptic band-pass (via
+    ``scipy.signal.ellip``) a quarter-tone wide around its center, at
+    the center's native sampling rate.
+
+    Parameters
+    ----------
+    center_freqs : np.ndarray or None
+        filter centers in Hz (default :func:`mr_frequencies` layout)
+    tuning : float
+        tuning deviation passed to :func:`mr_frequencies`
+    sample_rates : np.ndarray or None
+        per-filter sampling rates
+    flayout : {'ba', 'sos'}
+        filter coefficient layout
+    **kwargs
+        forwarded to the elliptic designer
+
+    Returns
+    -------
+    filterbank : list
+        filter coefficients, one entry per semitone
+    sample_rates : np.ndarray
+        sampling rate per filter
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> bank, rates = lt.filters.semitone_filterbank()
+    >>> len(bank) == rates.size == 85
+    True
+
+    Parity: reference filters.py:1156.
+    """
     if (center_freqs is None) and (sample_rates is None):
         center_freqs, sample_rates = mr_frequencies(tuning)
     return _multirate_fb(
@@ -621,9 +876,43 @@ def window_sumsquare(
     dtype: Any = np.float32,
     norm: Optional[float] = None,
 ) -> np.ndarray:
-    """Sum-square envelope of a window at a given hop. Parity: filters.py:1268.
+    """Sum-square envelope of an overlapped window sequence.
 
-    Vectorized overlap-add (np.add.at) replaces the reference's numba fill.
+    Computes ``Σ_t w²[n - t·hop]`` — the denominator of inverse-STFT
+    normalization.  Vectorized overlap-add (``np.add.at``) replaces the
+    reference's numba fill loop.
+
+    Parameters
+    ----------
+    window : window spec
+        analysis window
+    n_frames : int > 0
+        number of overlapping frames
+    hop_length : int > 0
+        samples between frames
+    win_length : int or None
+        window length (default ``n_fft``)
+    n_fft : int > 0
+        frame length
+    dtype : dtype
+        output dtype
+    norm : number or None
+        optional window normalization order
+
+    Returns
+    -------
+    wss : np.ndarray [shape=(n_fft + hop_length * (n_frames - 1),)]
+        sum-square envelope
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> env = lt.filters.window_sumsquare(window='hann', n_frames=10,
+    ...                                   hop_length=512, n_fft=2048)
+    >>> env.shape
+    (6656,)
+
+    Parity: reference filters.py:1268.
     """
     if win_length is None:
         win_length = n_fft
@@ -657,7 +946,39 @@ def diagonal_filter(
     angle: Optional[float] = None,
     zero_mean: bool = False,
 ) -> np.ndarray:
-    """Build a two-dimensional diagonal smoothing filter. Parity: filters.py:1343."""
+    """Build a two-dimensional diagonal smoothing kernel.
+
+    Lays a 1-D window along the main diagonal and spline-rotates the
+    plane to the requested angle; used to enhance diagonal structure in
+    recurrence/self-similarity matrices.
+
+    Parameters
+    ----------
+    window : window spec
+        1-D window to lay along the diagonal
+    n : int > 0
+        kernel size
+    slope : float > 0
+        rise/run of the diagonal (ignored when ``angle`` given)
+    angle : float or None
+        rotation angle in radians
+    zero_mean : bool
+        subtract the kernel mean (high-pass form)
+
+    Returns
+    -------
+    kernel : np.ndarray [shape=(n, n)]
+        normalized 2-D filter
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> k = lt.filters.diagonal_filter('hann', 5)
+    >>> k.shape, bool(np.isclose(k.sum(), 1.0))
+    ((5, 5), True)
+
+    Parity: reference filters.py:1343.
+    """
     if angle is None:
         angle = np.arctan(slope)
 

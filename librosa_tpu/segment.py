@@ -440,7 +440,40 @@ def _shear_sparse(X, factor: int, axis: int):
 
 
 def recurrence_to_lag(rec: Any, *, pad: bool = True, axis: int = -1):
-    """Convert a recurrence matrix to lag space. Parity: segment.py:709."""
+    """Convert a recurrence matrix to a time-lag representation.
+
+    Column ``t`` of the lag matrix holds the recurrence values of frame
+    ``t`` against frames at each lag offset, so diagonal structure in
+    recurrence space becomes horizontal structure in lag space.
+
+    Parameters
+    ----------
+    rec : np.ndarray or sparse matrix [shape=(n, n)]
+        (square) recurrence matrix
+    pad : bool
+        double the lag axis to hold negative lags
+    axis : int
+        which axis indexes time
+
+    Returns
+    -------
+    lag : same type as ``rec`` [shape=(2n, n) or (n, n)]
+        lag-domain matrix
+
+    Raises
+    ------
+    ParameterError
+        for non-square input
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> R = np.eye(4)
+    >>> lt.segment.recurrence_to_lag(R, pad=False)[0].tolist()
+    [1.0, 1.0, 1.0, 1.0]
+
+    Parity: reference segment.py:709.
+    """
     axis = int(np.abs(axis))
 
     if rec.ndim != 2 or rec.shape[0] != rec.shape[1]:
@@ -468,7 +501,38 @@ def recurrence_to_lag(rec: Any, *, pad: bool = True, axis: int = -1):
 
 
 def lag_to_recurrence(lag: Any, *, axis: int = -1):
-    """Convert a lag matrix to recurrence space. Parity: segment.py:816."""
+    """Convert a time-lag matrix back to a recurrence representation.
+
+    Inverse of :func:`recurrence_to_lag` (both padded and unpadded
+    layouts are accepted).
+
+    Parameters
+    ----------
+    lag : np.ndarray or sparse matrix [shape=(2n, n) or (n, n)]
+        lag-domain matrix
+    axis : int
+        which axis indexes time
+
+    Returns
+    -------
+    rec : same type as ``lag`` [shape=(n, n)]
+        recurrence matrix
+
+    Raises
+    ------
+    ParameterError
+        for an invalid axis or inconsistent shape
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> R = np.eye(4)
+    >>> L = lt.segment.recurrence_to_lag(R)
+    >>> bool(np.allclose(lt.segment.lag_to_recurrence(L), R))
+    True
+
+    Parity: reference segment.py:816.
+    """
     if axis not in [0, 1, -1]:
         raise ParameterError(f"Invalid target axis: {axis}")
     axis = int(np.abs(axis))
@@ -494,7 +558,38 @@ def lag_to_recurrence(lag: Any, *, axis: int = -1):
 
 
 def timelag_filter(function: Callable, pad: bool = True, index: int = 0) -> Callable:
-    """Filtering in the time-lag domain (decorator). Parity: segment.py:895."""
+    """Lift a matrix filter to operate in the time-lag domain.
+
+    Returns a wrapped version of ``function`` that converts its
+    ``index``-th argument to lag space, applies the filter there (where
+    repeated structure is horizontal and easier to smooth), and
+    converts the result back to recurrence space.
+
+    Parameters
+    ----------
+    function : callable
+        matrix filter, e.g. ``scipy.ndimage.median_filter``
+    pad : bool
+        forwarded to :func:`recurrence_to_lag`
+    index : int
+        position of the matrix argument in ``function``'s signature
+
+    Returns
+    -------
+    wrapped : callable
+        the lag-domain version of ``function``
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> import scipy.ndimage
+    >>> smooth = lt.segment.timelag_filter(scipy.ndimage.median_filter)
+    >>> R = np.eye(6)
+    >>> smooth(R, size=(1, 3)).shape
+    (6, 6)
+
+    Parity: reference segment.py:895.
+    """
 
     @functools.wraps(function)
     def _wrapped(*args: Any, **kwargs: Any):

@@ -172,9 +172,37 @@ def dtw_backtracking(
     subseq: bool = False,
     start: Optional[int] = None,
 ) -> List[Tuple[int, int]]:
-    """Backtrack an optimal warping path from a step matrix.
+    """Backtrack an optimal warping path from a DTW step matrix.
 
-    Parity: sequence.py:575 (__dtw_backtracking).
+    Follows the recorded step indices from the end (or ``start``) back
+    to the origin, yielding the alignment in reverse order.
+
+    Parameters
+    ----------
+    steps : np.ndarray [shape=(n, m)]
+        per-cell index of the chosen step (as produced by ``dtw`` with
+        ``return_steps=True``)
+    step_sizes_sigma : np.ndarray or None
+        step-size alphabet (defaults to the standard diagonal set)
+    subseq : bool
+        subsequence mode: stop at the top row rather than the corner
+    start : int or None
+        ending column for subsequence alignments
+
+    Returns
+    -------
+    path : list of (int, int)
+        warping path in reverse order
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> X = np.array([[0.0, 1.0, 2.0]])
+    >>> D, wp = lt.sequence.dtw(X, X)
+    >>> wp[::-1].tolist()
+    [[0, 0], [1, 1], [2, 2]]
+
+    Parity: reference sequence.py:575 (__dtw_backtracking).
     """
     if step_sizes_sigma is None:
         step_sizes_sigma = np.array([[1, 1], [0, 1], [1, 0]], dtype=np.uint32)
@@ -381,9 +409,31 @@ def dtw(
 
 
 def path_to_steps(path: np.ndarray, *, inverse: bool = False) -> np.ndarray:
-    """Convert a DTW warping path to fractional steps via interpolation.
+    """Convert a DTW warping path into per-frame fractional positions.
 
-    Parity: sequence.py (path_to_steps).
+    Interpolates the path so each target frame maps to a (fractional)
+    source position — the form consumed by time-stretch resynthesis.
+
+    Parameters
+    ----------
+    path : np.ndarray [shape=(k, 2)]
+        warping path pairs (source, target)
+    inverse : bool
+        swap source and target roles
+
+    Returns
+    -------
+    steps : np.ndarray
+        fractional source position per target frame
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> path = np.array([[0, 0], [1, 2], [2, 4]])
+    >>> lt.sequence.path_to_steps(path).tolist()
+    [0.0, 0.5, 1.0, 1.5, 2.0]
+
+    Parity: reference sequence.py (path_to_steps).
     """
     path = np.asarray(path)
     if inverse:

@@ -136,7 +136,34 @@ def frame(
 
 
 def valid_audio(y: _ArrayLike, *, mono: bool = False) -> bool:
-    """Validate an audio buffer (float dtype, finite). Parity: util/utils.py:246."""
+    """Validate an audio buffer: floating dtype, finite values.
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array
+        audio buffer to check
+    mono : bool
+        additionally require a 1-D (single-channel) signal
+
+    Returns
+    -------
+    valid : bool
+        True if ``y`` passes every check
+
+    Raises
+    ------
+    ParameterError
+        if ``y`` is not an array, not floating-point, contains
+        non-finite values, or is multichannel when ``mono=True``
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.util.valid_audio(np.zeros(1000, dtype=np.float32))
+    True
+
+    Parity: reference util/utils.py:246.
+    """
     if isinstance(y, jax.Array):
         if not jnp.issubdtype(y.dtype, jnp.floating):
             raise ParameterError("Audio data must be floating-point")
@@ -168,7 +195,35 @@ def valid_audio(y: _ArrayLike, *, mono: bool = False) -> bool:
 
 
 def valid_int(x: float, *, cast: Optional[Callable[[float], float]] = None) -> int:
-    """Ensure that an input value is integer-typed. Parity: util/utils.py (valid_int)."""
+    """Cast a value to an integer via a rounding function.
+
+    Parameters
+    ----------
+    x : number
+        value to convert
+    cast : callable or None
+        rounding function (default ``np.floor``)
+
+    Returns
+    -------
+    x_int : int
+        ``int(cast(x))``
+
+    Raises
+    ------
+    ParameterError
+        if ``cast`` is not callable
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.util.valid_int(3.7)
+    3
+    >>> lt.util.valid_int(3.2, cast=np.ceil)
+    4
+
+    Parity: reference util/utils.py (valid_int).
+    """
     if cast is None:
         cast = np.floor
     if not callable(cast):
@@ -177,12 +232,59 @@ def valid_int(x: float, *, cast: Optional[Callable[[float], float]] = None) -> i
 
 
 def is_positive_int(x: float) -> bool:
-    """Check that x is a positive integer."""
+    """Check whether a value is a strictly positive integer.
+
+    Parameters
+    ----------
+    x : number
+        value to check
+
+    Returns
+    -------
+    positive : bool
+        True only for integer-typed values greater than zero
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.util.is_positive_int(5)
+    True
+    >>> lt.util.is_positive_int(2.5)
+    False
+
+    Parity: reference util/utils.py (is_positive_int).
+    """
     return isinstance(x, (int, np.integer)) and (x > 0)
 
 
 def valid_intervals(intervals: np.ndarray) -> bool:
-    """Ensure that an array is a valid representation of time intervals."""
+    """Validate an array of time intervals.
+
+    Intervals are rows ``[start, end]`` with ``end >= start``.
+
+    Parameters
+    ----------
+    intervals : np.ndarray [shape=(n, 2)]
+        candidate interval array
+
+    Returns
+    -------
+    valid : bool
+        True if the array is well-formed
+
+    Raises
+    ------
+    ParameterError
+        if the shape is not (n, 2) or any interval runs backwards
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.util.valid_intervals(np.array([[0.0, 1.0], [0.5, 2.0]]))
+    True
+
+    Parity: reference util/utils.py (valid_intervals).
+    """
     intervals = np.asarray(intervals)
     if intervals.ndim != 2 or intervals.shape[-1] != 2:
         raise ParameterError("intervals must have shape (n, 2)")
@@ -199,7 +301,40 @@ def valid_intervals(intervals: np.ndarray) -> bool:
 def pad_center(
     data: _ArrayLike, *, size: int, axis: int = -1, **kwargs: Any
 ) -> jax.Array:
-    """Pad an array to a target size, centered. Parity: util/utils.py:387."""
+    """Pad an array to a target size, centering the data.
+
+    Used to center windows inside FFT frames: ``n_fft - size`` padding
+    is split evenly (left-heavy remainder goes right).
+
+    Parameters
+    ----------
+    data : array-like
+        array to pad
+    size : int >= data.shape[axis]
+        target length
+    axis : int
+        axis to pad
+    **kwargs
+        forwarded to ``jnp.pad`` (e.g. ``mode``)
+
+    Returns
+    -------
+    padded : jax.Array
+        ``data`` centered in a length-``size`` axis
+
+    Raises
+    ------
+    ParameterError
+        if ``size`` is smaller than the input length
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> np.asarray(lt.util.pad_center(np.ones(3), size=7)).tolist()
+    [0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0]
+
+    Parity: reference util/utils.py:387.
+    """
     data = jnp.asarray(data)
     kwargs.setdefault("mode", "constant")
     n = data.shape[axis]
@@ -216,9 +351,38 @@ def pad_center(
 def expand_to(
     x: _ArrayLike, *, ndim: int, axes: Union[int, Sequence[int]]
 ) -> jax.Array:
-    """Expand x to the given dimension, placing its axes at ``axes``.
+    """Expand an array to a target rank, placing its axes explicitly.
 
-    Parity: util/utils.py:461.
+    Inserts singleton dimensions so that input axis ``i`` lands at
+    position ``axes[i]`` of an ``ndim``-dimensional result — the
+    broadcasting workhorse behind multichannel feature code.
+
+    Parameters
+    ----------
+    x : array-like
+        input array
+    ndim : int >= x.ndim
+        target number of dimensions
+    axes : int or sequence of int
+        output position of each input axis
+
+    Returns
+    -------
+    expanded : jax.Array
+        view of ``x`` with singleton axes inserted
+
+    Raises
+    ------
+    ParameterError
+        if ``axes`` doesn't match ``x.ndim`` or exceeds ``ndim``
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.util.expand_to(np.ones(3), ndim=3, axes=1).shape
+    (1, 3, 1)
+
+    Parity: reference util/utils.py:461.
     """
     x = jnp.asarray(x)
     try:
@@ -240,9 +404,36 @@ def expand_to(
 
 
 def fix_length(data: _ArrayLike, *, size: int, axis: int = -1, **kwargs: Any) -> jax.Array:
-    """Fix the length of an array to exactly ``size`` along ``axis``.
+    """Force an array to exactly ``size`` elements along ``axis``.
 
-    Parity: util/utils.py:532.
+    Longer inputs are truncated; shorter inputs are right-padded
+    (zeros by default).
+
+    Parameters
+    ----------
+    data : array-like
+        array to adjust
+    size : int > 0
+        target length
+    axis : int
+        axis to adjust
+    **kwargs
+        forwarded to ``jnp.pad`` when lengthening
+
+    Returns
+    -------
+    fixed : jax.Array
+        array with ``shape[axis] == size``
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> np.asarray(lt.util.fix_length(np.arange(5.0), size=3)).tolist()
+    [0.0, 1.0, 2.0]
+    >>> np.asarray(lt.util.fix_length(np.arange(3.0), size=5)).tolist()
+    [0.0, 1.0, 2.0, 0.0, 0.0]
+
+    Parity: reference util/utils.py:532.
     """
     data = jnp.asarray(data)
     kwargs.setdefault("mode", "constant")
@@ -265,7 +456,33 @@ def fix_frames(
     x_max: Optional[int] = None,
     pad: bool = True,
 ) -> np.ndarray:
-    """Fix a list of frames to lie within [x_min, x_max]. Host-side (index math).
+    """Clip, deduplicate, and optionally pad a frame-index list.
+
+    Out-of-range frames are removed; with ``pad=True`` the endpoints
+    ``x_min`` / ``x_max`` are added so the list covers the full span.
+    Host-side index math.
+
+    Parameters
+    ----------
+    frames : array-like of int
+        frame indices
+    x_min : int or None
+        minimum allowed value (and left pad endpoint)
+    x_max : int or None
+        maximum allowed value (and right pad endpoint)
+    pad : bool
+        include the endpoints in the result
+
+    Returns
+    -------
+    fixed : np.ndarray [dtype=int]
+        sorted, unique, clipped frame indices
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.util.fix_frames([1, 2, 5, 99], x_min=0, x_max=10).tolist()
+    [0, 1, 2, 5, 10]
 
     Parity: util/utils.py:591.
     """
@@ -296,9 +513,43 @@ def axis_sort(
     index: bool = False,
     value: Optional[Callable] = None,
 ):
-    """Sort an array along its rows or columns by peak position.
+    """Sort the rows or columns of a matrix by peak position.
 
-    Parity: util/utils.py:696.
+    With the default ``axis=-1`` the *columns* are reordered so their
+    argmax positions ascend; ``axis=0`` reorders rows the same way.
+    Useful for visualizing learned bases (e.g. NMF components).
+
+    Parameters
+    ----------
+    S : np.ndarray [ndim=2]
+        matrix to sort
+    axis : int
+        which axis to reorder
+    index : bool
+        also return the permutation
+    value : callable or None
+        peak statistic (default ``argmax``)
+
+    Returns
+    -------
+    S_sorted : jax.Array
+        reordered matrix
+    idx : np.ndarray [optional]
+        permutation applied, when ``index=True``
+
+    Raises
+    ------
+    ParameterError
+        for non-2D input
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> S = np.array([[0.0, 1.0], [1.0, 0.0]])
+    >>> np.asarray(lt.util.axis_sort(S)).tolist()
+    [[1.0, 0.0], [0.0, 1.0]]
+
+    Parity: reference util/utils.py:696.
     """
     if value is None:
         value = jnp.argmax
@@ -328,7 +579,28 @@ def _dtype_of(x: Any) -> np.dtype:
 def tiny(x: Any) -> float:
     """Smallest positive usable number for the dtype of ``x``.
 
-    Parity: util/utils.py:1935.
+    Used as a safe denominator / log floor: returns the ``tiny``
+    attribute of the dtype's finfo (float dtypes keep their own
+    precision; integer inputs promote to float32).
+
+    Parameters
+    ----------
+    x : number or np.ndarray or jax.Array
+        value whose dtype determines the result
+
+    Returns
+    -------
+    tiny_value : float
+        smallest positive normal number of the corresponding dtype
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> bool(lt.util.tiny(np.zeros(3, dtype=np.float64))
+    ...      == np.finfo(np.float64).tiny)
+    True
+
+    Parity: reference util/utils.py:1935.
     """
     dtype = _dtype_of(x)
     if np.issubdtype(dtype, np.floating) or np.issubdtype(dtype, np.complexfloating):
@@ -735,7 +1007,36 @@ def index_to_slice(
     step: Optional[int] = None,
     pad: bool = True,
 ) -> list:
-    """Convert an index array into a list of slices. Parity: util/utils.py:1632."""
+    """Convert an index array into a list of contiguous slices.
+
+    Consecutive index values become ``slice(start, end)`` pairs, after
+    :func:`fix_frames`-style clipping/padding of the boundaries.
+
+    Parameters
+    ----------
+    idx : array-like of int
+        boundary indices
+    idx_min, idx_max : int or None
+        clip range (and pad endpoints when ``pad=True``)
+    step : int or None
+        slice step
+    pad : bool
+        include the clip endpoints as boundaries
+
+    Returns
+    -------
+    slices : list of slice
+        one slice per adjacent boundary pair
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> [(int(s.start), int(s.stop)) for s in
+    ...  lt.util.index_to_slice(np.array([2, 5, 8]))]
+    [(2, 5), (5, 8)]
+
+    Parity: reference util/utils.py:1632.
+    """
     idx_fixed = fix_frames(idx, x_min=idx_min, x_max=idx_max, pad=pad)
     return [slice(start, end, step) for (start, end) in zip(idx_fixed, idx_fixed[1:])]
 
@@ -859,9 +1160,35 @@ def softmask(
 def fill_off_diagonal(
     x: np.ndarray, *, radius: float, value: float = 0
 ) -> None:
-    """Set all cells of a (host NumPy) matrix outside a diagonal band to ``value``.
+    """Zero (or set) every cell outside a band around the main diagonal.
 
-    In-place, host-side. Parity: util/utils.py:2003.
+    Operates in place on a host NumPy array; ``radius`` is a fraction
+    of the shorter matrix side.  Used to constrain DTW-style cost
+    matrices (Sakoe-Chiba band).
+
+    Parameters
+    ----------
+    x : np.ndarray [ndim>=2]
+        matrix to modify in place
+    radius : float in (0, 1]
+        half-width of the preserved band, relative to min(n, m)
+    value : float
+        fill value outside the band
+
+    Returns
+    -------
+    None
+        ``x`` is modified in place
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> x = np.ones((4, 4))
+    >>> lt.util.fill_off_diagonal(x, radius=0.25)
+    >>> x[0].tolist()
+    [1.0, 0.0, 0.0, 0.0]
+
+    Parity: reference util/utils.py:2003.
     """
     nx, ny = x.shape[-2:]
     minval = min(nx, ny)
@@ -905,7 +1232,35 @@ def band_mask(nx: int, ny: int, *, radius: float) -> np.ndarray:
 def cyclic_gradient(
     data: _ArrayLike, *, edge_order: int = 1, axis: int = -1
 ) -> jax.Array:
-    """np.gradient with wrap-around boundary. Parity: util/utils.py:2070."""
+    """Gradient of a cyclic signal (wrap-around boundary).
+
+    Equivalent to ``np.gradient`` on the array extended periodically,
+    so edge derivatives use neighbors across the wrap point.
+
+    Parameters
+    ----------
+    data : array-like
+        samples of a periodic signal
+    edge_order : {1, 2}
+        accepted for signature parity with ``np.gradient``
+    axis : int
+        axis along which to differentiate
+
+    Returns
+    -------
+    grad : jax.Array
+        cyclic gradient of ``data``
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> x = np.sin(2 * np.pi * np.arange(8) / 8)
+    >>> g = np.asarray(lt.util.cyclic_gradient(x))
+    >>> bool(np.allclose(g[0], (x[1] - x[-1]) / 2))   # wraps at the edge
+    True
+
+    Parity: reference util/utils.py:2070.
+    """
     data = jnp.asarray(data)
     gradient_order = min(data.shape[axis] - 1, edge_order)
     padding = [(0, 0)] * data.ndim
@@ -947,7 +1302,33 @@ def shear(X: _ArrayLike, *, factor: int = 1, axis: int = -1) -> jax.Array:
 
 
 def stack(arrays: Sequence[_ArrayLike], *, axis: int = 0) -> jax.Array:
-    """Stack one or more arrays along a target axis. Parity: util/utils.py:2260."""
+    """Stack arrays along a new axis, preserving contiguity semantics.
+
+    Parameters
+    ----------
+    arrays : sequence of array-like
+        arrays of identical shape and dtype
+    axis : int
+        position of the new axis
+
+    Returns
+    -------
+    stacked : jax.Array
+        stacked array with one more dimension than the inputs
+
+    Raises
+    ------
+    ParameterError
+        if no arrays are given or shapes/dtypes disagree
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> np.asarray(lt.util.stack([np.zeros(2), np.ones(2)], axis=0)).tolist()
+    [[0.0, 0.0], [1.0, 1.0]]
+
+    Parity: reference util/utils.py:2260.
+    """
     if not arrays:
         raise ParameterError("no input arrays provided to stack")
     shapes = {jnp.asarray(a).shape for a in arrays}
@@ -962,7 +1343,28 @@ def stack(arrays: Sequence[_ArrayLike], *, axis: int = 0) -> jax.Array:
 
 
 def dtype_r2c(d: Any, *, default: Optional[Any] = np.complex64) -> np.dtype:
-    """Real dtype → complex analogue. Parity: util/utils.py:2362."""
+    """Map a real dtype to its complex analogue of matching precision.
+
+    Parameters
+    ----------
+    d : dtype-like
+        real (or already complex) dtype
+    default : dtype or None
+        result for unrecognized inputs
+
+    Returns
+    -------
+    d_c : np.dtype
+        complex dtype (e.g. float32 → complex64)
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.util.dtype_r2c(np.float64) == np.dtype(np.complex128)
+    True
+
+    Parity: reference util/utils.py:2362.
+    """
     mapping = {
         np.dtype(np.float32): np.complex64,
         np.dtype(np.float64): np.complex128,
@@ -975,7 +1377,28 @@ def dtype_r2c(d: Any, *, default: Optional[Any] = np.complex64) -> np.dtype:
 
 
 def dtype_c2r(d: Any, *, default: Optional[Any] = np.float32) -> np.dtype:
-    """Complex dtype → real analogue. Parity: util/utils.py:2419."""
+    """Map a complex dtype to its real analogue of matching precision.
+
+    Parameters
+    ----------
+    d : dtype-like
+        complex (or already real) dtype
+    default : dtype or None
+        result for unrecognized inputs
+
+    Returns
+    -------
+    d_r : np.dtype
+        real dtype (e.g. complex128 → float64)
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.util.dtype_c2r(np.complex64) == np.dtype(np.float32)
+    True
+
+    Parity: reference util/utils.py:2419.
+    """
     mapping = {
         np.dtype(np.complex64): np.float32,
         np.dtype(np.complex128): np.float64,
@@ -993,7 +1416,31 @@ def dtype_c2r(d: Any, *, default: Optional[Any] = np.float32) -> np.dtype:
 
 
 def count_unique(data: _ArrayLike, *, axis: int = -1) -> jax.Array:
-    """Count unique values per slice along an axis."""
+    """Count distinct values in each slice along an axis.
+
+    Runs as sort + change-point count, so it stays on device with
+    static shapes (no data-dependent ``np.unique``).
+
+    Parameters
+    ----------
+    data : array-like
+        input array
+    axis : int
+        axis to reduce
+
+    Returns
+    -------
+    counts : jax.Array [dtype=int]
+        number of distinct values per slice
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> np.asarray(lt.util.count_unique(np.array([[1, 1, 2], [3, 4, 5]]))).tolist()
+    [2, 3]
+
+    Parity: reference util/utils.py (count_unique).
+    """
     data = jnp.asarray(data)
     s = jnp.sort(data, axis=axis)
     d = jnp.diff(s, axis=axis) != 0
@@ -1001,7 +1448,28 @@ def count_unique(data: _ArrayLike, *, axis: int = -1) -> jax.Array:
 
 
 def is_unique(data: _ArrayLike, *, axis: int = -1) -> jax.Array:
-    """Determine if the data is all unique per slice along an axis."""
+    """Check whether each slice along an axis contains only distinct values.
+
+    Parameters
+    ----------
+    data : array-like
+        input array
+    axis : int
+        axis to reduce
+
+    Returns
+    -------
+    unique : jax.Array [dtype=bool]
+        True per slice with no repeated values
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> np.asarray(lt.util.is_unique(np.array([[1, 2, 3], [1, 1, 2]]))).tolist()
+    [True, False]
+
+    Parity: reference util/utils.py (is_unique).
+    """
     data = jnp.asarray(data)
     return count_unique(data, axis=axis) == data.shape[axis]
 
@@ -1012,9 +1480,30 @@ def is_unique(data: _ArrayLike, *, axis: int = -1) -> jax.Array:
 
 
 def abs2(x: _ArrayLike, dtype: Any = None) -> jax.Array:
-    """Squared magnitude, avoiding an explicit abs+square round trip.
+    """Squared magnitude without an explicit abs + square round trip.
 
-    Parity: util/utils.py:2592.  XLA fuses re*re + im*im into adjacent ops.
+    For complex input computes ``re² + im²`` directly (XLA fuses the
+    two products into adjacent ops); real input is simply squared.
+
+    Parameters
+    ----------
+    x : array-like (real or complex)
+        input values
+    dtype : dtype or None
+        optional output dtype cast
+
+    Returns
+    -------
+    p : jax.Array (real)
+        ``|x|²`` elementwise
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> np.asarray(lt.util.abs2(np.array([3.0 + 4.0j]))).tolist()
+    [25.0]
+
+    Parity: reference util/utils.py:2592 (numba vectorize ``_abs2``).
     """
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
@@ -1031,9 +1520,31 @@ def abs2(x: _ArrayLike, dtype: Any = None) -> jax.Array:
 def phasor(
     angles: _ArrayLike, *, mag: Optional[_ArrayLike] = None
 ) -> jax.Array:
-    """Construct a complex phasor ``exp(1j*angles)``, optionally scaled by mag.
+    """Construct complex phasors ``exp(i·angles)``, optionally scaled.
 
-    Parity: util/utils.py:2646.
+    Computes cos + i·sin directly rather than exponentiating a complex
+    argument, which keeps the computation in real arithmetic on device.
+
+    Parameters
+    ----------
+    angles : array-like (real)
+        phase angles in radians
+    mag : array-like or None
+        optional magnitudes to scale each phasor
+
+    Returns
+    -------
+    z : jax.Array (complex)
+        ``mag · exp(i·angles)``
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> z = np.asarray(lt.util.phasor(np.array([0.0, np.pi])))
+    >>> z.round(6).tolist()
+    [(1+0j), (-1-0j)]
+
+    Parity: reference util/utils.py:2646 (numba vectorize ``_phasor``).
     """
     angles = jnp.asarray(angles)
     z = jax.lax.complex(jnp.cos(angles), jnp.sin(angles))
@@ -1045,7 +1556,31 @@ def phasor(
 def buf_to_float(
     x: np.ndarray, *, n_bytes: int = 2, dtype: Any = np.float32
 ) -> np.ndarray:
-    """Convert an integer PCM buffer to floating point. Parity: util/utils.py:1600."""
+    """Convert an integer PCM byte buffer to floating point.
+
+    Parameters
+    ----------
+    x : bytes or np.ndarray
+        little-endian integer PCM data
+    n_bytes : int in {1, 2, 4}
+        bytes per sample
+    dtype : dtype
+        output floating dtype
+
+    Returns
+    -------
+    y : np.ndarray
+        samples scaled to [-1, 1)
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> pcm = np.array([0, 16384], dtype='<i2').tobytes()
+    >>> lt.util.buf_to_float(pcm, n_bytes=2).tolist()
+    [0.0, 0.5]
+
+    Parity: reference util/utils.py:1600.
+    """
     scale = 1.0 / float(1 << ((8 * n_bytes) - 1))
     fmt = f"<i{n_bytes:d}"
     return scale * np.frombuffer(x, fmt).astype(dtype)
