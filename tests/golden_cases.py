@@ -56,6 +56,13 @@ def make_signals() -> dict:
     }
 
 
+# Tolerance discipline: every SNR threshold is set ~20 dB below the SNR
+# measured against the committed fixtures (scripts/measure_golden_snr.py),
+# so a genuine parity regression trips the assert while cross-platform
+# float noise cannot.  Cases asserting below ~100 dB carry an individual
+# comment explaining what bounds them.
+
+
 class Case:
     def __init__(self, fn, rtol=1e-4, atol=1e-5, compare=None):
         self.fn = fn
@@ -204,7 +211,7 @@ def _(L, s):
 
 # ---- spectrum --------------------------------------------------------------
 
-@case("stft", compare=_snr_compare(85))
+@case("stft", compare=_snr_compare(115))
 def _(L, s):
     return _np({
         "tone": L.stft(s["tone"]),
@@ -214,7 +221,7 @@ def _(L, s):
     })
 
 
-@case("istft_roundtrip", compare=_snr_compare(75))
+@case("istft_roundtrip", compare=_snr_compare(115))
 def _(L, s):
     S = L.stft(s["chirp"])
     return _np({"y": L.istft(S, length=len(s["chirp"]))})
@@ -234,7 +241,9 @@ def _(L, s):
     })
 
 
-@case("pcen", compare=_snr_compare(75))
+# Measured 114 dB: the associative-scan smoother reassociates the
+# reference's sequential IIR, a benign f32 reordering.
+@case("pcen", compare=_snr_compare(90))
 def _(L, s):
     S = np.abs(L.stft(s["chirp"])) ** 2
     full = L.pcen(S, sr=SR)
@@ -243,6 +252,9 @@ def _(L, s):
     return _np({"full": full, "stream": np.concatenate([p1, p2], axis=-1)})
 
 
+# Complex SNR is meaningless here (~2 dB): per-frame phase-advance
+# rounding accumulates over hundreds of frames, rotating bins without
+# changing their energy — only magnitudes are contractual.
 @case("phase_vocoder", compare=_mag_snr_compare(60))
 def _(L, s):
     S = L.stft(s["chirp"])
@@ -250,7 +262,7 @@ def _(L, s):
                 "slow": L.phase_vocoder(S, rate=0.8)})
 
 
-@case("reassigned", compare=_snr_compare(55))
+@case("reassigned", compare=_snr_compare(110))
 def _(L, s):
     freqs, times, mags = L.reassigned_spectrogram(s["chirp"], sr=SR)
     freqs, times, mags = (np.asarray(a) for a in (freqs, times, mags))
@@ -260,17 +272,17 @@ def _(L, s):
                 "mags": mags})
 
 
-@case("iirt", compare=_snr_compare(60))
+@case("iirt", compare=_snr_compare(120))
 def _(L, s):
     return _np({"S": L.iirt(s["chirp"], sr=SR, res_type="polyphase")})
 
 
-@case("fmt", compare=_snr_compare(60))
+@case("fmt", compare=_snr_compare(110))
 def _(L, s):
     return _np({"m": L.fmt(s["tone"][:4096])})
 
 
-@case("audio_ops", compare=_snr_compare(80))
+@case("audio_ops", compare=_snr_compare(120))
 def _(L, s):
     return _np({
         "acorr": L.autocorrelate(s["clicks"], max_size=512),
@@ -293,7 +305,7 @@ def _(L, s):
     })
 
 
-@case("synth", compare=_snr_compare(100))
+@case("synth", compare=_snr_compare(120))
 def _(L, s):
     return _np({
         "tone": L.tone(frequency=440, sr=SR, length=4096),
@@ -304,7 +316,7 @@ def _(L, s):
 
 # ---- constant-Q ------------------------------------------------------------
 
-@case("cqt", compare=_snr_compare(45))
+@case("cqt", compare=_snr_compare(110))
 def _(L, s):
     return _np({
         "C": L.cqt(y=s["chirp"], sr=SR, n_bins=84, res_type="polyphase"),
@@ -313,14 +325,14 @@ def _(L, s):
     })
 
 
-@case("vqt", compare=_snr_compare(45))
+@case("vqt", compare=_snr_compare(110))
 def _(L, s):
     return _np({
         "V": L.vqt(y=s["chirp"], sr=SR, n_bins=60, res_type="polyphase"),
     })
 
 
-@case("pseudo_hybrid_cqt", compare=_snr_compare(45))
+@case("pseudo_hybrid_cqt", compare=_snr_compare(110))
 def _(L, s):
     return _np({
         "pseudo": L.pseudo_cqt(y=s["tone"], sr=SR, n_bins=48),
@@ -329,7 +341,7 @@ def _(L, s):
     })
 
 
-@case("icqt", compare=_snr_compare(25))
+@case("icqt", compare=_snr_compare(110))
 def _(L, s):
     C = L.cqt(y=s["tone"], sr=SR, n_bins=48, res_type="polyphase")
     return _np({"y": L.icqt(C, sr=SR, length=len(s["tone"]),
@@ -338,7 +350,7 @@ def _(L, s):
 
 # ---- pitch -----------------------------------------------------------------
 
-@case("yin", compare=_snr_compare(55))
+@case("yin", compare=_snr_compare(120))
 def _(L, s):
     return _np({
         "tone": L.yin(s["tone"], fmin=200, fmax=800, sr=SR),
@@ -354,7 +366,7 @@ def _(L, s):
                 "vprob": vprob})
 
 
-@case("piptrack", compare=_snr_compare(40))
+@case("piptrack", compare=_snr_compare(120))
 def _(L, s):
     p, m = L.piptrack(y=s["tone"], sr=SR)
     return _np({"p": p, "m": m})
@@ -370,7 +382,9 @@ def _(L, s):
 
 # ---- harmonics -------------------------------------------------------------
 
-@case("harmonics", compare=_snr_compare(60))
+# Bounded by salience (measured 91 dB): harmonic weights multiply
+# interpolated energies, squaring the relative lerp error.
+@case("harmonics", compare=_snr_compare(70))
 def _(L, s):
     S = np.abs(L.stft(s["tone"]))
     freqs = L.fft_frequencies(sr=SR)
@@ -384,7 +398,7 @@ def _(L, s):
 
 # ---- spectral features -----------------------------------------------------
 
-@case("melspectrogram", compare=_snr_compare(70))
+@case("melspectrogram", compare=_snr_compare(115))
 def _(L, s):
     return _np({
         "mono": L.feature.melspectrogram(y=s["chirp"], sr=SR),
@@ -392,7 +406,7 @@ def _(L, s):
     })
 
 
-@case("mfcc", compare=_snr_compare(60))
+@case("mfcc", compare=_snr_compare(105))
 def _(L, s):
     return _np({
         "m": L.feature.mfcc(y=s["chirp"], sr=SR),
@@ -400,33 +414,33 @@ def _(L, s):
     })
 
 
-@case("chroma_stft", compare=_snr_compare(55))
+@case("chroma_stft", compare=_snr_compare(120))
 def _(L, s):
     return _np({"c": L.feature.chroma_stft(y=s["chirp"], sr=SR, tuning=0.0)})
 
 
-@case("chroma_cqt", compare=_snr_compare(40))
+@case("chroma_cqt", compare=_snr_compare(120))
 def _(L, s):
     C = np.abs(np.asarray(L.cqt(y=s["tone"], sr=SR, n_bins=84,
                                 res_type="polyphase")))
     return _np({"c": L.feature.chroma_cqt(C=C, sr=SR)})
 
 
-@case("chroma_cens", compare=_snr_compare(40))
+@case("chroma_cens", compare=_snr_compare(120))
 def _(L, s):
     C = np.abs(np.asarray(L.cqt(y=s["tone"], sr=SR, n_bins=84,
                                 res_type="polyphase")))
     return _np({"c": L.feature.chroma_cens(C=C, sr=SR)})
 
 
-@case("chroma_vqt", compare=_snr_compare(40))
+@case("chroma_vqt", compare=_snr_compare(110))
 def _(L, s):
     V = np.abs(np.asarray(L.vqt(y=s["tone"], sr=SR, n_bins=84,
                                 intervals="ji5", res_type="polyphase")))
     return _np({"c": L.feature.chroma_vqt(V=V, sr=SR, intervals="ji5")})
 
 
-@case("tonnetz", compare=_snr_compare(40))
+@case("tonnetz", compare=_snr_compare(115))
 def _(L, s):
     return _np({
         "t": L.feature.tonnetz(y=s["tone"], sr=SR,
@@ -445,6 +459,9 @@ def _shared_mag_S(s):
     return np.abs(np.fft.rfft(frames * win, axis=-1)).T.astype(np.float32)
 
 
+# Bounded by spectral_bandwidth (measured 62 dB): it takes sqrt of
+# tiny centroid-deviation sums, amplifying f32 rounding where the
+# deviation is near zero.  The other descriptors measure >120 dB.
 @case("spectral_descriptors", compare=_snr_compare(55))
 def _(L, s):
     y = s["chirp"]
@@ -460,7 +477,7 @@ def _(L, s):
     })
 
 
-@case("rhythm", compare=_snr_compare(55))
+@case("rhythm", compare=_snr_compare(110))
 def _(L, s):
     oenv = L.onset.onset_strength(y=s["pulse"], sr=SR)
     return _np({
@@ -472,7 +489,7 @@ def _(L, s):
     })
 
 
-@case("feature_manip", compare=_snr_compare(80))
+@case("feature_manip", compare=_snr_compare(95))
 def _(L, s):
     m = np.asarray(L.feature.mfcc(y=s["tone"], sr=SR))
     return _np({
@@ -482,7 +499,9 @@ def _(L, s):
     })
 
 
-@case("mfcc_to_mel", compare=_snr_compare(50))
+# Measured 114 dB: the inverse DCT exponentiates dB values, turning
+# linear coefficient noise into relative output noise.
+@case("mfcc_to_mel", compare=_snr_compare(90))
 def _(L, s):
     m = np.asarray(L.feature.mfcc(y=s["tone"], sr=SR)).astype(np.float32)
     return _np({"mel": L.feature.inverse.mfcc_to_mel(m)})
@@ -497,7 +516,7 @@ def _(L, s):
     })
 
 
-@case("onset_strength", compare=_snr_compare(55))
+@case("onset_strength", compare=_snr_compare(110))
 def _(L, s):
     return _np({
         "env": L.onset.onset_strength(y=s["clicks"], sr=SR),
@@ -513,14 +532,14 @@ def _(L, s):
     return _np({"beats": beats})
 
 
-@case("plp", compare=_snr_compare(40))
+@case("plp", compare=_snr_compare(110))
 def _(L, s):
     return _np({"p": L.beat.plp(y=s["pulse"], sr=SR)})
 
 
 # ---- effects ---------------------------------------------------------------
 
-@case("hpss_effect", compare=_snr_compare(45))
+@case("hpss_effect", compare=_snr_compare(105))
 def _(L, s):
     y = s["clicks"] + s["tone"]
     h, p = L.effects.hpss(y)
@@ -548,12 +567,17 @@ def _(L, s):
     return _np({"idx": idx, "iv": iv})
 
 
-@case("time_stretch", compare=_snr_compare(30))
+# Phase-vocoder resynthesis (measured 68 dB): reconstructed phase
+# differs from the reference by accumulated f32 angle rounding, which
+# shifts waveform samples while preserving the spectrogram.
+@case("time_stretch", compare=_snr_compare(45))
 def _(L, s):
     return _np({"y": L.effects.time_stretch(s["tone"], rate=1.25)})
 
 
-@case("pitch_shift", compare=_snr_compare(25))
+# Stretch + resample chain (measured 66 dB): inherits the
+# time_stretch phase-accumulation error plus interpolation noise.
+@case("pitch_shift", compare=_snr_compare(45))
 def _(L, s):
     return _np({"y": L.effects.pitch_shift(
         s["tone"], sr=SR, n_steps=3, res_type="fft")})
@@ -561,14 +585,16 @@ def _(L, s):
 
 # ---- decompose -------------------------------------------------------------
 
-@case("hpss_margin", compare=_snr_compare(45))
+@case("hpss_margin", compare=_snr_compare(105))
 def _(L, s):
     S = np.abs(L.stft(s["clicks"] + s["tone"]))
     h, p = L.decompose.hpss(S, margin=2.0)
     return _np({"h": h, "p": p})
 
 
-@case("nn_filter", compare=_snr_compare(50))
+# Measured 111 dB: sparse-matmul aggregation reassociates the
+# reference's per-row sums.
+@case("nn_filter", compare=_snr_compare(90))
 def _(L, s):
     m = np.asarray(L.feature.mfcc(y=s["tone"], sr=SR)).astype(np.float32)
     return _np({"f": L.decompose.nn_filter(m)})
@@ -601,7 +627,7 @@ def _(L, s):
         C.todense() if hasattr(C, "todense") else C, dtype=np.int8)})
 
 
-@case("path_enhance", compare=_snr_compare(55))
+@case("path_enhance", compare=_snr_compare(110))
 def _(L, s):
     X = np.asarray(L.feature.mfcc(y=s["chirp"], sr=SR)).astype(np.float64)
     R = np.asarray(L.segment.recurrence_matrix(X, mode="affinity").todense()
@@ -786,7 +812,7 @@ def _(L, s):
     })
 
 
-@case("remix_effect", compare=_snr_compare(80))
+@case("remix_effect", compare=_snr_compare(120))
 def _(L, s):
     iv = np.array([[0, 4096], [8192, 12288], [4096, 8192]])
     return _np({
@@ -795,7 +821,10 @@ def _(L, s):
     })
 
 
-@case("rhythm_extras", compare=_snr_compare(45))
+# Bounded by hybrid_tempogram (measured 99 dB): the geometric mean
+# doubles the relative error of its two tempogram factors through the
+# sqrt-of-products, and the BPM-grid interpolation adds lerp noise.
+@case("rhythm_extras", compare=_snr_compare(75))
 def _(L, s):
     oenv = np.asarray(
         L.onset.onset_strength(y=s["pulse"], sr=SR)
@@ -856,7 +885,7 @@ def _(L, s):
     })
 
 
-@case("lpc_burg_noise", compare=_snr_compare(60))
+@case("lpc_burg_noise", compare=_snr_compare(120))
 def _(L, s):
     # well-conditioned LPC across orders
     return _np({
@@ -867,7 +896,7 @@ def _(L, s):
 
 # ---- configuration sweeps (non-default parameter paths) -------------------
 
-@case("stft_configs", compare=_snr_compare(80))
+@case("stft_configs", compare=_snr_compare(115))
 def _(L, s):
     y = s["chirp"][: SR]
     return _np({
@@ -879,7 +908,7 @@ def _(L, s):
     })
 
 
-@case("mfcc_configs", compare=_snr_compare(55))
+@case("mfcc_configs", compare=_snr_compare(110))
 def _(L, s):
     y = s["tone"]
     return _np({
@@ -889,7 +918,7 @@ def _(L, s):
     })
 
 
-@case("superflux", compare=_snr_compare(50))
+@case("superflux", compare=_snr_compare(110))
 def _(L, s):
     return _np({
         "env": L.onset.onset_strength(
@@ -898,7 +927,10 @@ def _(L, s):
     })
 
 
-@case("pcen_maxfilter", compare=_snr_compare(60))
+# Bounded by the max_size>1 gain (measured 105 dB): the max-pooled
+# smoother feeds an exp(gain*log(...)), amplifying f32 noise near
+# filter-boundary ties.
+@case("pcen_maxfilter", compare=_snr_compare(80))
 def _(L, s):
     S = np.abs(np.asarray(L.stft(s["chirp"][:SR]))) ** 2
     return _np({
@@ -908,7 +940,10 @@ def _(L, s):
     })
 
 
-@case("hpss_configs", compare=_snr_compare(45))
+# Bounded by the boolean h_mask config (measured 108 dB): cells where
+# harmonic and percussive medians nearly tie can flip under f32
+# median ordering, an inherent knife-edge of mask mode.
+@case("hpss_configs", compare=_snr_compare(85))
 def _(L, s):
     S = np.abs(np.asarray(L.stft(s["clicks"] + s["tone"])))
     h_m, p_m = L.decompose.hpss(S, mask=True, power=1.0)
@@ -916,7 +951,10 @@ def _(L, s):
     return _np({"h_mask": h_m, "p_mask": p_m, "h_k": h_k, "p_k": p_k})
 
 
-@case("cqt_configs", compare=_snr_compare(40))
+# Bounded by scale=False (measured 100 dB): the unscaled ladder
+# multiplies each octave by sqrt(2)^k, compounding per-octave
+# resample rounding toward the low bins.
+@case("cqt_configs", compare=_snr_compare(80))
 def _(L, s):
     y = s["tone"]
     return _np({
@@ -932,7 +970,7 @@ def _(L, s):
     })
 
 
-@case("yin_configs", compare=_snr_compare(50))
+@case("yin_configs", compare=_snr_compare(120))
 def _(L, s):
     return _np({
         "uncentered": L.yin(s["tone"], fmin=200, fmax=800, sr=SR,
@@ -944,7 +982,7 @@ def _(L, s):
     })
 
 
-@case("delta_configs", compare=_snr_compare(70))
+@case("delta_configs", compare=_snr_compare(95))
 def _(L, s):
     m = np.asarray(L.feature.mfcc(y=s["tone"], sr=SR)).astype(np.float64)
     return _np({
@@ -969,7 +1007,7 @@ def _(L, s):
     })
 
 
-@case("tempo_configs", compare=_snr_compare(60))
+@case("tempo_configs", compare=_snr_compare(120))
 def _(L, s):
     oenv = np.asarray(L.onset.onset_strength(y=s["pulse"], sr=SR))
     return _np({
@@ -980,7 +1018,7 @@ def _(L, s):
     })
 
 
-@case("istft_windows", compare=_snr_compare(70))
+@case("istft_windows", compare=_snr_compare(115))
 def _(L, s):
     y = s["chirp"][: SR]
     D = L.stft(y, n_fft=1024, window="hamming")
@@ -991,7 +1029,7 @@ def _(L, s):
     })
 
 
-@case("vqt_gamma", compare=_snr_compare(40))
+@case("vqt_gamma", compare=_snr_compare(110))
 def _(L, s):
     y = s["tone"]
     return _np({
@@ -1005,7 +1043,7 @@ def _(L, s):
     })
 
 
-@case("piptrack_configs", compare=_snr_compare(40))
+@case("piptrack_configs", compare=_snr_compare(120))
 def _(L, s):
     p1, m1 = L.piptrack(y=s["tone"], sr=SR, threshold=0.5)
     p2, m2 = L.piptrack(y=s["chirp"], sr=SR, fmin=500, fmax=3000,
@@ -1013,7 +1051,7 @@ def _(L, s):
     return _np({"p1": p1, "m1": m1, "p2": p2, "m2": m2})
 
 
-@case("harmonics_2d", compare=_snr_compare(55))
+@case("harmonics_2d", compare=_snr_compare(115))
 def _(L, s):
     S = np.abs(np.asarray(L.stft(s["chirp"][:SR])))
     freqs_1d = np.asarray(L.fft_frequencies(sr=SR))
@@ -1030,7 +1068,7 @@ def _(L, s):
     })
 
 
-@case("spectrogram_inputs", compare=_snr_compare(60))
+@case("spectrogram_inputs", compare=_snr_compare(95))
 def _(L, s):
     # S-input paths (y=None) across features
     S_mag = np.abs(np.asarray(L.stft(s["chirp"][:SR]))).astype(np.float32)
@@ -1094,7 +1132,7 @@ def _(L, s):
     })
 
 
-@case("fourier_tempo_variants", compare=_snr_compare(50))
+@case("fourier_tempo_variants", compare=_snr_compare(115))
 def _(L, s):
     oenv = np.asarray(L.onset.onset_strength(y=s["pulse"], sr=SR)).astype(np.float32)
     return _np({
