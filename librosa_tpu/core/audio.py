@@ -121,7 +121,34 @@ def loadx(
     hq: Optional[bool] = None,
     **kwargs: Any,
 ) -> Tuple[np.ndarray, Union[int, float]]:
-    """Load an example recording by key. Parity: core/audio.py:535 (loadx)."""
+    """Load a named example recording (``load`` over the example registry).
+
+    Resolves ``key`` through the offline example registry
+    (``LIBROSA_DATA_DIR``) and loads it like :func:`load`.
+
+    Parameters
+    ----------
+    key : str
+        example track key (see ``util.list_examples``)
+    hq : bool or None
+        prefer the high-quality variant when available
+    **kwargs
+        forwarded to :func:`load` (``sr``, ``mono``, ``offset``, ...)
+
+    Returns
+    -------
+    y : np.ndarray
+        audio samples
+    sr : number > 0
+        sampling rate
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> y, sr = lt.loadx('trumpet')         # doctest: +SKIP
+
+    Parity: reference core/audio.py:535 (loadx).
+    """
     from ..util.files import example
 
     return load(example(key, hq=bool(hq)), **kwargs)
@@ -215,7 +242,25 @@ def stream(
 
 
 def get_samplerate(path: Any) -> int:
-    """Get the sampling rate for a given file. Parity: core/audio.py:1289."""
+    """Read the native sampling rate of an audio file without decoding it.
+
+    Parameters
+    ----------
+    path : str
+        path to a wav/flac/ogg file
+
+    Returns
+    -------
+    sr : int > 0
+        sampling rate declared by the container
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> sr = lt.get_samplerate('audio.wav')   # doctest: +SKIP
+
+    Parity: reference core/audio.py:1289.
+    """
     return audio_io.get_samplerate(path)
 
 
@@ -229,7 +274,43 @@ def get_duration(
     center: bool = True,
     path: Optional[str] = None,
 ) -> float:
-    """Compute duration (in seconds). Parity: core/audio.py:1182."""
+    """Compute the duration in seconds of audio, a spectrogram, or a file.
+
+    Exactly one of ``y``, ``S``, or ``path`` is consulted (in that
+    priority order, with ``path`` first).  Spectrogram durations invert
+    the framing arithmetic, including the centering pad.
+
+    Parameters
+    ----------
+    y : array-like or None
+        audio samples
+    sr : number > 0
+        sampling rate of ``y``
+    S : array-like or None
+        spectrogram whose frame count determines duration
+    n_fft, hop_length, center
+        framing parameters used to produce ``S``
+    path : str or None
+        audio file to measure (header only, no decode)
+
+    Returns
+    -------
+    d : float
+        duration in seconds
+
+    Raises
+    ------
+    ParameterError
+        if none of ``y``, ``S``, ``path`` is given
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> float(lt.get_duration(y=np.zeros(22050), sr=22050))
+    1.0
+
+    Parity: reference core/audio.py:1182.
+    """
     if path is not None:
         sr_f, _, n_frames = audio_io.get_info(path)
         return float(n_frames) / sr_f
@@ -314,7 +395,37 @@ def to_stereo(
     norm: bool = True,
     out: Any = None,
 ) -> jax.Array:
-    """Combine signals into a stereo pair. Parity: core/audio.py:743."""
+    """Combine left/right signals into a (2, n) stereo array.
+
+    Missing channels are filled with silence; multichannel inputs are
+    downmixed to one channel each (or, with ``downmix=False``, must
+    already be mono or stereo-shaped).
+
+    Parameters
+    ----------
+    left, right : array-like or None
+        per-channel signals (at least one required)
+    downmix : bool
+        mix multichannel inputs to mono before placement
+    pad : bool
+        pad the shorter channel (else truncate the longer)
+    norm : bool
+        normalize downmixes by channel count
+
+    Returns
+    -------
+    y_stereo : jax.Array [shape=(2, n)]
+        stereo signal
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> y = lt.to_stereo(left=np.ones(4), right=np.zeros(4))
+    >>> np.asarray(y).shape
+    (2, 4)
+
+    Parity: reference core/audio.py:743.
+    """
     onesided = True
     if left is None and right is None:
         raise ParameterError("At least one of 'left' or 'right' must be provided")
@@ -361,7 +472,36 @@ def to_multi(
     norm: bool = True,
     out: Any = None,
 ) -> jax.Array:
-    """Combine signals into a multichannel array. Parity: core/audio.py:885."""
+    """Stack signals into one multichannel (k, n) array.
+
+    Each input becomes one output channel (downmixed to mono first when
+    ``downmix``), padded or truncated to a common length.
+
+    Parameters
+    ----------
+    *signals : array-like
+        one signal per output channel
+    downmix : bool
+        mix multichannel inputs to mono before stacking
+    pad : bool
+        pad to the longest signal (else truncate to the shortest)
+    norm : bool
+        normalize downmixes by channel count
+
+    Returns
+    -------
+    y_multi : jax.Array [shape=(len(signals), n)]
+        multichannel signal
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> y = lt.to_multi(np.ones(4), np.zeros(4), np.ones(4))
+    >>> np.asarray(y).shape
+    (3, 4)
+
+    Parity: reference core/audio.py:885.
+    """
     if not signals:
         raise ParameterError("At least one signal must be provided.")
     arrs = [jnp.asarray(y) for y in signals]

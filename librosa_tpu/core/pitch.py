@@ -62,7 +62,45 @@ def piptrack(
 ) -> Tuple[jax.Array, jax.Array]:
     """Pitch tracking on thresholded parabolically-interpolated STFT peaks.
 
-    Parity: core/pitch.py:182.
+    For every frame, spectral local maxima above ``threshold`` times the
+    reference level (``ref``, per-frame max by default) are refined with
+    parabolic interpolation; all other time-frequency cells are zero.
+
+    Parameters
+    ----------
+    y : array-like or None
+        audio signal
+    sr : number > 0
+        sampling rate
+    S : array-like or None
+        precomputed magnitude spectrogram (overrides ``y``)
+    n_fft, hop_length, win_length, window, center, pad_mode
+        framing controls, as in ``stft``
+    fmin, fmax : float
+        pitch search range in Hz
+    threshold : float in (0, 1)
+        fraction of the reference magnitude a peak must exceed
+    ref : scalar, callable, or None
+        reference magnitude (default per-frame max)
+
+    Returns
+    -------
+    pitches : jax.Array [shape=(..., 1 + n_fft/2, t)]
+        interpolated peak frequencies (Hz), 0 off-peak
+    magnitudes : jax.Array [shape=(..., 1 + n_fft/2, t)]
+        corrected peak magnitudes, 0 off-peak
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> t = np.arange(22050) / 22050
+    >>> y = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    >>> pitches, mags = lt.piptrack(y=y, sr=22050)
+    >>> sel = np.asarray(pitches)[np.asarray(mags) > 0]
+    >>> bool(abs(np.median(sel) - 440) < 2)
+    True
+
+    Parity: reference core/pitch.py:182.
     """
     S, n_fft = _spectrogram(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
@@ -106,9 +144,34 @@ def piptrack(
 def pitch_tuning(
     frequencies: Any, *, resolution: float = 0.01, bins_per_octave: int = 12
 ) -> float:
-    """Tuning estimate from frequencies via residual histogram.
+    """Estimate a tuning deviation from a bag of detected frequencies.
 
-    Parity: core/pitch.py:112.  Histogramming is host-side (tiny data).
+    Folds each frequency's fractional distance to the nearest bin into
+    a histogram over [-0.5, 0.5) and returns the most populated bin —
+    robust to octave errors.  Histogramming is host-side (tiny data).
+
+    Parameters
+    ----------
+    frequencies : array-like
+        detected frequencies in Hz (non-positive values are ignored)
+    resolution : float in (0, 1)
+        histogram resolution in fractions of a bin
+    bins_per_octave : int > 0
+        bins per octave
+
+    Returns
+    -------
+    tuning : float in [-0.5, 0.5)
+        estimated deviation in fractional bins
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> detuned = 440.0 * 2 ** (0.25 / 12 + np.arange(3))
+    >>> float(np.round(lt.pitch_tuning(detuned), 2))
+    0.25
+
+    Parity: reference core/pitch.py:112.
     """
     frequencies = np.atleast_1d(np.asarray(frequencies))
     frequencies = frequencies[frequencies > 0]
@@ -135,9 +198,44 @@ def estimate_tuning(
     bins_per_octave: int = 12,
     **kwargs: Any,
 ) -> float:
-    """Estimate tuning deviation (fractional bins) from piptrack peaks.
+    """Estimate the tuning deviation of a recording.
 
-    Parity: core/pitch.py:28.
+    Runs :func:`piptrack` to collect instantaneous-frequency peaks,
+    then hands the magnitude-thresholded frequencies to
+    :func:`pitch_tuning`.
+
+    Parameters
+    ----------
+    y : array-like or None
+        audio signal
+    sr : number > 0
+        sampling rate
+    S : array-like or None
+        precomputed magnitude spectrogram (overrides ``y``)
+    n_fft : int > 0
+        FFT size
+    resolution : float in (0, 1)
+        histogram resolution in fractional bins
+    bins_per_octave : int > 0
+        bins per octave
+    **kwargs
+        forwarded to :func:`piptrack`
+
+    Returns
+    -------
+    tuning : float in [-0.5, 0.5)
+        estimated deviation in fractional bins
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> t = np.arange(22050) / 22050
+    >>> y = np.sin(2 * np.pi * 443 * t).astype(np.float32)
+    >>> tu = lt.estimate_tuning(y=y, sr=22050)
+    >>> bool(0.0 < tu < 0.25)
+    True
+
+    Parity: reference core/pitch.py:28.
     """
     pitch, mag = piptrack(y=y, sr=sr, S=S, n_fft=n_fft, **kwargs)
     pitch = np.asarray(pitch)

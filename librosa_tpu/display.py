@@ -66,7 +66,28 @@ from matplotlib.ticker import Formatter
 
 
 class TimeFormatter(Formatter):
-    """Adaptive time tick formatting (s/ms/h:m:s). Parity: display.py:182."""
+    """Time-axis tick formatter with span-adaptive units.
+
+    With ``unit=None`` the format adapts to the visible span: hours as
+    ``h:mm:ss``, minutes as ``m:ss``, seconds with two decimals, and
+    sub-second values in scientific-free ``%g``.  Explicit units
+    (``'h'``, ``'m'``, ``'s'``, ``'ms'``) pin the scale; ``lag=True``
+    renders positions past the midpoint as negative lags.
+
+    Parameters
+    ----------
+    lag : bool
+        format as a lag axis (second half counts backwards)
+    unit : {'h', 'm', 's', 'ms', None}
+        fixed display unit, or None for adaptive formatting
+
+    Raises
+    ------
+    ParameterError
+        for an unknown unit
+
+    Parity: reference display.py:182.
+    """
 
     def __init__(self, lag: bool = False, unit: Optional[str] = None):
         if unit not in ["h", "m", "s", "ms", None]:
@@ -171,7 +192,25 @@ class AdaptiveEngFormatter(AdaptiveFormatterBase):
 
 
 class NoteFormatter(AdaptiveFormatterBase):
-    """Frequency → note name ticks. Parity: display.py:336."""
+    """Frequency ticks rendered as note names (e.g. ``A4``).
+
+    Inherits the adaptive span behavior of
+    :class:`AdaptiveFormatterBase`; additionally, cent deviations
+    (``A4+23``) appear only when the view spans at most one octave.
+
+    Parameters
+    ----------
+    octave : bool
+        include the octave number
+    major : bool
+        label always (True) or only inside a two-octave span (False)
+    key : str
+        key signature for sharp/flat spelling
+    unicode : bool
+        unicode accidental symbols
+
+    Parity: reference display.py:336.
+    """
 
     def __init__(
         self, octave: bool = True, major: bool = True, key: str = "C:maj",
@@ -193,7 +232,29 @@ class NoteFormatter(AdaptiveFormatterBase):
 
 
 class SvaraFormatter(AdaptiveFormatterBase):
-    """Frequency → svara ticks. Parity: display.py:405."""
+    """Frequency ticks rendered as Hindustani/Carnatic svara names.
+
+    With ``mela=None`` labels use Hindustani svara relative to the
+    tonic ``Sa``; a melakarta index/name switches to Carnatic spelling.
+    Minor-tick instances blank out beyond a two-octave span.
+
+    Parameters
+    ----------
+    Sa : float > 0
+        tonic frequency in Hz
+    octave : bool
+        mark upper/lower octaves
+    major : bool
+        label always (True) or only when zoomed in (False)
+    abbr : bool
+        single-letter svara abbreviations
+    mela : str, int, or None
+        melakarta raga for Carnatic spelling
+    unicode : bool
+        unicode octave markers
+
+    Parity: reference display.py:405.
+    """
 
     def __init__(
         self, Sa: float, octave: bool = True, major: bool = True,
@@ -275,14 +336,39 @@ class FJSFormatter(AdaptiveFormatterBase):
 
 
 class LogHzFormatter(AdaptiveFormatterBase):
-    """Log-frequency ticks. Parity: display.py:588."""
+    """Plain-Hz ticks for log-scaled frequency axes.
+
+    Renders each tick as ``%g`` Hz; minor-tick instances
+    (``major=False``) blank out when the view spans more than two
+    octaves, leaving the octave grid readable.
+
+    Parameters
+    ----------
+    major : bool
+        label always (True) or only when zoomed in (False)
+
+    Parity: reference display.py:588.
+    """
 
     def _format_tick(self, x: float, pos: Optional[int] = None) -> str:
         return f"{x:g}"
 
 
 class ChromaFormatter(Formatter):
-    """Pitch-class ticks. Parity: display.py:647."""
+    """Pitch-class (chroma bin) ticks rendered as note names.
+
+    Bin index 0 maps to C (or the key's tonic spelling); accidentals
+    follow the key signature.
+
+    Parameters
+    ----------
+    key : str
+        key signature for spelling
+    unicode : bool
+        unicode accidental symbols
+
+    Parity: reference display.py:647.
+    """
 
     def __init__(self, key: str = "C:maj", unicode: bool = True):
         from .core.notation import key_to_notes
@@ -294,7 +380,24 @@ class ChromaFormatter(Formatter):
 
 
 class ChromaSvaraFormatter(Formatter):
-    """Chroma → svara ticks. Parity: display.py:690."""
+    """Pitch-class ticks rendered as svara names.
+
+    Like :class:`ChromaFormatter` but labels bins relative to ``Sa``
+    with Hindustani (``mela=None``) or Carnatic spelling.
+
+    Parameters
+    ----------
+    Sa : int
+        chroma bin of the tonic
+    mela : str, int, or None
+        melakarta raga for Carnatic spelling
+    abbr : bool
+        abbreviated svara names
+    unicode : bool
+        unicode symbols
+
+    Parity: reference display.py:690.
+    """
 
     def __init__(
         self, Sa: Optional[float] = None, mela: Optional[Any] = None,
@@ -317,7 +420,24 @@ class ChromaSvaraFormatter(Formatter):
 
 
 class ChromaFJSFormatter(Formatter):
-    """Chroma ticks in functional-just-system notation. Parity: display.py:758."""
+    """Pitch-class ticks in Functional Just System (FJS) notation.
+
+    Labels each chroma bin by the FJS name of its interval above the
+    unison, for axes produced with just-intonation ``intervals``.
+
+    Parameters
+    ----------
+    intervals : str or array
+        interval set (e.g. ``'ji5'``) defining the bin grid
+    unison : str
+        unison note name
+    unicode : bool
+        unicode superscripts in comma annotations
+    bins_per_octave : int > 0
+        bins per octave of the chroma axis
+
+    Parity: reference display.py:758.
+    """
 
     def __init__(
         self, *, intervals: Any, unison: str = "C", unicode: bool = True,
@@ -358,7 +478,13 @@ class ChromaFJSFormatter(Formatter):
 
 
 class TonnetzFormatter(Formatter):
-    """Tonnetz dimension ticks. Parity: display.py:840."""
+    """Ticks naming the six tonnetz dimensions.
+
+    Maps rows 0-5 to the standard tonal-centroid labels
+    (perfect fifth, minor third, major third — sin/cos pairs).
+
+    Parity: reference display.py:840.
+    """
 
     def __call__(self, x: float, pos: Optional[int] = None) -> str:
         return [r"5$_x$", r"5$_y$", r"m3$_x$", r"m3$_y$", r"M3$_x$", r"M3$_y$"][
@@ -1411,7 +1537,31 @@ def colorbar_phase(
     fig: Optional[Any] = None,
     **kwargs: Any,
 ):
-    """Colorbar with radian (π-multiple) tick labels. Parity: display.py:3461."""
+    """Attach a colorbar whose ticks read as rational multiples of π.
+
+    Intended for phase images (``specshow(..., vscale='phase')`` or raw
+    ``np.angle`` data): the [-π, π] range labels as ``-π, -π/2, 0, ...``.
+
+    Parameters
+    ----------
+    im : matplotlib artist
+        the mappable to describe (e.g. a specshow QuadMesh)
+    numticks : int
+        number of evenly spaced ticks
+    ax : matplotlib axes or None
+        axes to steal space from
+    fig : matplotlib figure or None
+        figure to draw into
+    **kwargs
+        forwarded to ``figure.colorbar``
+
+    Returns
+    -------
+    colorbar : matplotlib.colorbar.Colorbar
+        the created colorbar
+
+    Parity: reference display.py:3461.
+    """
     plt = _mpl()
     from matplotlib.ticker import FuncFormatter, LinearLocator
 
@@ -1432,7 +1582,31 @@ def colorbar_db(
     format: Any = "% -3.f",
     **kwargs: Any,
 ):
-    """dB-formatted colorbar. Parity: display.py:3544."""
+    """Attach a colorbar formatted for decibel data.
+
+    Ticks render with the given format (``'%+2.0f dB'`` by default),
+    matching the reference's convention for ``power_to_db`` images.
+
+    Parameters
+    ----------
+    im : matplotlib artist
+        the mappable to describe
+    format : str
+        tick label format
+    ax : matplotlib axes or None
+        axes to steal space from
+    fig : matplotlib figure or None
+        figure to draw into
+    **kwargs
+        forwarded to ``figure.colorbar``
+
+    Returns
+    -------
+    colorbar : matplotlib.colorbar.Colorbar
+        the created colorbar
+
+    Parity: reference display.py:3544.
+    """
     plt = _mpl()
     kwargs.setdefault("format", format)
     if fig is None and ax is None:
@@ -1607,9 +1781,27 @@ def legend_for_axes(
     fig: Optional[Any] = None,
     **kwargs: Any,
 ):
-    """Aggregate labeled artists from several axes into one figure legend.
+    """Aggregate labeled artists from several axes into one legend.
 
-    Parity: display.py:4122.
+    Collects every artist with a label from the given axes (or all of a
+    figure's axes) and attaches a single combined legend — useful for
+    ``multiplot`` grids where per-axes legends would repeat.
+
+    Parameters
+    ----------
+    axes : matplotlib axes, iterable of axes, or None
+        axes to harvest labels from (None: every axes in ``fig``)
+    fig : matplotlib figure or None
+        target figure (default: the axes' figure or current figure)
+    **kwargs
+        forwarded to ``figure.legend``
+
+    Returns
+    -------
+    legend : matplotlib.legend.Legend
+        the combined legend
+
+    Parity: reference display.py:4122.
     """
     plt = _mpl()
 

@@ -68,7 +68,22 @@ ex = example
 
 
 def list_examples() -> None:
-    """Print all built-in example recording keys. Parity: util/files.py:116."""
+    """Print the registry of built-in example recording keys.
+
+    Returns
+    -------
+    None
+        keys and descriptions print to stdout
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.util.list_examples()          # doctest: +ELLIPSIS
+    AVAILABLE EXAMPLES
+    ...
+
+    Parity: reference util/files.py:116.
+    """
     print("AVAILABLE EXAMPLES")
     print("-" * 68)
     for key in sorted(_EXAMPLES):
@@ -76,7 +91,31 @@ def list_examples() -> None:
 
 
 def example_info(key: str) -> None:
-    """Display licensing/metadata information for an example. Parity: util/files.py:138."""
+    """Print the description/licensing line for one example recording.
+
+    Parameters
+    ----------
+    key : str
+        example track key
+
+    Returns
+    -------
+    None
+        the metadata prints to stdout
+
+    Raises
+    ------
+    ParameterError
+        for an unknown key
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.util.example_info('trumpet')  # doctest: +ELLIPSIS
+    trumpet...
+
+    Parity: reference util/files.py:138.
+    """
     if key not in _EXAMPLES:
         raise ParameterError(f"Unknown example key: {key}")
     print(f"{key:10}\t{_EXAMPLES[key]}")
@@ -91,7 +130,35 @@ def find_files(
     limit: Optional[int] = None,
     offset: int = 0,
 ) -> List[str]:
-    """Get a sorted list of audio files in a directory. Parity: util/files.py:174."""
+    """Collect the sorted audio files under a directory.
+
+    Parameters
+    ----------
+    directory : str
+        root path to search
+    ext : list of str or None
+        extensions to accept (default: aac, au, flac, m4a, mp3, ogg, wav)
+    recurse : bool
+        descend into subdirectories
+    case_sensitive : bool
+        match extensions case-sensitively
+    limit : int or None
+        return at most this many paths
+    offset : int
+        skip this many paths from the start (negative counts from end)
+
+    Returns
+    -------
+    files : list of str
+        sorted absolute paths
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> wavs = lt.util.find_files('.', ext=['wav'])   # doctest: +SKIP
+
+    Parity: reference util/files.py:174.
+    """
     if ext is None:
         ext = ["aac", "au", "flac", "m4a", "mp3", "ogg", "wav"]
     elif isinstance(ext, str):
