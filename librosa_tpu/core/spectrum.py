@@ -799,7 +799,39 @@ def db_to_amplitude(S_db: Any, *, ref: float = 1.0) -> jax.Array:
 def perceptual_weighting(
     S: Any, frequencies: np.ndarray, *, kind: str = "A", **kwargs: Any
 ) -> jax.Array:
-    """Perceptual weighting of a power spectrogram. Parity: core/spectrum.py:2083."""
+    """Perceptually weight a power spectrogram.
+
+    Converts power to dB and offsets each frequency row by the chosen
+    loudness curve (``A_weighting`` by default), approximating how loud
+    each component sounds.
+
+    Parameters
+    ----------
+    S : array-like [shape=(..., f, t)]
+        power spectrogram
+    frequencies : np.ndarray [shape=(f,)]
+        center frequency of each row
+    kind : str
+        weighting curve (see ``frequency_weighting``)
+    **kwargs
+        forwarded to ``power_to_db`` (``ref``, ``amin``, ``top_db``)
+
+    Returns
+    -------
+    S_weighted : jax.Array
+        weighted dB spectrogram
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> S = np.ones((3, 4))
+    >>> freqs = np.array([100.0, 1000.0, 10000.0])
+    >>> W = np.asarray(lt.perceptual_weighting(S, freqs, ref=1.0))
+    >>> bool(W[1, 0] > W[0, 0])   # 1 kHz louder than 100 Hz under A-curve
+    True
+
+    Parity: reference core/spectrum.py:2083.
+    """
     from .convert import frequency_weighting
 
     offset = frequency_weighting(frequencies, kind=kind).reshape((-1, 1))

@@ -931,9 +931,18 @@ def viterbi_binary(
 
 
 def transition_uniform(n_states: int) -> np.ndarray:
-    """Uniform transition matrix: every move equally likely.
+    """Uniform transition matrix: every state move equally likely.
 
-    Parity: sequence.py:1877.
+    Each row is the constant distribution ``1 / n_states`` — the
+    maximum-entropy prior for Viterbi decoding.
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.sequence.transition_uniform(2).tolist()
+    [[0.5, 0.5], [0.5, 0.5]]
+
+    Parity: reference sequence.py:1877.
 
     Parameters
     ----------
@@ -985,9 +994,19 @@ def transition_loop(n_states: int, prob: Any) -> np.ndarray:
 
 
 def transition_cycle(n_states: int, prob: Any) -> np.ndarray:
-    """Cyclic transition matrix: stay or advance to the next state.
+    """Cyclic transition matrix: stay in place or advance to the next state.
 
-    Parity: sequence.py:1970.
+    State ``i`` keeps probability ``prob[i]`` and passes the remainder
+    to ``(i + 1) mod n_states`` — the standard left-to-right-with-wrap
+    topology for beat phase or looping structure models.
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.sequence.transition_cycle(3, 0.8).round(2)[0].tolist()
+    [0.8, 0.2, 0.0]
+
+    Parity: reference sequence.py:1970.
 
     Parameters
     ----------
