@@ -178,20 +178,28 @@ def main() -> None:
     baseline_sps = nb / cpu_dt
 
     # --- secondary metrics: the other BASELINE configs --------------------
-    def _timeit(fn, iters=3):
-        r = fn()
+    # Best-of-N, not mean-of-N: the tunnel stalls for whole seconds at
+    # unpredictable times, and a single stalled iteration poisons a mean
+    # (cfg4 read 79.6 ms in r02 vs 67.4 in r01 under mean-of-3 with no
+    # code change on that path).  The minimum is the standard robust
+    # steady-state latency estimator and matches the best-sustained-group
+    # method used for the headline metric.
+    def _sync(r):
         try:
-            jnp.asarray(r if not isinstance(r, tuple) else r[0]).block_until_ready()
+            jnp.asarray(
+                r if not isinstance(r, tuple) else r[0]
+            ).block_until_ready()
         except Exception:
             pass
-        t0 = time.perf_counter()
+
+    def _timeit(fn, iters=5):
+        _sync(fn())
+        best = float("inf")
         for _ in range(iters):
-            r = fn()
-        try:
-            jnp.asarray(r if not isinstance(r, tuple) else r[0]).block_until_ready()
-        except Exception:
-            pass
-        return (time.perf_counter() - t0) / iters
+            t0 = time.perf_counter()
+            _sync(fn())
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     y30 = jnp.asarray(np.resize(y, SR * 30).astype(np.float32))
     secondary = {}

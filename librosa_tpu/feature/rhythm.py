@@ -231,42 +231,66 @@ def tempo(
     if start_bpm <= 0:
         raise ParameterError("start_bpm must be strictly positive")
 
-    if tg is None:
-        win_length = int(
-            time_to_frames(ac_size, sr=sr, hop_length=hop_length)
-        )
-        tg = tempogram(
-            y=y, sr=sr, onset_envelope=onset_envelope,
-            hop_length=hop_length, win_length=win_length,
-        )
-    else:
-        tg = jnp.asarray(tg)
-        win_length = tg.shape[-2]
+    # Onset envelopes are one value per hop (~43/s) — microseconds of
+    # compute.  When the caller hands a small HOST envelope (the
+    # beat_track path: envelope already fetched for the sequential DP),
+    # run the tempogram + prior argmax on the local CPU backend: a
+    # remote accelerator costs several dispatch round trips (~22 ms
+    # each over the axon tunnel) for ~1 ms of work.  Device-resident
+    # inputs stay wherever the user put them.
+    import contextlib
 
-    tg = jnp.asarray(tg)
-    if aggregate is not None:
-        if aggregate is np.mean or aggregate is jnp.mean:
-            tg = _mean_last(tg)
-        else:
-            tg = jnp.asarray(
-                aggregate(np.asarray(tg), axis=-1, keepdims=True)
-            )
-
-    bpms = tempo_frequencies(win_length, hop_length=hop_length, sr=sr)
-
-    if prior is None:
-        with np.errstate(divide="ignore"):
-            logprior = -0.5 * ((np.log2(bpms) - np.log2(start_bpm)) / std_bpm) ** 2
-    else:
-        logprior = prior.logpdf(bpms)
-
-    if max_tempo is not None:
-        max_idx = int(np.argmax(bpms < max_tempo))
-        logprior[:max_idx] = -np.inf
-
-    best_period = np.asarray(
-        _tempo_pick(tg, jnp.asarray(logprior))
+    small_host = (
+        tg is None
+        and onset_envelope is not None
+        and not isinstance(onset_envelope, jax.Array)
+        and np.size(onset_envelope) <= (1 << 16)
     )
+    ctx = (
+        jax.default_device(jax.devices("cpu")[0])
+        if small_host
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        if tg is None:
+            win_length = int(
+                time_to_frames(ac_size, sr=sr, hop_length=hop_length)
+            )
+            tg = tempogram(
+                y=y, sr=sr, onset_envelope=onset_envelope,
+                hop_length=hop_length, win_length=win_length,
+            )
+        else:
+            tg = jnp.asarray(tg)
+            win_length = tg.shape[-2]
+
+        tg = jnp.asarray(tg)
+        if aggregate is not None:
+            if aggregate is np.mean or aggregate is jnp.mean:
+                tg = _mean_last(tg)
+            else:
+                tg = jnp.asarray(
+                    aggregate(np.asarray(tg), axis=-1, keepdims=True)
+                )
+
+        bpms = tempo_frequencies(win_length, hop_length=hop_length, sr=sr)
+
+        if prior is None:
+            with np.errstate(divide="ignore"):
+                logprior = (
+                    -0.5
+                    * ((np.log2(bpms) - np.log2(start_bpm)) / std_bpm) ** 2
+                )
+        else:
+            logprior = prior.logpdf(bpms)
+
+        if max_tempo is not None:
+            max_idx = int(np.argmax(bpms < max_tempo))
+            logprior[:max_idx] = -np.inf
+
+        best_period = np.asarray(
+            _tempo_pick(tg, jnp.asarray(logprior))
+        )
     return np.take(bpms, best_period)
 
 
