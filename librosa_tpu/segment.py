@@ -411,17 +411,15 @@ def recurrence_matrix(
 def _shear_dense_np(X: np.ndarray, factor: int, axis: int) -> np.ndarray:
     """Dense shear with the reference's axis convention
     (util/utils.py:2136): axis=0 rolls rows along axis 1; any other axis
-    rolls columns along axis 0."""
+    rolls columns along axis 0.  One vectorized modular gather instead of
+    n one-row np.roll calls."""
     X = np.asarray(X)
     n0, n1 = X.shape
-    out = np.empty_like(X)
     if axis == 0:
-        for i in range(n0):
-            out[i] = np.roll(X[i], factor * i)
-    else:
-        for j in range(n1):
-            out[:, j] = np.roll(X[:, j], factor * j)
-    return out
+        src = (np.arange(n1)[None, :] - factor * np.arange(n0)[:, None]) % n1
+        return np.take_along_axis(X, src, axis=1)
+    src = (np.arange(n0)[:, None] - factor * np.arange(n1)[None, :]) % n0
+    return np.take_along_axis(X, src, axis=0)
 
 
 def _shear_sparse(X, factor: int, axis: int):
