@@ -1260,12 +1260,41 @@ def waveshow(
     invert_color: Optional[Any] = None,
     **kwargs: Any,
 ) -> "AdaptiveWaveplot":
-    """Adaptive waveform display (envelope ↔ samples).
+    """Adaptive waveform display: envelope zoomed out, samples zoomed in.
 
-    Parity: display.py:2673 — step plot for zoomed-in sample views,
-    max-envelope fill for wide views, with ``mask`` (envelope-only sample
-    visibility), ``invert`` (swap fg/bg colors), and ``transform``
-    passthrough for f0-displaced rendering (see :func:`wavef0`).
+    Draws both a max-envelope fill (wide views) and a sample-level step
+    plot (narrow views) and returns the :class:`AdaptiveWaveplot` that
+    switches between them on every x-limit change.
+
+    Parameters
+    ----------
+    y : np.ndarray [shape=(n,) or (ch, n)]
+        audio signal
+    sr : number > 0
+        sampling rate
+    max_points : int
+        zoom threshold: sample view below this many visible samples
+    axis : str or None
+        x-axis type (e.g. ``'time'``)
+    offset : float
+        starting time of the signal
+    mask : np.ndarray or None
+        per-sample visibility for the sample view
+    invert : bool
+        swap foreground/background colors
+    transform : matplotlib transform or None
+        data transform (used by :func:`wavef0`)
+    ax : matplotlib axes or None
+        target axes
+    **kwargs
+        forwarded to the line/fill artists
+
+    Returns
+    -------
+    adaptor : AdaptiveWaveplot
+        the connected envelope/sample switcher
+
+    Parity: reference display.py:2673.
     """
     plt = _mpl()
 
@@ -1358,10 +1387,30 @@ def wavebars(
 ):
     """Rounded-bar amplitude envelope ("soundbars") display.
 
-    Parity: display.py:2992 — ``n_bars`` FancyBboxPatch bars of width
+    Renders ``n_bars`` FancyBboxPatch bars of width
     ``(hop/sr)·(1-gap_ratio)`` with corner rounding ``rounding_ratio``,
-    spanning the per-bar max envelope (top channel up, bottom channel
-    down for stereo).
+    each spanning the per-bar max envelope — top channel up, bottom
+    channel down for stereo input.
+
+    Parameters
+    ----------
+    y : np.ndarray [shape=(n,) or (2, n)]
+        audio signal
+    sr : number > 0
+        sampling rate
+    n_bars : int or None
+        number of bars (None: derive from hop)
+    ax : matplotlib axes or None
+        target axes
+    **kwargs
+        forwarded to the patch collection (e.g. ``color``)
+
+    Returns
+    -------
+    collection : matplotlib.collections.PatchCollection
+        the rendered bars
+
+    Parity: reference display.py:2992.
     """
     plt = _mpl()
     import matplotlib.patches as mpatches
@@ -1447,10 +1496,37 @@ def wavef0(
 ):
     """Waveform display displaced along an f0 contour.
 
-    Parity: display.py:3176 — the waveform rides its fundamental frequency
-    on a log-frequency axis via the :class:`Transformf0` data transform;
-    unvoiced (NaN) regions are masked out.  ``method`` selects
-    :func:`waveshow` or :func:`wavebars` rendering.
+    The waveform rides its fundamental frequency on a log-frequency
+    axis via the :class:`Transformf0` data transform; unvoiced (NaN)
+    regions are masked out.
+
+    Parameters
+    ----------
+    y : np.ndarray
+        audio signal
+    f0 : np.ndarray
+        frame-rate fundamental frequency contour (NaN = unvoiced)
+    sr : number > 0
+        sampling rate
+    hop_length : int > 0
+        hop of the f0 contour
+    method : {'waveshow', 'wavebars'}
+        rendering backend
+    freq_axis : str
+        frequency-axis decoration type
+    transpose : bool
+        put time on the y axis
+    ax : matplotlib axes or None
+        target axes
+    **kwargs
+        forwarded to the rendering backend
+
+    Returns
+    -------
+    artists
+        whatever the selected backend returns
+
+    Parity: reference display.py:3176.
     """
     plt = _mpl()
     import matplotlib.lines as mlines
