@@ -63,3 +63,80 @@ def test_axis_argument(rng):
         jnp.asarray(x.T), b0=1.0, b1=0.0, a1=-0.5, zi=jnp.zeros((4, 1))
     )
     np.testing.assert_allclose(np.asarray(y_ax0), np.asarray(y_t).T, rtol=1e-6)
+
+
+class TestSecondOrderSections:
+    def _sos(self):
+        import scipy.signal
+
+        return scipy.signal.butter(4, 0.2, output="sos")
+
+    def test_sosfilt_matches_scipy(self, rng):
+        import scipy.signal
+
+        from librosa_tpu.ops.iir import sosfilt
+
+        x = rng.randn(3, 4000).astype(np.float32)
+        sos = self._sos()
+        y, zf = sosfilt(x, sos)
+        ref = scipy.signal.sosfilt(sos, x.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-6)
+        assert np.asarray(zf).shape == (3, sos.shape[0], 2)
+
+    def test_sosfilt_zi_streaming(self, rng):
+        from librosa_tpu.ops.iir import sosfilt
+
+        x = rng.randn(4000).astype(np.float32)
+        sos = self._sos()
+        y_full, _ = sosfilt(x, sos)
+        zi = np.zeros((sos.shape[0], 2), dtype=np.float32)
+        y1, zf = sosfilt(x[:1500], sos, zi=zi)
+        y2, _ = sosfilt(x[1500:], sos, zi=zf)
+        glued = np.concatenate([np.asarray(y1), np.asarray(y2)])
+        np.testing.assert_allclose(glued, np.asarray(y_full), atol=1e-6)
+
+    def test_sosfiltfilt_matches_scipy(self, rng):
+        import scipy.signal
+
+        from librosa_tpu.ops.iir import sosfiltfilt
+
+        x = rng.randn(2, 3000).astype(np.float32)
+        sos = self._sos()
+        y = np.asarray(sosfiltfilt(x, sos))
+        ref = scipy.signal.sosfiltfilt(sos, x.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(y, ref, atol=3e-6)
+
+    def test_sosfiltfilt_high_q(self, rng):
+        # the iirt-style elliptic band-pass: poles near the unit circle
+        # are the numerically hard case for f32 scans
+        import scipy.signal
+
+        from librosa_tpu.ops.iir import sosfiltfilt
+
+        x = rng.randn(4000).astype(np.float32)
+        sos = scipy.signal.ellip(
+            4, 7, 100, [0.4, 0.41], btype="bandpass", output="sos"
+        )
+        y = np.asarray(sosfiltfilt(x, sos))
+        ref = scipy.signal.sosfiltfilt(sos, x.astype(np.float64))
+        snr = 10 * np.log10((ref**2).sum() / ((y - ref) ** 2).sum())
+        assert snr > 90, snr
+
+    def test_sosfiltfilt_short_input_raises(self):
+        from librosa_tpu.ops.iir import sosfiltfilt
+
+        with pytest.raises(ValueError):
+            sosfiltfilt(np.zeros(10, dtype=np.float32), self._sos())
+
+    def test_sosfiltfilt_jit_safe(self, rng):
+        import jax
+
+        from librosa_tpu.ops.iir import sosfiltfilt
+
+        x = rng.randn(2000).astype(np.float32)
+        sos = self._sos()
+        eager = np.asarray(sosfiltfilt(x, sos))
+        jitted = np.asarray(
+            jax.jit(lambda v: sosfiltfilt(v, sos))(x)
+        )
+        np.testing.assert_allclose(jitted, eager, atol=1e-6)
