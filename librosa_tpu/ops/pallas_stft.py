@@ -150,6 +150,10 @@ def _host_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
 
 _DEV_CONSTS: dict = {}
 
+# (n_fft, hop) configs where the zero-copy layout failed to lower and the
+# padded legacy layout is used instead (see stft_mel_pallas fallback).
+_LEGACY_CONFIGS: set = set()
+
 
 def _device_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
     """Device-resident kernel table constants, cached per configuration.
@@ -175,7 +179,8 @@ def _device_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
 
 @functools.lru_cache(maxsize=128)
 def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
-                 precision, interpret, n_tracks, sig_len, lpad, reflect):
+                 precision, interpret, n_tracks, sig_len, lpad, reflect,
+                 legacy=False):
     """Build (and cache) the jitted kernel wrapper for one configuration.
 
     The wrapper owns ALL input staging: the bulk of the signal is handed
@@ -196,20 +201,34 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
 
     r = n_fft // hop_length
     rpad = ((r - 1 + 7) // 8) * 8
-    # Row-shift geometry: with lpad % hop == 0 the padded row matrix is a
-    # pure row-shift of the unpadded one by loff rows.  Interior tiles DMA
-    # from the A-row-earlier 8-aligned start and the assembly loop reads
-    # at a constant sublane offset A - loff.
-    loff = lpad // hop_length
-    A = max(8, -(-loff // 8) * 8)
-    rows_buf = tt + rpad + A
-    phys_rows = sig_len // hop_length
-    # Tile w (within-track) is interior iff its aligned read
-    # [w·tt − A, w·tt − A + rows_buf) lies inside [0, phys_rows).
-    e_start = max(1, (phys_rows - rpad) // tt) if phys_rows > rpad else 1
-    edge_tiles = [0] + list(range(min(e_start, n_tiles), n_tiles))
-    n_edge = len(edge_tiles)
-    aligned = n_tracks == 1 or phys_rows % 8 == 0
+    if legacy:
+        # Proven fallback layout (round-2 kernel): the wrapper pads the
+        # whole signal and every tile issues one plain 8-aligned DMA —
+        # no conditional copies, no dynamic edge indexing.  Used only if
+        # Mosaic rejects the zero-copy structure on a given toolchain.
+        loff = 0
+        A = 0
+        rows_buf = tt + rpad
+        phys_rows = 0
+        e_start = n_tiles + 1
+        edge_tiles = []
+        n_edge = 0
+        aligned = True
+    else:
+        # Row-shift geometry: with lpad % hop == 0 the padded row matrix
+        # is a pure row-shift of the unpadded one by loff rows.  Interior
+        # tiles DMA from the A-row-earlier 8-aligned start and the
+        # assembly loop reads at a constant sublane offset A - loff.
+        loff = lpad // hop_length
+        A = max(8, -(-loff // 8) * 8)
+        rows_buf = tt + rpad + A
+        phys_rows = sig_len // hop_length
+        # Tile w (within-track) is interior iff its aligned read
+        # [w·tt − A, w·tt − A + rows_buf) lies inside [0, phys_rows).
+        e_start = max(1, (phys_rows - rpad) // tt) if phys_rows > rpad else 1
+        edge_tiles = [0] + list(range(min(e_start, n_tiles), n_tiles))
+        n_edge = len(edge_tiles)
+        aligned = n_tracks == 1 or phys_rows % 8 == 0
 
     prec3 = precision if isinstance(precision, tuple) else (precision,) * 3
     kern = functools.partial(
@@ -294,13 +313,28 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
         return out.reshape(n_tracks, 1, rows_buf, hop)
 
     def fn(y2d, win, cs2, ctw, stw, c1s1, basis):
-        if phys_rows > 0:
-            rows = y2d[:, : phys_rows * hop].reshape(n_tracks * phys_rows, hop)
-        else:  # input shorter than one hop row — everything is edge tiles
-            rows = jnp.zeros((8, hop), jnp.float32)
-        edges = jnp.concatenate(
-            [_edge_buf(y2d, w) for w in edge_tiles], axis=1
-        ).reshape(n_tracks * n_edge, rows_buf, hop)
+        if legacy:
+            # one combined pad (center + tile rounding) — the r02 path
+            n = sig_len + 2 * lpad
+            rows_needed = n_tiles * tt + rpad
+            tail = max(0, rows_needed * hop - n) + lpad
+            if reflect and lpad > 0:
+                yp = jnp.pad(y2d, [(0, 0), (lpad, lpad)], mode="reflect")
+                yp = jnp.pad(yp, [(0, 0), (0, tail - lpad)])
+            else:
+                yp = jnp.pad(y2d, [(0, 0), (lpad, tail)])
+            rows = yp[:, : rows_needed * hop].reshape(-1, hop)
+            edges = jnp.zeros((1, rows_buf, hop), jnp.float32)
+        else:
+            if phys_rows > 0:
+                rows = y2d[:, : phys_rows * hop].reshape(
+                    n_tracks * phys_rows, hop
+                )
+            else:  # shorter than one hop row — everything is edge tiles
+                rows = jnp.zeros((8, hop), jnp.float32)
+            edges = jnp.concatenate(
+                [_edge_buf(y2d, w) for w in edge_tiles], axis=1
+            ).reshape(n_tracks * n_edge, rows_buf, hop)
         return call(rows, edges, win, cs2, ctw, stw, c1s1, basis)
 
     return jax.jit(fn)
@@ -344,6 +378,19 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
     def _start(tile, slot):
         track = tile // tiles_per_track
         within = jax.lax.rem(tile, tiles_per_track)
+
+        if n_edge == 0:
+            # legacy layout: one plain DMA from the fully padded rows
+            rows_per_track = tiles_per_track * tt + rpad
+            start = pl.multiple_of(
+                track * rows_per_track + within * tt, 8
+            )
+            pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(start, rows_buf), :],
+                ybufs.at[slot], sems.at[slot],
+            ).start()
+            return
+
         is_edge = jnp.logical_or(within == 0, within >= e_start)
 
         @pl.when(is_edge)
@@ -381,8 +428,12 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
 
     # Wait via an any-source descriptor of the same shape/byte count
     # (which DMA filled the slot doesn't matter to the semaphore).
+    wait_src = (
+        rows_hbm.at[pl.ds(0, rows_buf), :] if n_edge == 0
+        else edges_hbm.at[0]
+    )
     pltpu.make_async_copy(
-        edges_hbm.at[0], ybufs.at[slot], sems.at[slot],
+        wait_src, ybufs.at[slot], sems.at[slot],
     ).wait()
     ybuf = ybufs.at[slot]
 
@@ -530,12 +581,36 @@ def stft_mel_pallas(
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
 
-    call = _cached_call(
+    cfg = (
         n_fft, hop_length, n1, n2, tt, n_tiles, n_out, float(power),
         precision, interpret, n_tracks, y.shape[-1], lpad,
         pad_mode == "reflect",
     )
-    out = call(y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d)
+    if cfg[:2] in _LEGACY_CONFIGS:
+        out = _cached_call(*cfg, legacy=True)(
+            y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
+        )
+    else:
+        try:
+            out = _cached_call(*cfg)(
+                y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
+            )
+        except Exception as e:
+            # Insurance against a Mosaic toolchain rejecting the
+            # zero-copy DMA structure: retry with the proven padded
+            # layout (slower by one full HBM round trip) rather than
+            # losing the kernel entirely to the XLA fallback.
+            import warnings
+
+            warnings.warn(
+                f"zero-copy pallas stft layout failed ({e!r}); "
+                "falling back to the padded-input kernel layout",
+                stacklevel=2,
+            )
+            _LEGACY_CONFIGS.add(cfg[:2])
+            out = _cached_call(*cfg, legacy=True)(
+                y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
+            )
     if not lead_shape:
         return out[:, :n_frames]
     # (n_out, n_tracks·n_tiles·tt) → (..., n_out, n_frames)

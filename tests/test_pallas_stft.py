@@ -191,3 +191,26 @@ def test_device_const_cache_never_holds_tracers():
 
     for v in pitch_mod._PYIN_DEV.values():
         assert not any(isinstance(a, jax.core.Tracer) for a in v)
+
+
+def test_legacy_layout_bitexact(rng):
+    # the padded fallback layout (used if Mosaic rejects the zero-copy
+    # DMA structure) must stay bit-identical to the primary path
+    from librosa_tpu.ops import pallas_stft as P
+
+    y = (rng.randn(40000) * 0.1).astype(np.float32)
+    win = np.hanning(512).astype(np.float32)
+    mb = filters.mel(sr=SR, n_fft=512, n_mels=64).astype(np.float32)
+    fast = np.asarray(
+        stft_mel_pallas(y, win, mb, n_fft=512, hop_length=128,
+                        interpret=True)
+    )
+    P._LEGACY_CONFIGS.add((512, 128))
+    try:
+        legacy = np.asarray(
+            stft_mel_pallas(y, win, mb, n_fft=512, hop_length=128,
+                            interpret=True)
+        )
+    finally:
+        P._LEGACY_CONFIGS.discard((512, 128))
+    assert np.array_equal(fast, legacy)
