@@ -143,9 +143,23 @@ def _local_score(onset_envelope: np.ndarray, frames_per_beat: np.ndarray) -> np.
     return res.reshape(oe.shape).astype(oe.dtype)
 
 
+def _localmax_np(x: np.ndarray) -> np.ndarray:
+    """numpy twin of util.localmax along -1.
+
+    The DP post-processing is host-side on a ~40 frame/s envelope;
+    calling the jnp localmax here would issue ~10 eager device ops
+    (each a full tunnel round trip) for microseconds of work.
+    """
+    out = np.zeros(x.shape, dtype=bool)
+    out[..., 1:-1] = (x[..., 1:-1] > x[..., :-2]) & (x[..., 1:-1] >= x[..., 2:])
+    if x.shape[-1] > 1:
+        out[..., -1] = x[..., -1] > x[..., -2]
+    return out
+
+
 def _last_beat(cumscore: np.ndarray) -> np.ndarray:
     """Parity: beat.py:697 (__last_beat): last local max above half-median."""
-    lmax = np.asarray(util.localmax(cumscore, axis=-1))
+    lmax = _localmax_np(cumscore)
     masked = np.ma.masked_array(data=cumscore, mask=~lmax)
     medians = np.ma.median(masked, axis=-1)
     thresholds = 0.5 * np.ma.getdata(medians)

@@ -673,7 +673,9 @@ def resample_poly(
         )
         out = _upfirdn_conv(
             x,
-            jnp.asarray(h_padded, dtype=x.dtype),
+            # dtype-cast on host: jnp.asarray(np_f64, dtype=f32) issues a
+            # separate convert_element_type device program per call
+            jnp.asarray(np.asarray(h_padded, dtype=x.dtype)),
             up=up,
             down=down,
             n_pre_remove=n_pre_remove,

@@ -31,7 +31,7 @@ from . import audio
 from .convert import cqt_frequencies, note_to_hz
 from .intervals import interval_frequencies
 from .pitch import estimate_tuning
-from .spectrum import istft, stft
+from .spectrum import _griffinlim_init, istft, stft
 
 __all__ = ["cqt", "vqt", "hybrid_cqt", "pseudo_cqt", "icqt", "griffinlim_cqt"]
 
@@ -973,21 +973,12 @@ def griffinlim_cqt(
     else:
         seed = int(np.random.default_rng(rng).integers(2**31))
 
-    ang_dtype = util.dtype_r2c(C.dtype)
-    if init == "random":
-        key = jax.random.PRNGKey(seed)
-        angles = util.phasor(
-            2 * np.pi * jax.random.uniform(key, C.shape, dtype=jnp.float32)
-        ).astype(ang_dtype)
-    elif init is None:
-        # Build complex constants via lax.complex of real zeros/ones: the
-        # axon backend cannot upload complex host constants (see _axon_compat).
-        rdt = np.zeros((), dtype=np.dtype(ang_dtype)).real.dtype
-        angles = jax.lax.complex(
-            jnp.ones(C.shape, dtype=rdt), jnp.zeros(C.shape, dtype=rdt)
-        )
-    else:
+    if init not in ("random", None):
         raise ParameterError(f"init={init} must either None or 'random'")
+    ang_dtype = util.dtype_r2c(C.dtype)
+    # one jitted program for the phase init (PRNG + phasor eagerly would
+    # cost ~5 tunnel dispatches; see core/spectrum.py:_griffinlim_init)
+    angles = _griffinlim_init(C, np.uint32(seed), init)
 
     eps = util.tiny(np.zeros((), dtype=np.dtype(ang_dtype)))
     rdt_r = np.zeros((), dtype=np.dtype(ang_dtype)).real.dtype

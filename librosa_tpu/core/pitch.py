@@ -106,13 +106,32 @@ def piptrack(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
         window=window, center=center, pad_mode=pad_mode,
     )
+
+    fmin = max(fmin, 0)
+    fmax = min(fmax, float(sr) / 2)
+
+    if ref is None:
+        ref = jnp.max
+    # gradient → parabolic refine → peak mask → threshold as ONE program
+    # (eagerly ~60 dispatches); a callable ref traces statically, a
+    # scalar/array ref rides in as a traced argument
+    return _piptrack_core(
+        S, None if callable(ref) else jnp.asarray(ref),
+        sr=float(sr), n_fft=int(n_fft), fmin=float(fmin), fmax=float(fmax),
+        threshold=float(threshold), ref_fn=ref if callable(ref) else None,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "n_fft", "fmin", "fmax", "threshold", "ref_fn"),
+)
+def _piptrack_core(S, ref_arr, *, sr, n_fft, fmin, fmax, threshold, ref_fn):
+    """Pitch/magnitude peak interpolation as one jitted program."""
     if jnp.issubdtype(S.dtype, jnp.complexfloating):
         S = jnp.abs(S)
     else:
         S = jnp.where(S < 0, jnp.abs(S), S)
-
-    fmin = max(fmin, 0)
-    fmax = min(fmax, float(sr) / 2)
 
     fft_freqs = convert.fft_frequencies(sr=sr, n_fft=n_fft)
 
@@ -123,13 +142,11 @@ def piptrack(
     freq_mask = (fmin <= fft_freqs) & (fft_freqs < fmax)
     freq_mask = util.expand_to(jnp.asarray(freq_mask), ndim=S.ndim, axes=-2)
 
-    if ref is None:
-        ref = jnp.max
-    if callable(ref):
-        ref_value = threshold * ref(S, axis=-2)
+    if ref_fn is not None:
+        ref_value = threshold * ref_fn(S, axis=-2)
         ref_value = jnp.expand_dims(ref_value, -2)
     else:
-        ref_value = jnp.abs(jnp.asarray(ref))
+        ref_value = jnp.abs(ref_arr)
 
     peaks = freq_mask & util.localmax(S * (S > ref_value), axis=-2)
 
@@ -377,7 +394,26 @@ def yin(
     if hop_length is None:
         hop_length = frame_length // 4
 
-    y = jnp.asarray(y)
+    # frame → CMND → trough pick → parabolic refine as ONE program
+    # (eagerly this chain issues ~100 device dispatches per call)
+    return _yin_core(
+        jnp.asarray(y), sr=float(sr), fmin=float(fmin), fmax=float(fmax),
+        frame_length=int(frame_length), hop_length=int(hop_length),
+        trough_threshold=float(trough_threshold), center=bool(center),
+        pad_mode=pad_mode,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "fmin", "fmax", "frame_length", "hop_length",
+                     "trough_threshold", "center", "pad_mode"),
+)
+def _yin_core(
+    y, *, sr, fmin, fmax, frame_length, hop_length, trough_threshold,
+    center, pad_mode,
+):
+    """The full YIN device pipeline as one jitted program."""
     if center:
         padding = [(0, 0)] * y.ndim
         padding[-1] = (frame_length // 2, frame_length // 2)
@@ -578,10 +614,10 @@ def pyin(
         boltzmann_parameter=float(boltzmann_parameter),
         no_trough_prob=float(no_trough_prob),
         center=bool(center), pad_mode=pad_mode,
+        # fill inside the fused program: an eager jnp.where after the core
+        # costs one extra tunnel dispatch per call
+        fill_value=(None if fill_na is None else np.float32(fill_na)),
     )
-
-    if fill_na is not None:
-        f0 = jnp.where(voiced_flag, f0, fill_na)
 
     return f0, voiced_flag, voiced_prob
 
@@ -598,7 +634,7 @@ def _pyin_core(
     y, thresholds, beta_probs, log_trans, log_p_init, *, sr, fmin,
     frame_length, hop_length, min_period, max_period, n_pitch_bins,
     n_bins_per_semitone, boltzmann_parameter, no_trough_prob, center,
-    pad_mode,
+    pad_mode, fill_value=None,
 ):
     """The full pYIN device pipeline as ONE program.
 
@@ -624,6 +660,8 @@ def _pyin_core(
         obs_full, log_trans, log_p_init, fmin=fmin,
         n_pitch_bins=n_pitch_bins, n_bins_per_semitone=n_bins_per_semitone,
     )
+    if fill_value is not None:
+        f0 = jnp.where(voiced_flag, f0, fill_value)
     return f0, voiced_flag, voiced_prob
 
 

@@ -61,6 +61,10 @@ def _win_device(
         fft_window = np.pad(
             fft_window, (lpad, n_fft - len(fft_window) - lpad), mode="constant"
         )
+    # cast on host: a dtype-converting device_put dispatches a separate
+    # convert_element_type program per call (tracer-safe: only for np input)
+    if isinstance(fft_window, np.ndarray):
+        fft_window = fft_window.astype(np.dtype(dtype), copy=False)
     return jnp.asarray(fft_window, dtype=dtype)
 
 
@@ -972,21 +976,47 @@ def pcen(
         )
         S = jnp.abs(S)
 
-    if ref is None:
-        if max_size == 1:
-            ref_arr = S
-        elif S.ndim == 1:
+    if ref is None and max_size > 1:
+        if S.ndim == 1:
             raise ParameterError(
                 "Max-filtering cannot be applied to 1-dimensional input"
             )
+        if max_axis is None:
+            if S.ndim != 2:
+                raise ParameterError(
+                    f"Max-filtering a {S.ndim:d}-dimensional spectrogram "
+                    "requires you to specify max_axis"
+                )
+            max_axis = int(np.mod(1 - axis, 2))
+
+    # the whole array pipeline (max filter → scan → gain → compression) is
+    # ONE jitted program: eagerly it issues ~190 device dispatches (the
+    # log-depth associative scan alone emits dozens of slice/pad ops)
+    return _pcen_core(
+        S,
+        None if ref is None else jnp.asarray(ref),
+        None if zi is None else jnp.asarray(zi),
+        b=float(b), gain=float(gain), bias=float(bias), power=float(power),
+        eps=float(eps), max_size=int(max_size), axis=int(axis),
+        max_axis=None if max_axis is None else int(max_axis),
+        return_zf=bool(return_zf),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b", "gain", "bias", "power", "eps", "max_size",
+                     "axis", "max_axis", "return_zf"),
+)
+def _pcen_core(
+    S, ref, zi, *, b, gain, bias, power, eps, max_size, axis, max_axis,
+    return_zf,
+):
+    """PCEN array pipeline as one program (config is static)."""
+    if ref is None:
+        if max_size == 1:
+            ref_arr = S
         else:
-            if max_axis is None:
-                if S.ndim != 2:
-                    raise ParameterError(
-                        f"Max-filtering a {S.ndim:d}-dimensional spectrogram "
-                        "requires you to specify max_axis"
-                    )
-                max_axis = int(np.mod(1 - axis, 2))
             # centered 1-D max filter (scipy.ndimage.maximum_filter1d parity)
             lpad = max_size // 2
             rpad = max_size - 1 - lpad
@@ -1003,14 +1033,13 @@ def pcen(
                 "valid",
             )
     else:
-        ref_arr = jnp.asarray(ref)
+        ref_arr = ref
 
     if zi is None:
         # scipy.signal.lfilter_zi([b], [1, b-1]) == 1 - b (steady state)
         zi_val = jnp.asarray(1.0 - b, dtype=ref_arr.dtype)
     else:
-        zi_val = jnp.asarray(zi, dtype=ref_arr.dtype)
-        zi_val = jnp.moveaxis(zi_val, axis, -1)[..., 0]
+        zi_val = jnp.moveaxis(zi.astype(ref_arr.dtype), axis, -1)[..., 0]
 
     S_smooth = _exp_filter_scan(ref_arr, float(b), zi_val, axis)
 
@@ -1137,33 +1166,25 @@ def griffinlim(
     else:
         seed = int(np.random.default_rng(rng).integers(2**31))
 
-    ang_dtype = util.dtype_r2c(S.dtype)
-    if init == "random":
-        key = jax.random.PRNGKey(seed)
-        angles = util.phasor(
-            2 * np.pi * jax.random.uniform(key, S.shape, dtype=jnp.float32)
-        ).astype(ang_dtype)
-    elif init is None:
-        # Build complex constants via lax.complex of real zeros/ones: the
-        # axon backend cannot upload complex host constants (see _axon_compat).
-        rdt = np.zeros((), dtype=np.dtype(ang_dtype)).real.dtype
-        angles = jax.lax.complex(
-            jnp.ones(S.shape, dtype=rdt), jnp.zeros(S.shape, dtype=rdt)
-        )
-    else:
+    if init not in ("random", None):
         raise ParameterError(f"init={init} must either None or 'random'")
 
     if isinstance(window, (str, tuple)):
-        # entire iteration as ONE program (scan over n_iter): removes
-        # 4·n_iter per-op dispatches and keeps the complex spectra inside
-        # a single XLA program (axon layout constraint)
+        # entire program — phase init INCLUDED — as ONE dispatch (scan over
+        # n_iter): removes 4·n_iter per-op dispatches plus the ~5 eager
+        # PRNG/phasor init ops, and keeps the complex spectra inside a
+        # single XLA program (axon layout constraint).  The seed rides in
+        # as a traced scalar so reseeding does not recompile.
         return _griffinlim_scan(
-            S, angles, n_iter=n_iter, hop_length=hop_length,
+            S, np.uint32(seed), n_iter=n_iter, hop_length=hop_length,
             win_length=win_length, n_fft=n_fft, window=window,
             center=center, pad_mode=pad_mode, momentum=float(momentum),
-            length=length,
+            length=length, init=init,
         )
 
+    angles = _griffinlim_init(S, np.uint32(seed), init)
+
+    ang_dtype = util.dtype_r2c(S.dtype)
     eps = util.tiny(np.zeros((), dtype=np.dtype(ang_dtype)))
     rdt_r = np.zeros((), dtype=np.dtype(ang_dtype)).real.dtype
     rebuilt = jax.lax.complex(
@@ -1208,16 +1229,38 @@ def griffinlim(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("init",),
+)
+def _griffinlim_init(S, seed, init):
+    """Initial phases (jit-safe; also called inside the scanned program)."""
+    ang_dtype = util.dtype_r2c(S.dtype)
+    rdt = np.zeros((), dtype=np.dtype(ang_dtype)).real.dtype
+    if init == "random":
+        key = jax.random.PRNGKey(seed)
+        return util.phasor(
+            2 * np.pi * jax.random.uniform(key, S.shape, dtype=jnp.float32)
+        ).astype(ang_dtype)
+    # zero phase: build complex constants via lax.complex of real
+    # zeros/ones (the axon backend cannot upload complex host constants;
+    # see _axon_compat)
+    return jax.lax.complex(
+        jnp.ones(S.shape, dtype=rdt), jnp.zeros(S.shape, dtype=rdt)
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "n_iter", "hop_length", "win_length", "n_fft", "window", "center",
-        "pad_mode", "momentum", "length",
+        "pad_mode", "momentum", "length", "init",
     ),
 )
 def _griffinlim_scan(
-    S, angles, *, n_iter, hop_length, win_length, n_fft, window, center,
-    pad_mode, momentum, length,
+    S, seed, *, n_iter, hop_length, win_length, n_fft, window, center,
+    pad_mode, momentum, length, init,
 ):
     """Momentum Griffin-Lim as a single scanned program."""
+    angles = _griffinlim_init(S, seed, init)
     eps = util.tiny(np.zeros((), dtype=np.dtype(np.float32)))
     rdt = jnp.zeros((), dtype=angles.dtype).real.dtype
     rebuilt0 = jax.lax.complex(

@@ -256,22 +256,9 @@ def tempo(
             win_length = int(
                 time_to_frames(ac_size, sr=sr, hop_length=hop_length)
             )
-            tg = tempogram(
-                y=y, sr=sr, onset_envelope=onset_envelope,
-                hop_length=hop_length, win_length=win_length,
-            )
         else:
             tg = jnp.asarray(tg)
             win_length = tg.shape[-2]
-
-        tg = jnp.asarray(tg)
-        if aggregate is not None:
-            if aggregate is np.mean or aggregate is jnp.mean:
-                tg = _mean_last(tg)
-            else:
-                tg = jnp.asarray(
-                    aggregate(np.asarray(tg), axis=-1, keepdims=True)
-                )
 
         bpms = tempo_frequencies(win_length, hop_length=hop_length, sr=sr)
 
@@ -282,15 +269,52 @@ def tempo(
                     * ((np.log2(bpms) - np.log2(start_bpm)) / std_bpm) ** 2
                 )
         else:
-            logprior = prior.logpdf(bpms)
+            logprior = np.asarray(prior.logpdf(bpms))
 
         if max_tempo is not None:
             max_idx = int(np.argmax(bpms < max_tempo))
             logprior[:max_idx] = -np.inf
 
-        best_period = np.asarray(
-            _tempo_pick(tg, jnp.asarray(logprior))
-        )
+        agg_is_mean = aggregate is np.mean or aggregate is jnp.mean
+        if tg is None and agg_is_mean:
+            # default aggregate over a raw envelope/signal: run
+            # tempogram → mean → prior argmax as ONE program instead of
+            # three separate device dispatches
+            if onset_envelope is None:
+                from ..onset import onset_strength
+
+                onset_envelope = onset_strength(
+                    y=y, sr=sr, hop_length=hop_length
+                )
+            env = jnp.asarray(onset_envelope)
+            ac_window = np.asarray(
+                get_window("hann", win_length, fftbins=True),
+                dtype=env.dtype,
+            )
+            best_period = np.asarray(
+                _tempo_core(
+                    env, jnp.asarray(ac_window),
+                    jnp.asarray(logprior.astype(env.dtype)),
+                    win_length=win_length,
+                )
+            )
+        else:
+            if tg is None:
+                tg = tempogram(
+                    y=y, sr=sr, onset_envelope=onset_envelope,
+                    hop_length=hop_length, win_length=win_length,
+                )
+            tg = jnp.asarray(tg)
+            if aggregate is not None:
+                if agg_is_mean:
+                    tg = _mean_last(tg)
+                else:
+                    tg = jnp.asarray(
+                        aggregate(np.asarray(tg), axis=-1, keepdims=True)
+                    )
+            best_period = np.asarray(
+                _tempo_pick(tg, jnp.asarray(logprior))
+            )
     return np.take(bpms, best_period)
 
 
@@ -301,6 +325,18 @@ def _mean_last(tg):
 
 @jax.jit
 def _tempo_pick(tg, logprior):
+    lp = util.expand_to(logprior, ndim=tg.ndim, axes=-2)
+    return jnp.argmax(jnp.log1p(1e6 * tg) + lp, axis=-2)
+
+
+@functools.partial(jax.jit, static_argnames=("win_length",))
+def _tempo_core(onset_envelope, ac_window, logprior, *, win_length):
+    """Fused default tempo(): tempogram → time mean → prior argmax."""
+    tg = _tempogram_core(
+        onset_envelope, ac_window, win_length=win_length, center=True,
+        norm=float(np.inf),
+    )
+    tg = jnp.mean(tg, axis=-1, keepdims=True)
     lp = util.expand_to(logprior, ndim=tg.ndim, axes=-2)
     return jnp.argmax(jnp.log1p(1e6 * tg) + lp, axis=-2)
 

@@ -8,6 +8,7 @@ XLA-fused.  Parity citations refer to ``librosa/feature/spectral.py``.
 
 from __future__ import annotations
 
+import functools
 import itertools
 import warnings
 from typing import Any, Optional, Union
@@ -51,11 +52,22 @@ __all__ = [
 _WindowSpec = Any
 
 
-def _check_nonneg_real(S: jax.Array, name: str) -> None:
+def _check_nonneg_real(S: jax.Array, name: str, *, computed: bool = False) -> None:
+    """Reject complex/negative spectra.
+
+    The negativity check is data-dependent — on a remote device it costs a
+    full fetch round trip — so it only runs for *user-provided* S
+    (``computed=False``); magnitude spectrograms we computed ourselves are
+    non-negative by construction.
+    """
     if jnp.issubdtype(S.dtype, jnp.complexfloating):
         raise ParameterError(f"{name} is only defined with real-valued input")
     # data-dependent validation only outside jit tracing
-    if not isinstance(S, jax.core.Tracer) and bool(jnp.any(S < 0)):
+    if (
+        not computed
+        and not isinstance(S, jax.core.Tracer)
+        and bool(jnp.any(S < 0))
+    ):
         raise ParameterError(f"{name} is only defined with non-negative energies")
 
 
@@ -102,18 +114,23 @@ def spectral_centroid(
     >>> bool(abs(np.median(c) - 440) < 40)
     True
     """
+    S_given = S
     S, n_fft = _spectrogram(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
         window=window, center=center, pad_mode=pad_mode,
     )
-    _check_nonneg_real(S, "Spectral centroid")
+    _check_nonneg_real(S, "Spectral centroid", computed=S_given is None)
 
     if freq is None:
         freq = fft_frequencies(sr=sr, n_fft=n_fft)
-    freq = jnp.asarray(freq)
+
+    return _centroid_core(S, jnp.asarray(freq))
+
+
+@jax.jit
+def _centroid_core(S, freq):
     if freq.ndim == 1:
         freq = util.expand_to(freq, ndim=S.ndim, axes=-2)
-
     return jnp.sum(
         freq * util.normalize(S, norm=1, axis=-2), axis=-2, keepdims=True
     )
@@ -155,22 +172,29 @@ def spectral_bandwidth(
     -------
     bandwidth : jax.Array [shape=(..., 1, t)]
     """
+    S_given = S
     S, n_fft = _spectrogram(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
         window=window, center=center, pad_mode=pad_mode,
     )
-    _check_nonneg_real(S, "Spectral bandwidth")
-
-    if centroid is None:
-        centroid = spectral_centroid(
-            y=y, sr=sr, S=S, n_fft=n_fft, hop_length=hop_length, freq=freq
-        )
-    centroid = jnp.asarray(centroid)
+    _check_nonneg_real(S, "Spectral bandwidth", computed=S_given is None)
 
     if freq is None:
         freq = fft_frequencies(sr=sr, n_fft=n_fft)
     freq = jnp.asarray(freq)
 
+    if centroid is None:
+        # S is already validated above — reuse the jitted centroid core
+        # directly (spectral_centroid would re-run the data-dependent
+        # non-negativity fetch on the S we just computed)
+        centroid = _centroid_core(S, freq)
+    centroid = jnp.asarray(centroid)
+
+    return _bandwidth_core(S, freq, centroid, norm=bool(norm), p=float(p))
+
+
+@functools.partial(jax.jit, static_argnames=("norm", "p"))
+def _bandwidth_core(S, freq, centroid, *, norm, p):
     if freq.ndim == 1:
         deviation = jnp.abs(freq[:, None] - centroid[..., 0:1, :])
     else:
@@ -248,8 +272,10 @@ def spectral_contrast(
             "Frequency band exceeds Nyquist. Reduce either fmin or n_bands."
         )
 
-    valleys = []
-    peaks = []
+    # band membership is static (host freq grid) → hashable per-band index
+    # tuples parameterize ONE jitted program for the sort/quantile/diff
+    # chain (eagerly ~130 dispatches across the 7 bands)
+    bands = []
     for k, (f_low, f_high) in enumerate(itertools.pairwise(octa)):
         current_band = np.logical_and(freq >= f_low, freq <= f_high)
         idx = np.flatnonzero(current_band)
@@ -259,11 +285,21 @@ def spectral_contrast(
             current_band[idx[-1] + 1 :] = True
 
         band_idx = np.flatnonzero(current_band)
-        sub_band = S[..., jnp.asarray(band_idx), :]
         if k < n_bands:
-            sub_band = sub_band[..., :-1, :]
-
+            band_idx = band_idx[:-1]
         n_take = int(np.maximum(np.rint(quantile * np.sum(current_band)), 1))
+        bands.append((tuple(int(i) for i in band_idx), n_take))
+
+    return _contrast_core(S, bands=tuple(bands), linear=bool(linear))
+
+
+@functools.partial(jax.jit, static_argnames=("bands", "linear"))
+def _contrast_core(S, *, bands, linear):
+    """Per-band sorted-quantile contrast as one program."""
+    valleys = []
+    peaks = []
+    for band_idx, n_take in bands:
+        sub_band = S[..., jnp.asarray(np.asarray(band_idx)), :]
         sortedr = jnp.sort(sub_band, axis=-2)
         valleys.append(jnp.mean(sortedr[..., :n_take, :], axis=-2))
         peaks.append(jnp.mean(sortedr[..., -n_take:, :], axis=-2))
@@ -309,18 +345,25 @@ def spectral_rolloff(
     if not 0.0 < roll_percent < 1.0:
         raise ParameterError("roll_percent must lie in the range (0, 1)")
 
+    S_given = S
     S, n_fft = _spectrogram(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
         window=window, center=center, pad_mode=pad_mode,
     )
-    _check_nonneg_real(S, "Spectral rolloff")
+    _check_nonneg_real(S, "Spectral rolloff", computed=S_given is None)
 
     if freq is None:
         freq = fft_frequencies(sr=sr, n_fft=n_fft)
-    freq = jnp.asarray(freq)
+
+    return _rolloff_core(
+        S, jnp.asarray(freq), roll_percent=float(roll_percent)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("roll_percent",))
+def _rolloff_core(S, freq, *, roll_percent):
     if freq.ndim == 1:
         freq = util.expand_to(freq, ndim=S.ndim, axes=-2)
-
     total_energy = jnp.cumsum(S, axis=-2)
     threshold = roll_percent * total_energy[..., -1, :]
     threshold = jnp.expand_dims(threshold, axis=-2)
@@ -362,12 +405,18 @@ def spectral_flatness(
     if amin <= 0:
         raise ParameterError("amin must be strictly positive")
 
+    S_given = S
     S, n_fft = _spectrogram(
         y=y, S=S, n_fft=n_fft, hop_length=hop_length, power=1.0,
         win_length=win_length, window=window, center=center, pad_mode=pad_mode,
     )
-    _check_nonneg_real(S, "Spectral flatness")
+    _check_nonneg_real(S, "Spectral flatness", computed=S_given is None)
 
+    return _flatness_core(S, amin=float(amin), power=float(power))
+
+
+@functools.partial(jax.jit, static_argnames=("amin", "power"))
+def _flatness_core(S, *, amin, power):
     S_thresh = jnp.maximum(amin, S**power)
     gmean = jnp.exp(jnp.mean(jnp.log(S_thresh), axis=-2, keepdims=True))
     amean = jnp.mean(S_thresh, axis=-2, keepdims=True)
@@ -492,13 +541,11 @@ def rms(
     True
     """
     if y is not None:
-        y = jnp.asarray(y)
-        if center:
-            padding = [(0, 0)] * y.ndim
-            padding[-1] = (int(frame_length // 2), int(frame_length // 2))
-            y = jnp.pad(y, padding, mode=pad_mode)
-        x = util.frame(y, frame_length=frame_length, hop_length=hop_length)
-        power = jnp.mean(util.abs2(x, dtype=dtype), axis=-2, keepdims=True)
+        return _rms_y_core(
+            jnp.asarray(y), frame_length=int(frame_length),
+            hop_length=int(hop_length), center=bool(center),
+            pad_mode=pad_mode, dtype=np.dtype(dtype).name,
+        )
     elif S is not None:
         S = jnp.asarray(S)
         if S.shape[-2] != frame_length // 2 + 1:
@@ -507,16 +554,37 @@ def rms(
                 f"frame_length is expected to be {S.shape[-2] * 2 - 2} or "
                 f"{S.shape[-2] * 2 - 1}; found {frame_length}"
             )
-        x = util.abs2(S, dtype=dtype)
-        # Parseval correction for one-sided spectrum: halve DC and Nyquist
-        scale = np.ones(x.shape[-2], dtype=np.float32)
-        scale[0] = 0.5
-        if frame_length % 2 == 0:
-            scale[-1] = 0.5
-        x = x * util.expand_to(jnp.asarray(scale), ndim=x.ndim, axes=-2)
-        power = 2 * jnp.sum(x, axis=-2, keepdims=True) / frame_length**2
-    else:
-        raise ParameterError("Either `y` or `S` must be input.")
+        return _rms_s_core(
+            S, frame_length=int(frame_length), dtype=np.dtype(dtype).name
+        )
+    raise ParameterError("Either `y` or `S` must be input.")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_length", "hop_length", "center", "pad_mode",
+                     "dtype"),
+)
+def _rms_y_core(y, *, frame_length, hop_length, center, pad_mode, dtype):
+    if center:
+        padding = [(0, 0)] * y.ndim
+        padding[-1] = (int(frame_length // 2), int(frame_length // 2))
+        y = jnp.pad(y, padding, mode=pad_mode)
+    x = util.frame(y, frame_length=frame_length, hop_length=hop_length)
+    power = jnp.mean(util.abs2(x, dtype=dtype), axis=-2, keepdims=True)
+    return jnp.sqrt(power)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_length", "dtype"))
+def _rms_s_core(S, *, frame_length, dtype):
+    x = util.abs2(S, dtype=dtype)
+    # Parseval correction for one-sided spectrum: halve DC and Nyquist
+    scale = np.ones(x.shape[-2], dtype=np.float32)
+    scale[0] = 0.5
+    if frame_length % 2 == 0:
+        scale[-1] = 0.5
+    x = x * util.expand_to(jnp.asarray(scale), ndim=x.ndim, axes=-2)
+    power = 2 * jnp.sum(x, axis=-2, keepdims=True) / frame_length**2
     return jnp.sqrt(power)
 
 
@@ -560,18 +628,29 @@ def zero_crossing_rate(
     -------
     zcr : jax.Array [shape=(..., 1, t)]
     """
+    kwargs["axis"] = -2
+    kwargs.setdefault("pad", False)
+    return _zcr_core(
+        jnp.asarray(y), frame_length=int(frame_length),
+        hop_length=int(hop_length), center=bool(center),
+        zc_kwargs=tuple(sorted(kwargs.items())),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_length", "hop_length", "center", "zc_kwargs"),
+)
+def _zcr_core(y, *, frame_length, hop_length, center, zc_kwargs):
     from ..core.audio import zero_crossings
 
-    y = jnp.asarray(y)
     if center:
         padding = [(0, 0)] * y.ndim
         padding[-1] = (int(frame_length // 2), int(frame_length // 2))
         y = jnp.pad(y, padding, mode="edge")
 
     y_framed = util.frame(y, frame_length=frame_length, hop_length=hop_length)
-    kwargs["axis"] = -2
-    kwargs.setdefault("pad", False)
-    crossings = zero_crossings(y_framed, **kwargs)
+    crossings = zero_crossings(y_framed, **dict(zc_kwargs))
     return jnp.mean(crossings, axis=-2, keepdims=True)
 
 
@@ -668,11 +747,27 @@ def chroma_stft(
     chromafb = filters.chroma(
         sr=sr, n_fft=n_fft, tuning=tuning, n_chroma=n_chroma, **kwargs
     )
-    raw_chroma = jnp.einsum(
-        "cf,...ft->...ct", jnp.asarray(chromafb, dtype=S.dtype), S,
-        precision=jax.lax.Precision.HIGHEST,
+    return _project_norm_core(
+        S, jnp.asarray(np.asarray(chromafb, dtype=np.dtype(S.dtype))),
+        threshold=None, norm=None if norm is None else float(norm),
     )
-    return util.normalize(raw_chroma, norm=norm, axis=-2)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "norm"))
+def _project_norm_core(X, basis, *, threshold, norm):
+    """basis projection → threshold → per-column normalize, one program.
+
+    Shared tail of the chroma features (eagerly the einsum + where +
+    normalize chain costs ~6 device dispatches per call).
+    """
+    out = jnp.einsum(
+        "cf,...ft->...ct", basis, X, precision=jax.lax.Precision.HIGHEST
+    )
+    if threshold is not None:
+        out = jnp.where(out < threshold, 0.0, out)
+    if norm is not None:
+        out = util.normalize(out, norm=norm, axis=-2)
+    return out
 
 
 def chroma_cqt(
@@ -746,16 +841,11 @@ def chroma_cqt(
         fmin=fmin,
         window=window,
     )
-    chroma = jnp.einsum(
-        "cj,...jt->...ct", jnp.asarray(cq_to_chr, dtype=C.dtype), C,
-        precision=jax.lax.Precision.HIGHEST,
+    return _project_norm_core(
+        C, jnp.asarray(np.asarray(cq_to_chr, dtype=np.dtype(C.dtype))),
+        threshold=None if threshold is None else float(threshold),
+        norm=None if norm is None else float(norm),
     )
-
-    if threshold is not None:
-        chroma = jnp.where(chroma < threshold, 0.0, chroma)
-    if norm is not None:
-        chroma = util.normalize(chroma, norm=norm, axis=-2)
-    return chroma
 
 
 def chroma_cens(
@@ -1071,7 +1161,7 @@ def melspectrogram(
             y,
             window_dev,
             _mats_arg(n_fft, real_dtype),
-            jnp.asarray(mel_basis, dtype=real_dtype),
+            jnp.asarray(np.asarray(mel_basis, dtype=np.dtype(real_dtype))),
             n_fft=n_fft,
             hop_length=hop_length,
             center=center,
@@ -1085,7 +1175,7 @@ def melspectrogram(
     )
     mel_basis = filters.mel(sr=sr, n_fft=n_fft, **kwargs)
     return jnp.einsum(
-        "...ft,mf->...mt", S, jnp.asarray(mel_basis, dtype=S.dtype),
+        "...ft,mf->...mt", S, jnp.asarray(np.asarray(mel_basis, dtype=np.dtype(S.dtype))),
         precision=jax.lax.Precision.HIGHEST,
     )
 
@@ -1146,23 +1236,37 @@ def mfcc(
     >>> m.shape
     (13, 44)
     """
+    if lifter < 0:
+        raise ParameterError(f"MFCC lifter={lifter} must be a non-negative number")
+
+    # dB conversion (for computed mels) + DCT + liftering fuse into one
+    # program after the (single-program) mel spectrogram
     if S is None:
-        S = power_to_db(melspectrogram(y=y, sr=sr, norm=mel_norm, **kwargs))
+        S = melspectrogram(y=y, sr=sr, norm=mel_norm, **kwargs)
+        db = True
     else:
         S = jnp.asarray(S)
+        db = False
 
     n_mels = S.shape[-2]
     C = dct_matrix(n_mels, dct_type=dct_type, norm=norm)[:n_mfcc]
-    M = jnp.einsum(
-        "km,...mt->...kt", jnp.asarray(C, dtype=S.dtype), S,
-        precision=jax.lax.Precision.HIGHEST,
+    rdt = S.dtype if not jnp.issubdtype(S.dtype, jnp.complexfloating) else np.float32
+    return _mfcc_tail(
+        S, jnp.asarray(np.asarray(C, dtype=np.dtype(rdt))),
+        lifter=float(lifter), db=db,
     )
 
+
+@functools.partial(jax.jit, static_argnames=("lifter", "db"))
+def _mfcc_tail(S, C, *, lifter, db):
+    if db:
+        S = power_to_db(S)
+    M = jnp.einsum(
+        "km,...mt->...kt", C, S, precision=jax.lax.Precision.HIGHEST,
+    )
     if lifter > 0:
+        n_mfcc = C.shape[0]
         LI = jnp.sin(jnp.pi * jnp.arange(1, 1 + n_mfcc, dtype=M.dtype) / lifter)
         LI = util.expand_to(LI, ndim=S.ndim, axes=-2)
         return M * (1 + (lifter / 2) * LI)
-    elif lifter == 0:
-        return M
-    else:
-        raise ParameterError(f"MFCC lifter={lifter} must be a non-negative number")
+    return M

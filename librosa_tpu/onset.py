@@ -73,12 +73,14 @@ def onset_strength(
             "aggregate parameter cannot be False when computing full-spectrum "
             "onset strength."
         )
-    odf_all = onset_strength_multi(
+    # _squeeze_channel folds the trailing [..., 0, :] into the fused
+    # default program (otherwise it costs two extra eager device
+    # dispatches — dynamic_slice + squeeze — per call over the tunnel)
+    return onset_strength_multi(
         y=y, sr=sr, S=S, lag=lag, max_size=max_size, ref=ref, detrend=detrend,
         center=center, feature=feature, aggregate=aggregate, channels=None,
-        **kwargs,
+        _squeeze_channel=True, **kwargs,
     )
-    return odf_all[..., 0, :]
 
 
 def onset_strength_multi(
@@ -113,6 +115,10 @@ def onset_strength_multi(
     -------
     onset_envelope : jax.Array [shape=(..., n_channels, t)]
     """
+    # private flag from onset_strength(): drop the channel axis inside the
+    # fused program instead of with eager post-ops
+    _squeeze_channel = bool(kwargs.pop("_squeeze_channel", False))
+
     if feature is None:
         feature = melspectrogram
         kwargs.setdefault("fmax", 0.5 * sr)
@@ -146,7 +152,7 @@ def onset_strength_multi(
             jnp.asarray(y), sr=float(sr), n_fft=n_fft,
             hop_length=hop_length, lag=lag, max_size=max_size,
             center=bool(center), fmax=float(kwargs["fmax"]),
-            aggregate=_agg_name,
+            aggregate=_agg_name, squeeze_channel=_squeeze_channel,
         )
 
     if S is None:
@@ -221,17 +227,19 @@ def onset_strength_multi(
 
     if center:
         onset_env = onset_env[..., : S.shape[-1]]
+    if _squeeze_channel:
+        onset_env = onset_env[..., 0, :]
     return onset_env
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("sr", "n_fft", "hop_length", "lag", "max_size",
-                     "center", "fmax", "aggregate"),
+                     "center", "fmax", "aggregate", "squeeze_channel"),
 )
 def _onset_strength_default(
     y, *, sr, n_fft, hop_length, lag, max_size, center, fmax,
-    aggregate="mean",
+    aggregate="mean", squeeze_channel=False,
 ):
     """Default-config onset_strength as ONE program."""
     S = jnp.abs(
@@ -270,6 +278,8 @@ def _onset_strength_default(
     onset_env = jnp.pad(onset_env, padding, mode="constant")
     if center:
         onset_env = onset_env[..., : S.shape[-1]]
+    if squeeze_channel:
+        onset_env = onset_env[..., 0, :]
     return onset_env
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "annotate",
     "calibrate",
     "roofline",
+    "dispatch_profile",
     "DeviceCeilings",
     "RooflineReport",
 ]
@@ -49,6 +50,91 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+def dispatch_profile(fn: Callable[[], Any], *, warmup: int = 1) -> dict:
+    """Count device program launches in one call of ``fn``.
+
+    Over the tunnel-attached TPU every program launch costs ~20 ms of
+    dispatch latency regardless of its compute, so the *number* of
+    launches — not their FLOPs — dominates small-input analysis chains
+    (beat tracking, pyin on seconds of audio).  The count is a property
+    of the program structure, identical on every backend, so chains can
+    be dispatch-profiled on the local CPU while the TPU is busy.
+
+    Runs ``fn`` ``warmup`` times (compiles drop out), then once more
+    under ``jax.profiler.trace`` and parses the trace-viewer JSON:
+
+    - an ``…Executable::Execute`` event inside a ``PjitFunction(name)``
+      span is a launch of the jitted program ``name``;
+    - a bare ``…Executable::Execute`` is an *eager* op dispatch — one
+      full tunnel round trip for a single primitive;
+    - ``TransferToDevice`` / ``CopyToHost``-style events are
+      host↔device crossings.
+
+    Returns ``{"launches": int, "eager": int, "transfers": int,
+    "by_function": {name: count}}``.
+    """
+    import glob
+    import gzip
+    import json
+    import shutil
+    import tempfile
+
+    import jax
+
+    for _ in range(warmup):
+        fn()
+    tmpdir = tempfile.mkdtemp(prefix="dispatch_profile_")
+    try:
+        with jax.profiler.trace(tmpdir):
+            fn()
+        paths = glob.glob(f"{tmpdir}/**/*.trace.json.gz", recursive=True)
+        if not paths:
+            return {"error": "no trace produced"}
+        events = json.load(gzip.open(paths[0]))["traceEvents"]
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+    spans = []      # (tid, t0, t1, jit name)
+    execs = []      # (tid, t0)
+    transfers = 0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        name = str(e.get("name", ""))
+        if name.startswith("PjitFunction(") or name.startswith(
+            "PmapFunction("
+        ):
+            spans.append(
+                (e.get("tid"), e["ts"], e["ts"] + e.get("dur", 0),
+                 name.split("(", 1)[1].rstrip(")"))
+            )
+        elif "Executable::Execute" in name and "Helper" not in name:
+            execs.append((e.get("tid"), e["ts"]))
+        elif ("TransferToDevice" in name or "CopyToHost" in name
+              or "BufferFromHost" in name or "TransferFromDevice" in name):
+            transfers += 1
+
+    by_function: dict = {}
+    eager = 0
+    for tid, ts in execs:
+        owners = [s for s in spans if s[0] == tid and s[1] <= ts <= s[2]]
+        if owners:
+            # innermost enclosing jit span
+            owner = min(owners, key=lambda s: s[2] - s[1])[3]
+            by_function[owner] = by_function.get(owner, 0) + 1
+        else:
+            eager += 1
+            by_function["<eager>"] = by_function.get("<eager>", 0) + 1
+    return {
+        "launches": len(execs),
+        "eager": eager,
+        "transfers": transfers,
+        "by_function": dict(
+            sorted(by_function.items(), key=lambda kv: -kv[1])
+        ),
+    }
 
 
 @dataclass

@@ -101,5 +101,53 @@ def main():
     timeit("griffinlim (8 iter)", lambda: lt.griffinlim(S30, n_iter=8))
 
 
+def dispatches():
+    """Per-stage device-launch counts (backend-independent; see
+    profiling.dispatch_profile).  Each launch ≈ one ~20 ms tunnel round
+    trip on the real device, so count × 20 ms bounds the dispatch floor
+    of every stage."""
+    from librosa_tpu.util.profiling import dispatch_profile
+
+    print("device:", jax.devices()[0])
+    rng = np.random.RandomState(440)
+    y30 = (0.1 * rng.randn(SR * 30)).astype(np.float32)
+    t = np.arange(SR * 30) / SR
+    y30 += (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    y30_d = jnp.asarray(y30)
+    y5_d = y30_d[: SR * 5]
+    env = np.asarray(
+        lt.onset.onset_strength(y=y30_d, sr=SR, aggregate=jnp.median)
+    )
+    S30 = jnp.abs(lt.stft(y30_d))
+    _sync(S30)
+
+    def show(label, fn):
+        r = dispatch_profile(fn)
+        per = ", ".join(f"{k}×{v}" for k, v in
+                        list(r.get("by_function", {}).items())[:6])
+        print(f"{label:40s} launches={r['launches']:3d} "
+              f"eager={r['eager']:3d} transfers={r['transfers']:3d}  {per}")
+
+    show("cqt (default)", lambda: lt.cqt(y30_d, sr=SR))
+    show("hpss", lambda: lt.effects.hpss(y30_d)[0])
+    show("onset_strength (median agg)",
+         lambda: lt.onset.onset_strength(y=y30_d, sr=SR,
+                                         aggregate=jnp.median))
+    show("tempo (from env)",
+         lambda: lt.feature.tempo(onset_envelope=env, sr=SR))
+    show("beat_track (from env)",
+         lambda: lt.beat.beat_track(onset_envelope=env, sr=SR))
+    show("beat_track end-to-end",
+         lambda: lt.beat.beat_track(y=y30_d, sr=SR))
+    show("pyin (5 s)", lambda: lt.pyin(y5_d, fmin=65, fmax=800, sr=SR)[0])
+    show("resample polyphase",
+         lambda: lt.resample(y30_d, orig_sr=SR, target_sr=16000,
+                             res_type="polyphase"))
+    show("griffinlim (8 iter)", lambda: lt.griffinlim(S30, n_iter=8))
+
+
 if __name__ == "__main__":
-    main()
+    if "dispatches" in sys.argv[1:]:
+        dispatches()
+    else:
+        main()

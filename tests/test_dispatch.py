@@ -1,0 +1,96 @@
+"""Launch-count regression tests for the analysis chains.
+
+Over the axon tunnel every separate device program launch costs ~1-22 ms
+of dispatch latency, so the bench configs' latency floor is the number
+of programs they issue (LATENCY.md).  ``dispatch_profile`` counts XLA
+executable launches from a profiler trace — a backend-independent
+property of the program structure — so these tests pin the fused chains
+at their intended launch budgets on the CPU backend.
+
+A failure here means an eager op crept back between the jitted cores
+(e.g. an indexing slice, a dtype cast, or a PRNG init outside the jit).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import librosa_tpu as lt
+from librosa_tpu.util.profiling import dispatch_profile
+
+SR = 22050
+
+
+@pytest.fixture(scope="module")
+def y10():
+    rng = np.random.RandomState(440)
+    t = np.arange(SR * 10) / SR
+    y = (0.5 * np.sin(2 * np.pi * 220 * t) + 0.1 * rng.randn(len(t)))
+    return jnp.asarray(y.astype(np.float32))
+
+
+def test_dispatch_profile_counts_jit_and_eager():
+    import jax
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((64, 64))
+    r = dispatch_profile(lambda: f(x).block_until_ready())
+    assert r["launches"] == 1
+    # one eager primitive = one more launch, attributed to the primitive
+    # (eager ops route through a jit-of-primitive span on this JAX)
+    r = dispatch_profile(lambda: (f(x) + 1).block_until_ready())
+    assert r["launches"] == 2
+    assert r["by_function"].get("add") == 1
+
+
+def test_onset_strength_single_launch(y10):
+    r = dispatch_profile(
+        lambda: lt.onset.onset_strength(y=y10, sr=SR, aggregate=jnp.median)
+    )
+    assert r["launches"] == 1, r
+
+
+def test_tempo_from_envelope_single_launch(y10):
+    env = np.asarray(lt.onset.onset_strength(y=y10, sr=SR))
+    r = dispatch_profile(lambda: lt.feature.tempo(onset_envelope=env, sr=SR))
+    assert r["launches"] == 1, r
+
+
+def test_beat_track_two_launches(y10):
+    # one device program (fused onset strength) + the local tempo program;
+    # the sequential DP itself is host-side numpy
+    r = dispatch_profile(lambda: lt.beat.beat_track(y=y10, sr=SR))
+    assert r["launches"] <= 2, r
+
+
+def test_pyin_single_launch(y10):
+    y2 = y10[: SR * 2]
+    r = dispatch_profile(lambda: lt.pyin(y2, fmin=65, fmax=800, sr=SR)[0])
+    assert r["launches"] == 1, r
+
+
+def test_griffinlim_single_launch(y10):
+    S = jnp.abs(lt.stft(y10[: SR * 2]))
+    S.block_until_ready()
+    r = dispatch_profile(lambda: lt.griffinlim(S, n_iter=4))
+    assert r["launches"] == 1, r
+
+
+def test_resample_polyphase_single_launch(y10):
+    r = dispatch_profile(
+        lambda: lt.resample(y10, orig_sr=SR, target_sr=16000,
+                            res_type="polyphase")
+    )
+    assert r["launches"] == 1, r
+
+
+def test_griffinlim_reseed_does_not_recompile():
+    # the seed is a traced scalar: different rng values must reuse the
+    # compiled program (compiles would show as huge extra latency on TPU)
+    S = jnp.abs(lt.stft(jnp.asarray(
+        np.random.RandomState(0).randn(SR).astype(np.float32))))
+    a = lt.griffinlim(S, n_iter=2, rng=1)
+    r = dispatch_profile(lambda: lt.griffinlim(S, n_iter=2, rng=2))
+    assert r["launches"] == 1, r
+    b = lt.griffinlim(S, n_iter=2, rng=1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
