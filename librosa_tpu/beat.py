@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import core, onset
-from .feature.rhythm import fourier_tempogram, tempo as _tempo
+from .feature.rhythm import tempo as _tempo
 from .util import utils as util
 from .util.exceptions import ParameterError
 
@@ -499,12 +499,6 @@ def plp(
             f"tempo_max={tempo_max} must be larger than tempo_min={tempo_min}"
         )
 
-    ftgram = fourier_tempogram(
-        onset_envelope=np.asarray(onset_envelope), sr=sr,
-        hop_length=hop_length, win_length=win_length,
-    )
-    ftgram = jnp.asarray(ftgram)
-
     tempo_freqs = core.fourier_tempo_frequencies(
         sr=sr, hop_length=hop_length, win_length=win_length
     )
@@ -514,15 +508,36 @@ def plp(
         mask &= tempo_freqs >= tempo_min
     if tempo_max is not None:
         mask &= tempo_freqs <= tempo_max
-    mask_j = util.expand_to(jnp.asarray(mask), ndim=ftgram.ndim, axes=-2)
+
+    # Fourier tempogram → dominant-tempo masking → istft pulse as ONE
+    # program: the complex tempogram never crosses an eager program
+    # boundary (axon layout constraint) and the ~20 per-op dispatches of
+    # the masking chain collapse into the jit.
+    return _plp_core(
+        jnp.asarray(onset_envelope), jnp.asarray(mask),
+        None if prior is None else
+        jnp.asarray(np.asarray(prior.logpdf(tempo_freqs), dtype=np.float32)),
+        win_length=int(win_length),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("win_length",))
+def _plp_core(onset_envelope, mask, logprior, *, win_length):
+    from .core.spectrum import stft as _stft
+
+    ftgram = _stft(
+        onset_envelope, n_fft=win_length, hop_length=1, center=True,
+        window="hann",
+    )
+
+    mask_j = util.expand_to(mask, ndim=ftgram.ndim, axes=-2)
     ftgram = jnp.where(mask_j, ftgram, 0.0)
 
     ftmag = jnp.log1p(1e6 * jnp.abs(ftgram))
-    if prior is not None:
-        tf = util.expand_to(
-            jnp.asarray(prior.logpdf(tempo_freqs)), ndim=ftgram.ndim, axes=-2
+    if logprior is not None:
+        ftmag = ftmag + util.expand_to(
+            logprior, ndim=ftgram.ndim, axes=-2
         )
-        ftmag = ftmag + tf
 
     peak_values = jnp.max(ftmag, axis=-2, keepdims=True)
     ftgram = jnp.where(ftmag < peak_values, 0.0, ftgram)

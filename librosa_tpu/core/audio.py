@@ -1000,6 +1000,14 @@ def autocorrelate(
     else:
         n_pad = _next_fast_len(n_min)
 
+    # fft → |·|² → ifft → truncate as ONE program
+    return _autocorrelate_core(
+        y, n_pad=int(n_pad), max_size=max_size, axis=int(axis)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "max_size", "axis"))
+def _autocorrelate_core(y, *, n_pad, max_size, axis):
     if jnp.issubdtype(y.dtype, jnp.complexfloating):
         powspec = util.abs2(jnp.fft.fft(y, n=n_pad, axis=axis))
         autocorr = jnp.fft.ifft(powspec, n=n_pad, axis=axis)

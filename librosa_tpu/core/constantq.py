@@ -715,12 +715,18 @@ def hybrid_cqt(
 
 
 @functools.partial(jax.jit, static_argnames=("plan_key",))
-def _icqt_ladder_core(C_octs, bases, coefs, *, plan_key):
-    """All inverse-octave products + istfts in one program."""
+def _icqt_ladder_core(C, bases, coefs, *, plan_key):
+    """All inverse-octave products + istfts in one program.
+
+    ``plan_key[i] = (bin_start, n_filters, n_fft, hop)``; the per-octave
+    bin slices happen inside the jit (eagerly they cost one
+    dynamic_slice dispatch per octave).
+    """
     outs = []
-    for C_oct, basis, coef, (n_fft, hop) in zip(
-        C_octs, bases, coefs, plan_key
+    for basis, coef, (start, n_filters, n_fft, hop) in zip(
+        bases, coefs, plan_key
     ):
+        C_oct = C[..., start: start + n_filters, :]
         D_oct = jnp.einsum(
             "fc,c,...ct->...ft", basis, coef, C_oct,
             precision=jax.lax.Precision.HIGHEST,
@@ -863,10 +869,12 @@ def icqt(
         plan.append((sl, inv_basis, coef, n_fft, my_hop, my_sr))
 
     y_octs = _icqt_ladder_core(
-        tuple(jnp.asarray(C[..., t[0], :]) for t in plan),
+        jnp.asarray(C),
         tuple(jnp.asarray(t[1].astype(np.complex64)) for t in plan),
         tuple(jnp.asarray(t[2]) for t in plan),
-        plan_key=tuple((t[3], t[4]) for t in plan),
+        plan_key=tuple(
+            (t[0].start, t[0].stop - t[0].start, t[3], t[4]) for t in plan
+        ),
     )
     if host_acc is not None:
         # one bulk device→host transfer for the whole ladder

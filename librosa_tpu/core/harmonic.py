@@ -8,6 +8,7 @@ to scipy on host.
 
 from __future__ import annotations
 
+import functools
 import warnings
 from typing import Any, Callable, Optional, Sequence
 
@@ -88,8 +89,6 @@ def interp_harmonics(
             fill_value=fill_value, axis=axis,
         )
 
-    interp = _lerp_1d if kind == "linear" else _nearest_1d
-
     if freqs.ndim == 1 and len(freqs) == x.shape[axis]:
         if not bool(np.all(np.diff(freqs) != 0)):
             warnings.warn(
@@ -97,7 +96,29 @@ def interp_harmonics(
                 "harmonic interpolations.",
                 stacklevel=2,
             )
-        xp = jnp.asarray(freqs)
+    elif freqs.shape != x.shape:
+        raise ParameterError(
+            f"freqs.shape={freqs.shape} is incompatible with input shape={x.shape}"
+        )
+
+    # the gather+lerp stacks run as ONE jitted program (eagerly ~15 ops
+    # per harmonic)
+    return _interp_harmonics_core(
+        x, jnp.asarray(freqs),
+        harmonics=tuple(float(h) for h in harmonics), kind=kind,
+        fill_value=float(fill_value), axis=int(axis),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("harmonics", "kind", "fill_value", "axis"),
+)
+def _interp_harmonics_core(x, freqs, *, harmonics, kind, fill_value, axis):
+    interp = _lerp_1d if kind == "linear" else _nearest_1d
+
+    if freqs.ndim == 1:
+        xp = freqs
         # move target axis last: (..., T, F)
         xm = jnp.swapaxes(x, axis, -1)
         lead = xm.shape[:-1]
@@ -105,7 +126,7 @@ def interp_harmonics(
 
         outs = []
         for h in harmonics:
-            xq = jnp.asarray(h * freqs)
+            xq = h * freqs
             row = jax.vmap(lambda fp: interp(xq, xp, fp, fill_value))(flat)
             outs.append(row.reshape(*lead, -1))
         out = jnp.stack(outs, axis=0)  # (H, ..., T_on_last)
@@ -114,30 +135,25 @@ def interp_harmonics(
         target = axis - 1 if axis < 0 else axis
         return jnp.moveaxis(out, 0, target if axis < 0 else axis)
 
-    elif freqs.shape == x.shape:
-        # time-varying frequencies: vectorize per frame
-        xm = jnp.swapaxes(x, axis, -1)
-        fm = jnp.swapaxes(jnp.asarray(freqs), axis, -1)
-        lead = xm.shape[:-1]
-        flat_x = xm.reshape(-1, xm.shape[-1])
-        flat_f = fm.reshape(-1, fm.shape[-1])
-        hj = jnp.asarray(harmonics)
+    # time-varying frequencies: vectorize per frame
+    xm = jnp.swapaxes(x, axis, -1)
+    fm = jnp.swapaxes(freqs, axis, -1)
+    lead = xm.shape[:-1]
+    flat_x = xm.reshape(-1, xm.shape[-1])
+    flat_f = fm.reshape(-1, fm.shape[-1])
+    hj = jnp.asarray(np.asarray(harmonics))
 
-        def per_frame(fr: jax.Array, fx: jax.Array) -> jax.Array:
-            # targets: (F, H)
-            tq = fr[:, None] * hj[None, :]
-            return jax.vmap(
-                lambda q: interp(q, fr, fx, fill_value), in_axes=1, out_axes=1
-            )(tq)  # (F, H)
+    def per_frame(fr: jax.Array, fx: jax.Array) -> jax.Array:
+        # targets: (F, H)
+        tq = fr[:, None] * hj[None, :]
+        return jax.vmap(
+            lambda q: interp(q, fr, fx, fill_value), in_axes=1, out_axes=1
+        )(tq)  # (F, H)
 
-        out = jax.vmap(per_frame)(flat_f, flat_x)  # (B, F, H)
-        out = out.reshape(*lead, out.shape[-2], out.shape[-1])
-        out = jnp.swapaxes(out, -2, axis)
-        return jnp.swapaxes(out, -1, axis - 1)
-    else:
-        raise ParameterError(
-            f"freqs.shape={freqs.shape} is incompatible with input shape={x.shape}"
-        )
+    out = jax.vmap(per_frame)(flat_f, flat_x)  # (B, F, H)
+    out = out.reshape(*lead, out.shape[-2], out.shape[-1])
+    out = jnp.swapaxes(out, -2, axis)
+    return jnp.swapaxes(out, -1, axis - 1)
 
 
 def _interp_harmonics_scipy(x, *, freqs, harmonics, kind, fill_value, axis):
@@ -200,6 +216,31 @@ def salience(
         weights = np.array(weights, dtype=float)
 
     S = jnp.asarray(S)
+
+    if aggregate is np.average and kind in ("linear", "nearest"):
+        freqs_np = np.asarray(freqs)
+        if freqs_np.ndim == 1 and len(freqs_np) == S.shape[axis]:
+            if not bool(np.all(np.diff(freqs_np) != 0)):
+                warnings.warn(
+                    "Frequencies are not unique. This may produce incorrect "
+                    "harmonic interpolations.",
+                    stacklevel=2,
+                )
+        elif freqs_np.shape != S.shape:
+            raise ParameterError(
+                f"freqs.shape={freqs_np.shape} is incompatible with input "
+                f"shape={S.shape}"
+            )
+        # interpolation + weighted aggregate + peak filter as ONE program
+        # (eagerly ~190 dispatches for a handful of harmonics)
+        return _salience_core(
+            S, jnp.asarray(np.asarray(freqs)),
+            jnp.asarray(np.asarray(weights, dtype=np.float32)),
+            harmonics=tuple(float(h) for h in harmonics), kind=kind,
+            fill_value=float(fill_value), filter_peaks=bool(filter_peaks),
+            axis=int(axis),
+        )
+
     S_harm = interp_harmonics(
         S, freqs=freqs, harmonics=harmonics, kind=kind, axis=axis
     )
@@ -214,20 +255,48 @@ def salience(
         S_sal = jnp.asarray(aggregate(np.asarray(S_harm), axis=axis - 1))
 
     if filter_peaks:
-        peaks = util.localmax(S, axis=axis)
-        # reference uses argrelmax (strict both sides); localmax uses >=
-        # on the right — refine to strict
-        Sm = jnp.swapaxes(S, axis, -1)
-        strict = jnp.concatenate(
-            [
-                Sm[..., :-1] > Sm[..., 1:],
-                jnp.zeros_like(Sm[..., :1], dtype=bool),
-            ],
-            axis=-1,
-        )
-        peaks = peaks & jnp.swapaxes(strict, axis, -1)
-        S_sal = jnp.where(peaks, S_sal, fill_value)
+        S_sal = _salience_peak_filter(S, S_sal, fill_value=float(fill_value),
+                                      axis=int(axis))
 
+    return S_sal
+
+
+def _strict_peaks(S, axis):
+    """argrelmax parity: strict local maxima on both sides."""
+    peaks = util.localmax(S, axis=axis)
+    # localmax uses >= on the right — refine to strict
+    Sm = jnp.swapaxes(S, axis, -1)
+    strict = jnp.concatenate(
+        [
+            Sm[..., :-1] > Sm[..., 1:],
+            jnp.zeros_like(Sm[..., :1], dtype=bool),
+        ],
+        axis=-1,
+    )
+    return peaks & jnp.swapaxes(strict, axis, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("fill_value", "axis"))
+def _salience_peak_filter(S, S_sal, *, fill_value, axis):
+    return jnp.where(_strict_peaks(S, axis), S_sal, fill_value)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("harmonics", "kind", "fill_value", "filter_peaks",
+                     "axis"),
+)
+def _salience_core(S, freqs, weights, *, harmonics, kind, fill_value,
+                   filter_peaks, axis):
+    S_harm = _interp_harmonics_core(
+        S, freqs, harmonics=harmonics, kind=kind, fill_value=0.0, axis=axis
+    )
+    w = util.expand_to(
+        weights, ndim=S_harm.ndim, axes=(axis - 1) % S_harm.ndim
+    )
+    S_sal = jnp.sum(S_harm * w, axis=axis - 1) / jnp.sum(weights)
+    if filter_peaks:
+        S_sal = jnp.where(_strict_peaks(S, axis), S_sal, fill_value)
     return S_sal
 
 
@@ -268,7 +337,6 @@ def f0_harmonics(
             f"kind={kind} interpolation is not supported on device; "
             "use 'linear' or 'nearest'"
         )
-    interp = _lerp_1d if kind == "linear" else _nearest_1d
 
     if freqs_np.ndim == 1 and len(freqs_np) == x.shape[axis]:
         idx = np.isfinite(freqs_np)
@@ -276,46 +344,74 @@ def f0_harmonics(
         order = np.argsort(fsel)
         fsel = fsel[order]
         sel = np.flatnonzero(idx)[order]
-
-        xm = jnp.swapaxes(x, axis, -1)  # (..., T, F)
-        xm = xm[..., jnp.asarray(sel)]
-        lead = xm.shape[:-1]
-        flat_x = xm.reshape(-1, xm.shape[-1])
-
-        # per-frame targets: f0 broadcastable to lead dims
-        f0b = jnp.broadcast_to(f0, lead)
-        flat_f0 = f0b.reshape(-1)
-        hj = jnp.asarray(harmonics)
-        xp = jnp.asarray(fsel)
-
-        def per_frame(fx: jax.Array, f0_t: jax.Array) -> jax.Array:
-            return interp(f0_t * hj, xp, fx, fill_value)
-
-        out = jax.vmap(per_frame)(flat_x, flat_f0)  # (B, H)
-        out = out.reshape(*lead, len(harmonics))
-        out = jnp.swapaxes(out, -1, axis)  # harmonics land on the target axis
-        result = out
-    elif freqs_np.shape == x.shape:
-        xm = jnp.swapaxes(x, axis, -1)
-        fm = jnp.swapaxes(jnp.asarray(freqs_np), axis, -1)
-        lead = xm.shape[:-1]
-        flat_x = xm.reshape(-1, xm.shape[-1])
-        flat_f = fm.reshape(-1, fm.shape[-1])
-        f0b = jnp.broadcast_to(f0, lead).reshape(-1)
-        hj = jnp.asarray(harmonics)
-
-        def per_frame_d(fx, fr, f0_t):
-            # sort by frequency; non-finite pushed to the end with +inf
-            key = jnp.where(jnp.isfinite(fr), fr, jnp.inf)
-            order = jnp.argsort(key)
-            return interp(f0_t * hj, key[order], fx[order], fill_value)
-
-        out = jax.vmap(per_frame_d)(flat_x, flat_f, f0b)
-        out = out.reshape(*lead, len(harmonics))
-        result = jnp.swapaxes(out, -1, axis)
-    else:
-        raise ParameterError(
-            f"freqs.shape={freqs_np.shape} is incompatible with input shape={x.shape}"
+        # gather + per-frame interp as ONE program (host precomputes the
+        # finite-frequency selection)
+        return _f0_harmonics_static_core(
+            x, jnp.asarray(sel.astype(np.int32)), jnp.asarray(fsel), f0,
+            harmonics=tuple(float(h) for h in harmonics), kind=kind,
+            fill_value=float(fill_value), axis=int(axis),
         )
+    elif freqs_np.shape == x.shape:
+        return _f0_harmonics_dynamic_core(
+            x, jnp.asarray(freqs_np), f0,
+            harmonics=tuple(float(h) for h in harmonics), kind=kind,
+            fill_value=float(fill_value), axis=int(axis),
+        )
+    raise ParameterError(
+        f"freqs.shape={freqs_np.shape} is incompatible with input shape={x.shape}"
+    )
 
-    return jnp.nan_to_num(result, nan=fill_value)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("harmonics", "kind", "fill_value", "axis"),
+)
+def _f0_harmonics_static_core(x, sel, fsel, f0, *, harmonics, kind,
+                              fill_value, axis):
+    interp = _lerp_1d if kind == "linear" else _nearest_1d
+
+    xm = jnp.swapaxes(x, axis, -1)  # (..., T, F)
+    xm = xm[..., sel]
+    lead = xm.shape[:-1]
+    flat_x = xm.reshape(-1, xm.shape[-1])
+
+    # per-frame targets: f0 broadcastable to lead dims
+    f0b = jnp.broadcast_to(f0, lead)
+    flat_f0 = f0b.reshape(-1)
+    hj = jnp.asarray(np.asarray(harmonics))
+
+    def per_frame(fx: jax.Array, f0_t: jax.Array) -> jax.Array:
+        return interp(f0_t * hj, fsel, fx, fill_value)
+
+    out = jax.vmap(per_frame)(flat_x, flat_f0)  # (B, H)
+    out = out.reshape(*lead, len(harmonics))
+    out = jnp.swapaxes(out, -1, axis)  # harmonics land on the target axis
+    return jnp.nan_to_num(out, nan=fill_value)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("harmonics", "kind", "fill_value", "axis"),
+)
+def _f0_harmonics_dynamic_core(x, freqs, f0, *, harmonics, kind,
+                               fill_value, axis):
+    interp = _lerp_1d if kind == "linear" else _nearest_1d
+
+    xm = jnp.swapaxes(x, axis, -1)
+    fm = jnp.swapaxes(freqs, axis, -1)
+    lead = xm.shape[:-1]
+    flat_x = xm.reshape(-1, xm.shape[-1])
+    flat_f = fm.reshape(-1, fm.shape[-1])
+    f0b = jnp.broadcast_to(f0, lead).reshape(-1)
+    hj = jnp.asarray(np.asarray(harmonics))
+
+    def per_frame_d(fx, fr, f0_t):
+        # sort by frequency; non-finite pushed to the end with +inf
+        key = jnp.where(jnp.isfinite(fr), fr, jnp.inf)
+        order = jnp.argsort(key)
+        return interp(f0_t * hj, key[order], fx[order], fill_value)
+
+    out = jax.vmap(per_frame_d)(flat_x, flat_f, f0b)
+    out = out.reshape(*lead, len(harmonics))
+    out = jnp.swapaxes(out, -1, axis)
+    return jnp.nan_to_num(out, nan=fill_value)

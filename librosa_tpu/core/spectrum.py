@@ -451,7 +451,11 @@ def magphase(D: Any, *, power: float = 1) -> Tuple[jax.Array, jax.Array]:
     P : jax.Array [complex]
         unit-magnitude phasor
     """
-    D = jnp.asarray(D)
+    return _magphase_core(jnp.asarray(D), power=float(power))
+
+
+@functools.partial(jax.jit, static_argnames=("power",))
+def _magphase_core(D, *, power):
     mag = jnp.abs(D)
     # Prevent NaNs from zero-division; zero bins get unit phase (matches
     # np.exp(1j*angle(0)) == 1+0j).
@@ -536,49 +540,77 @@ def phase_vocoder(
             stacklevel=2,
         )
 
-    i0 = np.floor(t_out).astype(int)
-    i1 = np.minimum(i0 + 1, n_frames - 1)
-    frac = jnp.asarray(t_out - i0, dtype=jnp.result_type(D.real.dtype, jnp.float32))
+    # tracer-safe real dtype (phase_vocoder is also traced inside
+    # _time_stretch_jit)
+    rdt = np.dtype(np.result_type(
+        np.zeros((), dtype=np.dtype(D.dtype)).real.dtype, np.float32
+    ))
+    i0 = np.floor(t_out).astype(np.int32)
+    i1 = np.minimum(i0 + 1, n_frames - 1).astype(np.int32)
 
-    ph = jnp.angle(D)
-    diff = ph[..., jnp.asarray(i1)] - ph[..., jnp.asarray(i0)]
-
-    # phase[..., 0] = angle(D[..., i0[0]]); phase[..., k>0] = diff[..., k-1]
-    first = ph[..., i0[0]][..., None]
-    phase = jnp.concatenate([first, diff[..., :-1]], axis=-1)
-    phase = jnp.cumsum(phase, axis=-1)
-
-    mag = jnp.abs(D)
     if kind == "linear":
         # The reference interpolates magnitudes with
         # fill_value="extrapolate" (core/spectrum.py:1507): for t_out in
         # (n_frames-1, n_frames) the last segment's slope extends past the
         # final frame, so anchor on the second-to-last frame there.
-        i0e = np.clip(i0, 0, max(n_frames - 2, 0))
-        i1e = np.minimum(i0e + 1, n_frames - 1)
-        frace = jnp.asarray(
-            t_out - i0e, dtype=jnp.result_type(D.real.dtype, jnp.float32)
-        )
-        m0 = mag[..., jnp.asarray(i0e)]
-        m1 = mag[..., jnp.asarray(i1e)]
-        mag_out = m0 * (1 - frace) + m1 * frace
+        i0e = np.clip(i0, 0, max(n_frames - 2, 0)).astype(np.int32)
+        mag_idx = (i0e, np.minimum(i0e + 1, n_frames - 1).astype(np.int32))
+        frace = jnp.asarray((t_out - i0e).astype(rdt))
     elif kind == "nearest":
-        inear = np.where(t_out - i0 < 0.5, i0, i1)
-        mag_out = mag[..., jnp.asarray(inear)]
+        mag_idx = (np.where(t_out - i0 < 0.5, i0, i1).astype(np.int32), None)
+        frace = None
     else:
-        # Exotic interpolation kinds are delegated to scipy on host
-        import scipy.interpolate
+        mag_idx = (None, None)
+        frace = None
 
-        interp = scipy.interpolate.interp1d(
-            np.arange(n_frames),
-            np.asarray(mag),
-            kind=kind,
-            axis=-1,
-            fill_value="extrapolate",
-            assume_sorted=True,
-            copy=False,
+    if kind in ("linear", "nearest"):
+        # phase accumulation + magnitude gather/lerp + phasor as ONE
+        # program (eagerly ~50 dispatches per call)
+        return _phase_vocoder_core(
+            D, jnp.asarray(i0), jnp.asarray(i1),
+            None if mag_idx[0] is None else jnp.asarray(mag_idx[0]),
+            None if mag_idx[1] is None else jnp.asarray(mag_idx[1]),
+            frace, kind=kind,
         )
-        mag_out = jnp.asarray(interp(t_out))
+
+    # Exotic interpolation kinds are delegated to scipy on host
+    import scipy.interpolate
+
+    ph = jnp.angle(D)
+    diff = ph[..., jnp.asarray(i1)] - ph[..., jnp.asarray(i0)]
+    first = ph[..., int(i0[0])][..., None]
+    phase = jnp.cumsum(jnp.concatenate([first, diff[..., :-1]], axis=-1),
+                       axis=-1)
+    interp = scipy.interpolate.interp1d(
+        np.arange(n_frames),
+        np.abs(np.asarray(D)),
+        kind=kind,
+        axis=-1,
+        fill_value="extrapolate",
+        assume_sorted=True,
+        copy=False,
+    )
+    mag_out = jnp.asarray(interp(t_out))
+    return util.phasor(phase, mag=mag_out)
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _phase_vocoder_core(D, i0, i1, m0_idx, m1_idx, frace, *, kind):
+    ph = jnp.angle(D)
+    diff = ph[..., i1] - ph[..., i0]
+
+    # phase[..., 0] = angle(D[..., i0[0]]); phase[..., k>0] = diff[..., k-1]
+    first = ph[..., i0[0]][..., None]
+    phase = jnp.cumsum(jnp.concatenate([first, diff[..., :-1]], axis=-1),
+                       axis=-1)
+
+    mag = jnp.abs(D)
+    if kind == "linear":
+        m0 = mag[..., m0_idx]
+        m1 = mag[..., m1_idx]
+        mag_out = m0 * (1 - frace) + m1 * frace
+    else:  # nearest
+        mag_out = mag[..., m0_idx]
 
     return util.phasor(phase, mag=mag_out)
 

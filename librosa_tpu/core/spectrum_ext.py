@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Tuple, Union
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +23,20 @@ from .spectrum import stft
 __all__ = ["reassigned_spectrogram", "fmt", "iirt"]
 
 
+def _win_center_np(window, win_length, n_fft):
+    """Host-side centered window (jnp pad_center would cost device ops)."""
+    win = np.asarray(filters.get_window(window, win_length, fftbins=True))
+    lpad = (n_fft - len(win)) // 2
+    return np.pad(win, (lpad, n_fft - len(win) - lpad))
+
+
+def _cyclic_gradient_np(win):
+    """Host twin of util.cyclic_gradient (edge_order=1) for 1-D windows."""
+    go = min(len(win) - 1, 1)
+    padded = np.pad(win, (go, go), mode="wrap")
+    return np.gradient(padded, axis=-1)[go:-go]
+
+
 def _reassign_frequencies(
     y, sr, S, n_fft, hop_length, win_length, window, center, dtype, pad_mode
 ):
@@ -28,8 +44,7 @@ def _reassign_frequencies(
     if win_length is None:
         win_length = n_fft
 
-    win = filters.get_window(window, win_length, fftbins=True)
-    win = np.asarray(util.pad_center(win, size=n_fft))
+    win = _win_center_np(window, win_length, n_fft)
 
     if S is None:
         S_h = stft(
@@ -39,18 +54,13 @@ def _reassign_frequencies(
     else:
         S_h = jnp.asarray(S)
 
-    window_derivative = np.asarray(util.cyclic_gradient(win))
+    window_derivative = _cyclic_gradient_np(win)
     S_dh = stft(
         y, n_fft=n_fft, hop_length=hop_length, window=window_derivative,
         center=center, dtype=dtype, pad_mode=pad_mode,
     )
 
-    correction = -jnp.imag(S_dh / S_h)
-    freqs = convert.fft_frequencies(sr=sr, n_fft=n_fft)
-    freqs = util.expand_to(
-        jnp.asarray(freqs), ndim=correction.ndim, axes=-2
-    ) + correction * (0.5 * sr / np.pi)
-    return freqs, S_h
+    return S_dh, S_h
 
 
 def _reassign_times(
@@ -60,8 +70,7 @@ def _reassign_times(
     if win_length is None:
         win_length = n_fft
 
-    win = filters.get_window(window, win_length, fftbins=True)
-    win = np.asarray(util.pad_center(win, size=n_fft))
+    win = _win_center_np(window, win_length, n_fft)
 
     if hop_length is None:
         hop_length = int(win_length // 4)
@@ -86,15 +95,7 @@ def _reassign_times(
         center=center, dtype=dtype, pad_mode=pad_mode,
     )
 
-    correction = jnp.real(S_th / S_h)
-    pad_length = None if center else n_fft
-    times = convert.frames_to_time(
-        np.arange(S_h.shape[-1]), sr=sr, hop_length=hop_length, n_fft=pad_length
-    )
-    times = util.expand_to(
-        jnp.asarray(times), ndim=correction.ndim, axes=-1
-    ) + correction / sr
-    return times, S_h
+    return S_th, S_h
 
 
 def reassigned_spectrogram(
@@ -153,20 +154,23 @@ def reassigned_spectrogram(
     if hop_length is None:
         hop_length = int(win_length // 4)
 
-    freqs = times = None
+    # The 2-3 auxiliary STFTs stay separate jitted launches (fusing them
+    # would embed the DFT matrices as program constants — slow over the
+    # compile tunnel); everything after fuses into ONE correction/masking
+    # program (eagerly ~25 dispatches).
+    S_dh = S_th = None
     if reassign_frequencies:
-        freqs, S = _reassign_frequencies(
+        S_dh, S = _reassign_frequencies(
             y, sr, S, n_fft, hop_length, win_length, window, center, dtype,
             pad_mode,
         )
     if reassign_times:
-        times, S = _reassign_times(
+        S_th, S = _reassign_times(
             y, sr, S, n_fft, hop_length, win_length, window, center, dtype,
             pad_mode,
         )
 
     S = jnp.asarray(S)
-    mags = jnp.abs(S)
 
     pad_length = None if center else n_fft
     bin_freqs = convert.fft_frequencies(sr=sr, n_fft=n_fft)
@@ -176,44 +180,64 @@ def reassigned_spectrogram(
     )
 
     if callable(ref_power):
-        ref_p = float(ref_power(np.asarray(mags) ** 2))
+        ref_p = float(ref_power(np.abs(np.asarray(S)) ** 2))
     else:
         ref_p = ref_power
+
+    return _reassign_finish(
+        S, S_dh, S_th, jnp.asarray(bin_freqs), jnp.asarray(frame_times),
+        sr=float(sr), ref_p=float(ref_p), fill_nan=bool(fill_nan),
+        clip=bool(clip), t_max=float(y.shape[-1] / float(sr)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "ref_p", "fill_nan", "clip", "t_max"),
+)
+def _reassign_finish(S, S_dh, S_th, bin_freqs, frame_times, *, sr, ref_p,
+                     fill_nan, clip, t_max):
+    mags = jnp.abs(S)
     mags_low = (mags < ref_p**0.5) & ~jnp.isnan(mags)
 
-    if reassign_frequencies:
+    if S_dh is not None:
+        correction = -jnp.imag(S_dh / S)
+        freqs = util.expand_to(
+            bin_freqs, ndim=correction.ndim, axes=-2
+        ) + correction * (0.5 * sr / np.pi)
         if ref_p > 0:
             freqs = jnp.where(mags_low, jnp.nan, freqs)
         if fill_nan:
             freqs = jnp.where(
                 jnp.isnan(freqs),
-                util.expand_to(jnp.asarray(bin_freqs), ndim=freqs.ndim, axes=-2),
+                util.expand_to(bin_freqs, ndim=freqs.ndim, axes=-2),
                 freqs,
             )
         if clip:
             freqs = jnp.clip(freqs, 0, sr / 2.0)
     else:
         freqs = jnp.broadcast_to(
-            util.expand_to(jnp.asarray(bin_freqs), ndim=S.ndim, axes=-2), S.shape
+            util.expand_to(bin_freqs, ndim=S.ndim, axes=-2), S.shape
         )
 
-    if reassign_times:
+    if S_th is not None:
+        correction = jnp.real(S_th / S)
+        times = util.expand_to(
+            frame_times, ndim=correction.ndim, axes=-1
+        ) + correction / sr
         if ref_p > 0:
             times = jnp.where(mags_low, jnp.nan, times)
         if fill_nan:
             times = jnp.where(
                 jnp.isnan(times),
-                util.expand_to(
-                    jnp.asarray(frame_times), ndim=times.ndim, axes=-1
-                ),
+                util.expand_to(frame_times, ndim=times.ndim, axes=-1),
                 times,
             )
         if clip:
-            times = jnp.clip(times, 0, y.shape[-1] / float(sr))
+            times = jnp.clip(times, 0, t_max)
     else:
         times = jnp.broadcast_to(
-            util.expand_to(jnp.asarray(frame_times), ndim=S.ndim, axes=-1),
-            S.shape,
+            util.expand_to(frame_times, ndim=S.ndim, axes=-1), S.shape
         )
 
     return freqs, times, mags

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Tuple, Union
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,7 +108,16 @@ def decompose(
 def _nmf_mu(
     V: jax.Array, k: int, *, n_iter: int = 200, seed: int = 0, **_: Any
 ) -> Tuple[jax.Array, jax.Array]:
-    """Multiplicative-update NMF (Frobenius): every step is MXU matmuls."""
+    """Multiplicative-update NMF (Frobenius): every step is MXU matmuls.
+
+    Random init + the update scan run as ONE program; the seed is a
+    traced scalar so reseeding reuses the compiled program.
+    """
+    return _nmf_mu_run(V, np.uint32(seed), k=int(k), n_iter=int(n_iter))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_iter"))
+def _nmf_mu_run(V, seed, *, k, n_iter):
     m, n = V.shape
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
@@ -114,18 +125,14 @@ def _nmf_mu(
     H = jax.random.uniform(k2, (k, n), minval=0.1, maxval=1.0)
     eps = 1e-10
 
-    @jax.jit
-    def run(W, H, V):
-        def body(carry, _):
-            W, H = carry
-            H = H * (W.T @ V) / (W.T @ W @ H + eps)
-            W = W * (V @ H.T) / (W @ (H @ H.T) + eps)
-            return (W, H), None
+    def body(carry, _):
+        W, H = carry
+        H = H * (W.T @ V) / (W.T @ W @ H + eps)
+        W = W * (V @ H.T) / (W @ (H @ H.T) + eps)
+        return (W, H), None
 
-        (W, H), _ = jax.lax.scan(body, (W, H), None, length=n_iter)
-        return W, H
-
-    return run(W, H, V)
+    (W, H), _ = jax.lax.scan(body, (W, H), None, length=n_iter)
+    return W, H
 
 
 def hpss(
@@ -178,10 +185,6 @@ def hpss(
     True
     """
     S = jnp.asarray(S)
-    if jnp.issubdtype(S.dtype, jnp.complexfloating):
-        S, phase = core.magphase(S)
-    else:
-        phase = 1
 
     if isinstance(kernel_size, (tuple, list)):
         win_harm, win_perc = kernel_size[0], kernel_size[1]
@@ -198,8 +201,29 @@ def hpss(
             "Margins must be >= 1.0. A typical range is between 1 and 10."
         )
 
-    harm = median_filter_1d(S, size=int(win_harm), axis=-1)
-    perc = median_filter_1d(S, size=int(win_perc), axis=-2)
+    # median filters + soft masks (+ phase reapplication) as ONE program
+    # (eagerly the softmask chain costs ~40 dispatches per call)
+    return _hpss_core(
+        S, win_harm=int(win_harm), win_perc=int(win_perc),
+        power=float(power), margin_harm=float(margin_harm),
+        margin_perc=float(margin_perc), mask=bool(mask),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_harm", "win_perc", "power", "margin_harm",
+                     "margin_perc", "mask"),
+)
+def _hpss_core(S, *, win_harm, win_perc, power, margin_harm, margin_perc,
+               mask):
+    if jnp.issubdtype(S.dtype, jnp.complexfloating):
+        S, phase = core.magphase(S)
+    else:
+        phase = 1
+
+    harm = median_filter_1d(S, size=win_harm, axis=-1)
+    perc = median_filter_1d(S, size=win_perc, axis=-2)
 
     split_zeros = margin_harm == 1 and margin_perc == 1
 

@@ -344,6 +344,15 @@ def _signal_to_frame_nonsilent(
     aggregate: Callable = np.max,
 ) -> np.ndarray:
     """Frame-wise non-silence indicator. Parity: effects.py:641."""
+    if aggregate in (np.max, jnp.max):
+        # rms → dB → aggregate → threshold as ONE program; only the tiny
+        # boolean mask is fetched (eagerly this chain cost ~15 dispatches)
+        return np.asarray(_nonsilent_core(
+            jnp.asarray(y),
+            None if callable(ref) else jnp.asarray(ref),
+            frame_length=int(frame_length), hop_length=int(hop_length),
+            top_db=float(top_db), ref_fn=ref if callable(ref) else None,
+        ))
     mse = feature.rms(y=y, frame_length=frame_length, hop_length=hop_length)
     db = np.asarray(
         core.amplitude_to_db(np.asarray(mse)[..., 0, :], ref=ref, top_db=None)
@@ -351,6 +360,22 @@ def _signal_to_frame_nonsilent(
     if db.ndim > 1:
         db = np.apply_over_axes(aggregate, db, range(db.ndim - 1))
         db = np.squeeze(db, axis=tuple(range(db.ndim - 1)))
+    return db > -top_db
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_length", "hop_length", "top_db", "ref_fn"),
+)
+def _nonsilent_core(y, ref_val, *, frame_length, hop_length, top_db, ref_fn):
+    mse = feature.rms(
+        y=y, frame_length=frame_length, hop_length=hop_length
+    )[..., 0, :]
+    db = core.amplitude_to_db(
+        mse, ref=(ref_fn if ref_fn is not None else ref_val), top_db=None
+    )
+    if db.ndim > 1:
+        db = jnp.max(db, axis=tuple(range(db.ndim - 1)))
     return db > -top_db
 
 
@@ -472,15 +497,21 @@ def preemphasis(
     -------
     y_out : jax.Array (and ``zf`` if requested)
     """
-    y = jnp.asarray(y)
+    return _preemph_core(
+        jnp.asarray(y), None if zi is None else jnp.asarray(zi),
+        coef=float(coef), return_zf=bool(return_zf),
+    )
 
+
+@functools.partial(jax.jit, static_argnames=("coef", "return_zf"))
+def _preemph_core(y, zi, *, coef, return_zf):
     if zi is None:
         # linear extrapolation for the pre-signal sample
         zi = 2 * y[..., 0:1] - y[..., 1:2]
-    zi = jnp.atleast_1d(jnp.asarray(zi, dtype=y.dtype))
+    zi = jnp.atleast_1d(zi.astype(y.dtype))
 
     y_out, z_f = _iir_ops.first_order_filter(
-        y, b0=1.0, b1=-float(coef), a1=0.0, zi=zi
+        y, b0=1.0, b1=-coef, a1=0.0, zi=zi
     )
     if return_zf:
         return y_out, z_f[..., None]
@@ -513,11 +544,17 @@ def deemphasis(
     -------
     y_out : jax.Array (and ``zf`` if requested)
     """
-    y = jnp.asarray(y)
+    return _deemph_core(
+        jnp.asarray(y), None if zi is None else jnp.asarray(zi),
+        coef=float(coef), return_zf=bool(return_zf),
+    )
 
+
+@functools.partial(jax.jit, static_argnames=("coef", "return_zf"))
+def _deemph_core(y, zi, *, coef, return_zf):
     if zi is None:
         y_out, zf = _iir_ops.first_order_filter(
-            y, b0=1.0, b1=0.0, a1=-float(coef),
+            y, b0=1.0, b1=0.0, a1=-coef,
             zi=jnp.zeros(y.shape[:-1] + (1,), dtype=y.dtype),
         )
         # The zi=None branch estimates the pre-signal state from linear
@@ -528,9 +565,9 @@ def deemphasis(
             * (coef ** jnp.arange(y.shape[-1], dtype=y.dtype))
         )
     else:
-        zi = jnp.atleast_1d(jnp.asarray(zi, dtype=y.dtype))
+        zi_a = jnp.atleast_1d(zi.astype(y.dtype))
         y_out, zf = _iir_ops.first_order_filter(
-            y, b0=1.0, b1=0.0, a1=-float(coef), zi=zi
+            y, b0=1.0, b1=0.0, a1=-coef, zi=zi_a
         )
 
     if return_zf:

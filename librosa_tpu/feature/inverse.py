@@ -6,6 +6,7 @@ recovery on device.  Parity citations refer to ``librosa/feature/inverse.py``.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
@@ -128,23 +129,30 @@ def mfcc_to_mel(
     M : jax.Array [shape=(..., n_mels, t)]
     """
     mfcc = jnp.asarray(mfcc)
+    if lifter < 0:
+        raise ParameterError(f"MFCC to mel lifter={lifter} must be a positive number")
+
+    # C2 is (n_mels, n_mels) DCT-II (ortho); its transpose inverts (ortho)
+    C = dct_matrix(n_mels, dct_type=dct_type, norm=norm)[: mfcc.shape[-2]]
+    return _mfcc_to_mel_core(
+        mfcc, jnp.asarray(np.asarray(C, dtype=np.dtype(mfcc.dtype))),
+        ref=float(ref), lifter=float(lifter),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ref", "lifter"))
+def _mfcc_to_mel_core(mfcc, C, *, ref, lifter):
+    """De-lifter → inverse DCT → dB-to-power as one program."""
     if lifter > 0:
         n_mfcc = mfcc.shape[-2]
         idx = jnp.arange(1, 1 + n_mfcc, dtype=mfcc.dtype)
         idx = util.expand_to(idx, ndim=mfcc.ndim, axes=-2)
         lifter_sine = 1 + lifter * 0.5 * jnp.sin(jnp.pi * idx / lifter)
         mfcc = mfcc / (lifter_sine + util.tiny(mfcc) * 2)
-    elif lifter != 0:
-        raise ParameterError(f"MFCC to mel lifter={lifter} must be a positive number")
 
-    # Inverse DCT: pad the MFCC matrix to n_mels with zeros, apply DCT-III
-    n_mfcc = mfcc.shape[-2]
-    # C2 is (n_mels, n_mels) DCT-II (ortho); its transpose inverts (ortho)
-    C = dct_matrix(n_mels, dct_type=dct_type, norm=norm)[:n_mfcc]
     # least-norm inverse: logmel ≈ C.T @ mfcc (orthonormal rows)
     logmel = jnp.einsum(
-        "km,...kt->...mt", jnp.asarray(C, dtype=mfcc.dtype), mfcc,
-        precision=jax.lax.Precision.HIGHEST,
+        "km,...kt->...mt", C, mfcc, precision=jax.lax.Precision.HIGHEST,
     )
     return db_to_power(logmel, ref=ref)
 

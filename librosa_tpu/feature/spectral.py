@@ -899,7 +899,22 @@ def chroma_cens(
         n_chroma=n_chroma, n_octaves=n_octaves, cqt_mode=cqt_mode, window=window,
     )
 
-    # L1-normalize
+    if win_len_smooth:
+        win = filters.get_window(smoothing_window, win_len_smooth + 2,
+                                 fftbins=False)
+        win = np.asarray(win, dtype=np.float32) / np.sum(win)
+        kernel = jnp.asarray(win)
+    else:
+        kernel = None
+
+    # L1-normalize → quantize → smooth → re-normalize as ONE program
+    # (eagerly ~35 dispatches after the chroma)
+    return _cens_core(chroma, kernel,
+                      norm=None if norm is None else float(norm))
+
+
+@functools.partial(jax.jit, static_argnames=("norm",))
+def _cens_core(chroma, kernel, *, norm):
     chroma = util.normalize(chroma, norm=1, axis=-2)
 
     # Quantize amplitudes
@@ -912,18 +927,16 @@ def chroma_cens(
             cur_quant_step_idx
         ]
 
-    if win_len_smooth:
-        # Temporal smoothing by convolution with a window
-        win = filters.get_window(smoothing_window, win_len_smooth + 2, fftbins=False)
-        win /= np.sum(win)
-        kernel = jnp.asarray(win, dtype=chroma_quant.dtype)
-        # convolve along time axis, 'same' mode
-        pad = (len(win) - 1) // 2
+    if kernel is not None:
+        # Temporal smoothing by convolution with a window ('same' mode)
+        k = kernel.astype(chroma_quant.dtype)
+        n_win = k.shape[0]
+        pad = (n_win - 1) // 2
         pads = [(0, 0)] * chroma_quant.ndim
-        pads[-1] = (pad, len(win) - 1 - pad)
+        pads[-1] = (pad, n_win - 1 - pad)
         padded = jnp.pad(chroma_quant, pads)
         cens = jax.vmap(
-            lambda row: jnp.convolve(row, kernel, mode="valid"),
+            lambda row: jnp.convolve(row, k, mode="valid"),
         )(padded.reshape(-1, padded.shape[-1])).reshape(
             *chroma_quant.shape[:-1], -1
         )
@@ -1048,10 +1061,16 @@ def tonnetz(
     R = np.array([1, 1, 1, 1, 0.5, 0.5])
     phi = R[:, np.newaxis] * np.cos(np.pi * V)
 
+    return _tonnetz_core(
+        chroma,
+        jnp.asarray(np.asarray(phi, dtype=np.dtype(chroma.dtype))),
+    )
+
+
+@jax.jit
+def _tonnetz_core(chroma, phi):
     return jnp.einsum(
-        "pc,...ci->...pi",
-        jnp.asarray(phi, dtype=chroma.dtype),
-        util.normalize(chroma, norm=1, axis=-2),
+        "pc,...ci->...pi", phi, util.normalize(chroma, norm=1, axis=-2),
         precision=jax.lax.Precision.HIGHEST,
     )
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,20 +60,10 @@ def delta(
         width, polyorder, deriv=order, delta=delta_t
     ).astype(np.float64)
 
-    x = jnp.moveaxis(data, axis, -1)
-    n = x.shape[-1]
-    half = width // 2
-
-    # Interior: correlate with coeffs (savgol uses convolve with coeffs[::-1])
-    kernel = jnp.asarray(coeffs[::-1], dtype=x.dtype)
-    flat = x.reshape(-1, n)
-    interior = jax.vmap(lambda row: jnp.convolve(row, kernel[::-1], mode="valid"))(
-        flat
-    )  # length n - width + 1, starting at index half
-
     if mode == "interp":
         # Edge handling: fit a polynomial to the first/last `width` samples
         # and evaluate its derivative — precompute the projection matrices.
+        half = width // 2
         t_edge = np.arange(width, dtype=np.float64)
         V = np.vander(t_edge, polyorder + 1, increasing=True)
         pinv = np.linalg.pinv(V)  # (polyorder+1, width)
@@ -92,9 +84,33 @@ def delta(
 
         head_M = deval(t_edge[:half]) @ pinv  # (half, width)
         tail_M = deval(t_edge[-half:]) @ pinv  # (half, width)
+        edge_mats = (jnp.asarray(head_M.T), jnp.asarray(tail_M.T))
+    else:
+        edge_mats = None
 
-        head = flat[:, :width] @ jnp.asarray(head_M.T, dtype=x.dtype)
-        tail = flat[:, -width:] @ jnp.asarray(tail_M.T, dtype=x.dtype)
+    # host-computed coefficients; the conv + edge matmuls run as ONE program
+    return _delta_core(
+        data, jnp.asarray(coeffs[::-1]), edge_mats,
+        width=int(width), axis=int(axis), mode=mode,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "axis", "mode"))
+def _delta_core(data, kernel_rev, edge_mats, *, width, axis, mode):
+    x = jnp.moveaxis(data, axis, -1)
+    n = x.shape[-1]
+    half = width // 2
+
+    # Interior: correlate with coeffs (savgol uses convolve with coeffs[::-1])
+    kernel = kernel_rev.astype(x.dtype)
+    flat = x.reshape(-1, n)
+
+    if mode == "interp":
+        interior = jax.vmap(
+            lambda row: jnp.convolve(row, kernel[::-1], mode="valid")
+        )(flat)  # length n - width + 1, starting at index half
+        head = flat[:, :width] @ edge_mats[0].astype(x.dtype)
+        tail = flat[:, -width:] @ edge_mats[1].astype(x.dtype)
         out = jnp.concatenate([head, interior, tail], axis=-1)
     else:
         # Pad-based modes: extend the signal, then valid-correlate
@@ -137,12 +153,28 @@ def stack_memory(
     if delay == 0:
         raise ParameterError("delay must be a non-zero integer")
 
-    data = jnp.atleast_2d(jnp.asarray(data))
-    t = data.shape[-1]
-
     kwargs.setdefault("mode", "constant")
     if kwargs["mode"] == "constant":
         kwargs.setdefault("constant_values", [0])
+
+    # hashable pad config so the shift/pad/concat stack is ONE program
+    pad_cfg = tuple(
+        (k, tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        for k, v in sorted(kwargs.items())
+    )
+    return _stack_memory_core(
+        jnp.asarray(data), n_steps=int(n_steps),
+        delay=int(delay), pad_cfg=pad_cfg,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "delay", "pad_cfg")
+)
+def _stack_memory_core(data, *, n_steps, delay, pad_cfg):
+    data = jnp.atleast_2d(data)
+    kwargs = dict(pad_cfg)
+    t = data.shape[-1]
 
     blocks = []
     for step in range(n_steps):

@@ -21,6 +21,7 @@ Consumers: ``effects.preemphasis`` / ``effects.deemphasis`` (reference
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -35,6 +36,7 @@ def _affine_combine(left, right):
     return a_l * a_r, c_r + a_r * c_l
 
 
+@functools.partial(jax.jit, static_argnames=("b0", "b1", "a1", "axis"))
 def first_order_filter(
     x: jax.Array,
     *,

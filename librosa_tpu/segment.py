@@ -15,6 +15,7 @@ import functools
 import itertools
 from typing import Any, Callable, List, Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse
@@ -745,18 +746,34 @@ def path_enhance(
             f"min_ratio={min_ratio} cannot exceed max_ratio={max_ratio}"
         )
 
-    R = jnp.asarray(R, dtype=jnp.float32)
+    # host-constructed filter bank; the pad→conv→max cascade runs as ONE
+    # program (eagerly ~5 dispatches per filter)
+    kernels = tuple(
+        jnp.asarray(
+            diagonal_filter(window, n, slope=ratio, zero_mean=zero_mean)[
+                ::-1, ::-1
+            ].astype(np.float32)
+        )
+        for ratio in np.logspace(
+            np.log2(min_ratio), np.log2(max_ratio), num=n_filters, base=2
+        )
+    )
+    return _path_enhance_core(
+        jnp.asarray(R, dtype=jnp.float32), kernels, clip=bool(clip)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("clip",))
+def _path_enhance_core(R, kernels, *, clip):
+
     lead = R.shape[:-2]
     Rb = R.reshape((-1, 1) + R.shape[-2:])  # NCHW
 
     R_smooth = None
-    for ratio in np.logspace(
-        np.log2(min_ratio), np.log2(max_ratio), num=n_filters, base=2
-    ):
-        kernel = diagonal_filter(window, n, slope=ratio, zero_mean=zero_mean)
-        kh, kw = kernel.shape
+    for kflip2d in kernels:
+        kh, kw = kflip2d.shape
         # scipy.ndimage.convolve: true convolution with 'reflect' boundary
-        kflip = jnp.asarray(kernel[::-1, ::-1], dtype=jnp.float32)[None, None]
+        kflip = kflip2d[None, None]
         pad_h = ((kh - 1) // 2, kh // 2)
         pad_w = ((kw - 1) // 2, kw // 2)
         Rp = jnp.pad(

@@ -582,6 +582,15 @@ def _rqa_backtrack(score: np.ndarray, pointers: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("epsilon",))
+def _viterbi_entry(prob, log_trans, log_p_init, *, epsilon):
+    """log + transpose + scan as one program (prob is (..., S, T))."""
+    log_prob = jnp.swapaxes(jnp.log(prob + epsilon), -2, -1)
+    return _viterbi_scan(
+        log_prob.astype(jnp.float32), log_trans, log_p_init
+    )
+
+
 @jax.jit
 def _viterbi_scan(
     log_prob: jax.Array, log_trans: jax.Array, log_p_init: jax.Array
@@ -714,14 +723,11 @@ def viterbi(
             "must be None or non-negative."
         )
 
-    log_prob = jnp.log(jnp.asarray(prob_np) + epsilon)
-    # (..., S, T) → (..., T, S)
-    log_prob = jnp.swapaxes(log_prob, -2, -1)
-
-    states, logp = _viterbi_scan(
-        log_prob.astype(jnp.float32),
-        jnp.asarray(log_trans, dtype=jnp.float32),
-        jnp.asarray(log_p_init, dtype=jnp.float32),
+    states, logp = _viterbi_entry(
+        jnp.asarray(prob_np.astype(np.float32)),
+        jnp.asarray(log_trans.astype(np.float32)),
+        jnp.asarray(log_p_init.astype(np.float32)),
+        epsilon=float(epsilon),
     )
     states = states.astype(jnp.uint16)
     if return_logp:

@@ -84,6 +84,59 @@ def test_resample_polyphase_single_launch(y10):
     assert r["launches"] == 1, r
 
 
+def test_eager_heavy_chains_fused(y10):
+    # second-wave fusions: each body is one jitted core after its inputs
+    y2 = y10[: SR * 2]
+    S = jnp.abs(lt.stft(y2))
+    S.block_until_ready()
+    D = lt.stft(y2)
+    D.block_until_ready()
+    cases = {
+        "pcen": (lambda: lt.pcen(S**2), 2),        # pow + core
+        "yin": (lambda: lt.yin(y2, fmin=65, fmax=800, sr=SR), 1),
+        "piptrack": (lambda: lt.piptrack(S=S, sr=SR), 1),
+        "contrast": (lambda: lt.feature.spectral_contrast(S=S, sr=SR), 1),
+        "phase_vocoder": (lambda: lt.phase_vocoder(D, rate=1.3), 1),
+        "magphase": (lambda: lt.magphase(D), 1),
+        "hpss_margin": (lambda: lt.decompose.hpss(S, margin=2.0)[0], 1),
+        "salience": (lambda: lt.salience(
+            S, freqs=np.linspace(50, 8000, S.shape[-2]),
+            harmonics=[1, 2, 3]), 1),
+        "delta": (lambda: lt.feature.delta(S), 1),
+        "stack_memory": (lambda: lt.feature.stack_memory(S), 1),
+        "trim": (lambda: lt.effects.trim(y2)[0], 1),
+        "preemphasis": (lambda: lt.effects.preemphasis(y2), 1),
+        "deemphasis": (lambda: lt.effects.deemphasis(y2), 1),
+    }
+    for name, (fn, budget) in cases.items():
+        r = dispatch_profile(fn)
+        assert r["launches"] <= budget, (name, r)
+
+
+def test_third_wave_chains_fused(y10):
+    y2 = y10[: SR * 2]
+    S = jnp.abs(lt.stft(y2))
+    S.block_until_ready()
+    R = jnp.asarray(np.random.RandomState(0).rand(50, 50).astype(np.float32))
+    R.block_until_ready()
+    cases = {
+        "salience": (lambda: lt.salience(
+            S, freqs=np.linspace(50, 8000, S.shape[-2]),
+            harmonics=[1, 2, 3]), 1),
+        "interp_harmonics": (lambda: lt.interp_harmonics(
+            S, freqs=np.linspace(0, SR / 2, S.shape[-2]),
+            harmonics=[1, 2]), 1),
+        "path_enhance": (lambda: lt.segment.path_enhance(R, 15), 1),
+        "autocorrelate": (lambda: lt.autocorrelate(y2), 1),
+        "reassigned": (lambda: lt.reassigned_spectrogram(y2, sr=SR), 4),
+        "nmf_mu": (lambda: lt.decompose.decompose(
+            S, n_components=3, transformer="mu")[0], 1),
+    }
+    for name, (fn, budget) in cases.items():
+        r = dispatch_profile(fn)
+        assert r["launches"] <= budget, (name, r)
+
+
 def test_griffinlim_reseed_does_not_recompile():
     # the seed is a traced scalar: different rng values must reuse the
     # compiled program (compiles would show as huge extra latency on TPU)
