@@ -54,13 +54,53 @@ def _cpu_pipeline(y: np.ndarray, mel_basis: np.ndarray, window: np.ndarray):
     return power @ mel_basis.T  # (T, n_mels)
 
 
+def _init_watchdog(seconds: float = 240.0):
+    """Emit an explanatory JSON line and exit if backend init hangs.
+
+    The axon device grant can wedge for hours after a killed claim
+    (make_c_api_client spins on "grant unclaimed"); jax.devices() then
+    blocks forever and the driver would record a silent timeout instead
+    of a diagnosable result.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if done.is_set():
+            return
+        print(json.dumps({
+            "metric": "audio samples/s/chip for STFT+mel (n_fft=2048, hop=512)",
+            "value": 0,
+            "unit": "samples/s/chip",
+            "vs_baseline": 0,
+            "error": ("TPU backend init exceeded watchdog: the axon device "
+                      "grant is wedged (see ROOFLINE.md/LATENCY.md notes); "
+                      "no measurement possible from this host"),
+        }), flush=True)
+        import os
+
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return done, t
+
+
 def main() -> None:
+    _watchdog_done, _watchdog = _init_watchdog()
     import jax
     import jax.numpy as jnp
 
     import librosa_tpu as lt
     from librosa_tpu import filters
     from librosa_tpu.core.spectrum import _win_device
+
+    # backend is live once devices() returns — stop the init watchdog
+    _ = jax.devices()
+    _watchdog_done.set()
+    _watchdog.cancel()
 
     y0 = _load_audio()
 

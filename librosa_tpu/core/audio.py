@@ -1382,19 +1382,26 @@ def mu_compress(x: Any, *, mu: float = 255, quantize: bool = True) -> jax.Array:
             f"mu-law compression parameter mu={mu} must be strictly positive."
         )
     x = jnp.asarray(x)
-    if not isinstance(x, jax.core.Tracer) and (
-        bool(jnp.any(x < -1)) or bool(jnp.any(x > 1))
-    ):
+    if isinstance(x, jax.core.Tracer):
+        return _mu_compress_core(x, mu=float(mu), quantize=bool(quantize))[1]
+    # range check + compression in ONE program; only the flag is fetched
+    bad, out = _mu_compress_core(x, mu=float(mu), quantize=bool(quantize))
+    if bool(bad):
         raise ParameterError("mu-law input x must be in the range [-1, +1].")
+    return out
 
+
+@functools.partial(jax.jit, static_argnames=("mu", "quantize"))
+def _mu_compress_core(x, *, mu, quantize):
+    bad = jnp.any((x < -1) | (x > 1))
     x_comp = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / np.log1p(mu)
 
     if quantize:
         bins = jnp.linspace(-1, 1, num=int(1 + mu), endpoint=True)
-        return (
+        return bad, (
             jnp.digitize(x_comp, bins, right=True) - int(mu + 1) // 2
         )
-    return x_comp
+    return bad, x_comp
 
 
 def mu_expand(x: Any, *, mu: float = 255, quantize: bool = True) -> jax.Array:
@@ -1422,10 +1429,17 @@ def mu_expand(x: Any, *, mu: float = 255, quantize: bool = True) -> jax.Array:
             f"Inverse mu-law compression parameter mu={mu} must be strictly positive."
         )
     x = jnp.asarray(x)
+    if isinstance(x, jax.core.Tracer):
+        return _mu_expand_core(x, mu=float(mu), quantize=bool(quantize))[1]
+    bad, out = _mu_expand_core(x, mu=float(mu), quantize=bool(quantize))
+    if bool(bad):
+        raise ParameterError("Inverse mu-law input x must be in the range [-1, +1].")
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("mu", "quantize"))
+def _mu_expand_core(x, *, mu, quantize):
     if quantize:
         x = x * 2.0 / (1 + mu)
-    if not isinstance(x, jax.core.Tracer) and (
-        bool(jnp.any(x < -1)) or bool(jnp.any(x > 1))
-    ):
-        raise ParameterError("Inverse mu-law input x must be in the range [-1, +1].")
-    return jnp.sign(x) / mu * (jnp.power(1 + mu, jnp.abs(x)) - 1)
+    bad = jnp.any((x < -1) | (x > 1))
+    return bad, jnp.sign(x) / mu * (jnp.power(1 + mu, jnp.abs(x)) - 1)

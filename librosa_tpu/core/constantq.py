@@ -169,19 +169,47 @@ def _cqt_response_core(
 
 
 def _cqt_response(
-    y, n_fft, hop_length, fft_basis, mode, window="ones", phase=True, dtype=None
+    y, n_fft, hop_length, fft_basis, mode, window="ones", phase=True,
+    dtype=None, post_div=None, post_mul=None,
 ) -> jax.Array:
-    """Framed-ones STFT × basis matmul. Parity: constantq.py:1197."""
+    """Framed-ones STFT × basis matmul. Parity: constantq.py:1197.
+
+    ``post_div``/``post_mul`` apply a final scaling inside the fused
+    program (an eager scale after the core costs an extra dispatch).
+    """
     from .spectrum import _mats_arg, _win_device
 
     window_dev = _win_device(window, n_fft, n_fft, jnp.float32)
-    out = _cqt_response_core(
+    if isinstance(fft_basis, np.ndarray):
+        # cast on host (f64/c128 → f32/c64): a dtype-converting device_put
+        # dispatches its own convert program
+        tgt = np.complex64 if np.iscomplexobj(fft_basis) else np.float32
+        fft_basis = fft_basis.astype(tgt, copy=False)
+    out = _cqt_response_scaled(
         jnp.asarray(y), jnp.asarray(fft_basis), window_dev,
-        _mats_arg(n_fft, window_dev.dtype),
+        _mats_arg(n_fft, window_dev.dtype), post_div, post_mul,
         n_fft=n_fft, hop_length=hop_length, mode=mode, phase=phase,
     )
     if dtype is not None:
         out = out.astype(dtype)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "mode", "phase")
+)
+def _cqt_response_scaled(
+    y, fft_basis, window_dev, dft_mats, post_div, post_mul, *,
+    n_fft, hop_length, mode, phase,
+):
+    out = _cqt_response_core(
+        y, fft_basis, window_dev, dft_mats,
+        n_fft=n_fft, hop_length=hop_length, mode=mode, phase=phase,
+    )
+    if post_div is not None:
+        out = out / post_div
+    if post_mul is not None:
+        out = out * post_mul
     return out
 
 
@@ -437,7 +465,15 @@ def vqt(
     # One program for the whole ladder: all octave responses, the
     # trim/stack, and the length scaling — ~15 eager dispatches become 1.
     ys = tuple(jnp.asarray(t[0]) for t in vqt_resp)
-    bases = tuple(jnp.asarray(t[3]) for t in vqt_resp)
+    bases = tuple(
+        jnp.asarray(
+            t[3].astype(
+                np.complex64 if np.iscomplexobj(t[3]) else np.float32,
+                copy=False,
+            ) if isinstance(t[3], np.ndarray) else t[3]
+        )
+        for t in vqt_resp
+    )
     plan = tuple((t[1], t[2]) for t in vqt_resp)
     return _vqt_ladder_core(
         ys, bases, jnp.asarray(scales), plan=plan, n_bins=n_bins,
@@ -607,20 +643,17 @@ def pseudo_cqt(
     )
     fft_basis = np.abs(fft_basis)
 
-    C = _cqt_response(
-        y, n_fft, hop_length, fft_basis, pad_mode, window="hann", dtype=dtype,
-        phase=False,
-    )
-
     if scale:
-        C = C / np.sqrt(n_fft)
+        post_div = np.float32(np.sqrt(n_fft))
+        post_mul = None
     else:
-        lengths_j = util.expand_to(
-            jnp.asarray(np.sqrt(lengths / n_fft), dtype=C.real.dtype),
-            ndim=C.ndim, axes=-2,
-        )
-        C = C * lengths_j
-    return C
+        post_div = None
+        post_mul = np.sqrt(lengths / n_fft).astype(np.float32).reshape(-1, 1)
+
+    return _cqt_response(
+        y, n_fft, hop_length, fft_basis, pad_mode, window="hann", dtype=dtype,
+        phase=False, post_div=post_div, post_mul=post_mul,
+    )
 
 
 def hybrid_cqt(
@@ -710,8 +743,17 @@ def hybrid_cqt(
         )
 
     # cqt_resp is [pseudo (top bins), full (bottom bins)] — already in the
-    # top-first order _trim_stack expects
-    return _trim_stack(cqt_resp, n_bins, cqt_resp[-1].dtype)
+    # top-first order _trim_stack expects; the trim/stack slices fuse into
+    # one program (eagerly ~1 dispatch per response + the concat)
+    return _trim_stack_jit(
+        tuple(cqt_resp), n_bins=int(n_bins),
+        dtype_name=jnp.dtype(cqt_resp[-1].dtype).name,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "dtype_name"))
+def _trim_stack_jit(cqt_resp, *, n_bins, dtype_name):
+    return _trim_stack(list(cqt_resp), n_bins, jnp.dtype(dtype_name))
 
 
 @functools.partial(jax.jit, static_argnames=("plan_key",))

@@ -696,25 +696,74 @@ def power_to_db(
         magnitude = S
 
     axes = _db_axes(magnitude.ndim, axes)
+    if top_db is not None and top_db < 0:
+        raise ParameterError("top_db must be non-negative")
 
-    if callable(ref):
-        try:
-            ref_value = ref(magnitude, axis=axes, keepdims=True)
-        except TypeError as e:
-            raise ParameterError(
-                "The provided reference function must support 'axis' and "
-                "'keepdims' arguments for proper multichannel processing."
-            ) from e
-        ref_value = jnp.asarray(ref_value)
-    else:
-        ref_value = jnp.abs(jnp.asarray(ref, dtype=magnitude.dtype))
+    axes_key = axes if axes is None else tuple(np.atleast_1d(axes).tolist())
+    top_key = None if top_db is None else float(top_db)
 
+    if not callable(ref):
+        # scalar/array reference: everything in one program (|ref| on host
+        # for plain scalars — an eager abs costs a dispatch)
+        if np.isscalar(ref) or isinstance(ref, np.ndarray):
+            # np value passed straight into the jit call: an eager
+            # jnp.asarray of a 0-d scalar dispatches a convert program
+            ref_arr = np.abs(np.asarray(ref, dtype=np.dtype(magnitude.dtype)))
+        else:
+            ref_arr = jnp.abs(jnp.asarray(ref, dtype=magnitude.dtype))
+        return _power_to_db_core(
+            magnitude, ref_arr, amin=float(amin), top_db=top_key,
+            axes=axes_key,
+        )
+
+    if ref in (np.max, jnp.max, np.amax, jnp.amax):
+        # max reference: materialize the dB array first, then reduce and
+        # subtract it FROM THE SAME BUFFER in a second program.  A single
+        # fused program lets XLA recompute the log for the reduction with
+        # different (vectorized vs scalar) codegen, leaving the peak at
+        # ±ulp instead of exactly 0 dB — and 0 dB at the peak is
+        # contractual (reference semantics, docstring examples).
+        log_mag = _db_log_core(magnitude, amin=float(amin))
+        return _db_maxref_core(log_mag, top_db=top_key, axes=axes_key)
+
+    # general callable reference: reduce eagerly (one launch), convert in
+    # the fused program
+    try:
+        ref_value = jnp.asarray(
+            ref(magnitude, axis=axes, keepdims=True)
+        )
+    except TypeError as e:
+        raise ParameterError(
+            "The provided reference function must support 'axis' and "
+            "'keepdims' arguments for proper multichannel processing."
+        ) from e
+    return _power_to_db_core(
+        magnitude, ref_value, amin=float(amin), top_db=top_key,
+        axes=axes_key,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("amin",))
+def _db_log_core(magnitude, *, amin):
+    return 10.0 * jnp.log10(jnp.maximum(amin, magnitude))
+
+
+@functools.partial(jax.jit, static_argnames=("top_db", "axes"))
+def _db_maxref_core(log_mag, *, top_db, axes):
+    log_spec = log_mag - jnp.max(log_mag, axis=axes, keepdims=True)
+    if top_db is not None:
+        peak = jnp.max(log_spec, axis=axes, keepdims=True)
+        log_spec = jnp.maximum(log_spec, peak - top_db)
+    return log_spec
+
+
+@functools.partial(jax.jit, static_argnames=("amin", "top_db", "axes"))
+def _power_to_db_core(magnitude, ref_value, *, amin, top_db, axes):
+    """dB conversion as one program (non-max references)."""
     log_spec = 10.0 * jnp.log10(jnp.maximum(amin, magnitude))
     log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, ref_value))
 
     if top_db is not None:
-        if top_db < 0:
-            raise ParameterError("top_db must be non-negative")
         peak = jnp.max(log_spec, axis=axes, keepdims=True)
         log_spec = jnp.maximum(log_spec, peak - top_db)
     return log_spec
@@ -785,23 +834,58 @@ def amplitude_to_db(
             "call amplitude_to_db(np.abs(S)) instead.",
             stacklevel=2,
         )
+    axes = _db_axes(S.ndim, axes)
+    if top_db is not None and top_db < 0:
+        raise ParameterError("top_db must be non-negative")
+    if amin <= 0:
+        raise ParameterError("amin must be strictly positive")
+
+    axes_key = axes if axes is None else tuple(np.atleast_1d(axes).tolist())
+    top_key = None if top_db is None else float(top_db)
+
+    if not callable(ref):
+        if np.isscalar(ref) or isinstance(ref, np.ndarray):
+            ref_arr = np.abs(np.asarray(ref))
+        else:
+            ref_arr = jnp.abs(jnp.asarray(ref))
+        return _amplitude_to_db_core(
+            S, ref_arr, amin=float(amin), top_db=top_key, axes=axes_key,
+        )
+
+    if ref in (np.max, jnp.max, np.amax, jnp.amax):
+        # see power_to_db: the dB array must be materialized before the
+        # max reduction so the peak lands at exactly 0 dB
+        log_mag = _db_log_core(
+            _abs2_f_core(S), amin=float(amin) ** 2
+        )
+        return _db_maxref_core(log_mag, top_db=top_key, axes=axes_key)
+
     magnitude = jnp.abs(S)
-    axes = _db_axes(magnitude.ndim, axes)
-    if callable(ref):
-        try:
-            ref_value = jnp.asarray(ref(magnitude, axis=axes, keepdims=True))
-        except TypeError as e:
-            raise ParameterError(
-                "The provided reference function must support 'axis' and "
-                "'keepdims' arguments for proper multichannel processing."
-            ) from e
-    else:
-        ref_value = jnp.abs(jnp.asarray(ref))
-    power = jnp.square(magnitude)
-    db: jax.Array = power_to_db(
-        power, ref=ref_value**2, amin=amin**2, top_db=top_db, axes=axes
+    try:
+        ref_value = jnp.asarray(ref(magnitude, axis=axes, keepdims=True))
+    except TypeError as e:
+        raise ParameterError(
+            "The provided reference function must support 'axis' and "
+            "'keepdims' arguments for proper multichannel processing."
+        ) from e
+    return _amplitude_to_db_core(
+        magnitude, ref_value, amin=float(amin), top_db=top_key,
+        axes=axes_key,
     )
-    return db
+
+
+@jax.jit
+def _abs2_f_core(S):
+    return jnp.square(jnp.abs(S))
+
+
+@functools.partial(jax.jit, static_argnames=("amin", "top_db", "axes"))
+def _amplitude_to_db_core(S, ref_value, *, amin, top_db, axes):
+    magnitude = jnp.abs(S)
+    return _power_to_db_core(
+        jnp.square(magnitude), jnp.square(ref_value), amin=amin**2,
+        top_db=top_db, axes=axes,
+    )
 
 
 def db_to_amplitude(S_db: Any, *, ref: float = 1.0) -> jax.Array:

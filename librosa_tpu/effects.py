@@ -318,21 +318,38 @@ def remix(
     y_remix : jax.Array
     """
     y = jnp.asarray(y)
-    y_out = []
 
     if align_zeros:
-        y_mono = np.asarray(core.to_mono(y))
-        zeros = np.nonzero(np.asarray(core.zero_crossings(y_mono)))[-1]
-        zeros = np.append(zeros, [len(y_mono)])
+        # host twin of zero_crossings (the boundary snap is index math on
+        # a fetched mono copy; device ops here would cost ~3 round trips
+        # per interval)
+        y_np = np.asarray(y)
+        y_mono = y_np if y_np.ndim == 1 else np.mean(
+            y_np, axis=tuple(range(y_np.ndim - 1))
+        )
+        # zero_crossings defaults: threshold=1e-10, zero_pos=True, pad=True
+        yt = np.where(np.abs(y_mono) <= 1e-10, 0.0, y_mono)
+        signs = np.signbit(yt)
+        crossings = np.concatenate([[True], signs[1:] != signs[:-1]])
+        zeros = np.append(np.nonzero(crossings)[-1], [len(y_mono)])
 
     from .util.matching import match_events
 
+    bounds = []
     for interval in intervals:
         if align_zeros:
             interval = zeros[match_events(np.asarray(interval), zeros)]
-        y_out.append(y[..., int(interval[0]) : int(interval[1])])
+        bounds.append((int(interval[0]), int(interval[1])))
 
-    return jnp.concatenate(y_out, axis=-1)
+    # slice + concat as ONE program per interval layout
+    return _remix_core(y, bounds=tuple(bounds))
+
+
+@functools.partial(jax.jit, static_argnames=("bounds",))
+def _remix_core(y, *, bounds):
+    return jnp.concatenate(
+        [y[..., start:end] for start, end in bounds], axis=-1
+    )
 
 
 def _signal_to_frame_nonsilent(

@@ -1008,16 +1008,11 @@ def chroma_vqt(
         n_chroma=bins_per_octave,
         fmin=fmin,
     )
-    chroma = jnp.einsum(
-        "cj,...jt->...ct", jnp.asarray(cq_to_chr, dtype=V.dtype), V,
-        precision=jax.lax.Precision.HIGHEST,
+    return _project_norm_core(
+        V, jnp.asarray(np.asarray(cq_to_chr, dtype=np.dtype(V.dtype))),
+        threshold=None if threshold is None else float(threshold),
+        norm=None if norm is None else float(norm),
     )
-
-    if threshold is not None:
-        chroma = jnp.where(chroma < threshold, 0.0, chroma)
-    if norm is not None:
-        chroma = util.normalize(chroma, norm=norm, axis=-2)
-    return chroma
 
 
 def tonnetz(

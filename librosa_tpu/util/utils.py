@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence, Union
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1086,12 +1088,44 @@ def sync(
             raise ParameterError(f"Invalid index set: {idx}")
         slices = index_to_slice(idx_np, idx_min=0, idx_max=shape[axis], pad=pad)
 
+    # one jitted program per (boundaries, aggregate) config: the per-slice
+    # aggregate + concat loop otherwise costs ~3 dispatches per segment.
+    # numpy reducers map to their jnp twins (np.median would materialize
+    # tracers); exotic aggregates keep the eager path.
+    _jnp_twin = {
+        np.mean: jnp.mean, np.max: jnp.max, np.min: jnp.min,
+        np.median: jnp.median, np.sum: jnp.sum, np.average: jnp.mean,
+    }
+    agg_fn = _jnp_twin.get(aggregate, aggregate)
+    simple = all(s.step in (None, 1) for s in slices)
+    if simple and (agg_fn is not aggregate or getattr(
+            agg_fn, "__module__", "").startswith("jax")):
+        n = shape[axis]
+        bounds = tuple(
+            (0 if s.start is None else max(0, min(int(s.start), n)),
+             n if s.stop is None else max(0, min(int(s.stop), n)))
+            for s in slices
+        )
+        return _sync_core(data, bounds=bounds, axis=int(axis), agg_fn=agg_fn)
+
     agg_slices = []
     full_slice = [slice(None)] * data.ndim
     for segment in slices:
         full_slice[axis] = segment
         agg_slices.append(
             aggregate(data[tuple(full_slice)], axis=axis, keepdims=True)
+        )
+    return jnp.concatenate(agg_slices, axis=axis)
+
+
+@functools.partial(jax.jit, static_argnames=("bounds", "axis", "agg_fn"))
+def _sync_core(data, *, bounds, axis, agg_fn):
+    agg_slices = []
+    full_slice = [slice(None)] * data.ndim
+    for start, stop in bounds:
+        full_slice[axis] = slice(start, stop)
+        agg_slices.append(
+            agg_fn(data[tuple(full_slice)], axis=axis, keepdims=True)
         )
     return jnp.concatenate(agg_slices, axis=axis)
 

@@ -137,6 +137,37 @@ def test_third_wave_chains_fused(y10):
         assert r["launches"] <= budget, (name, r)
 
 
+def test_fourth_wave_chains_fused(y10):
+    y2 = y10[: SR * 2]
+    S = jnp.abs(lt.stft(y2)) ** 2
+    S.block_until_ready()
+    Smag = jnp.sqrt(S)
+    Smag.block_until_ready()
+    cases = {
+        "power_to_db": (lambda: lt.power_to_db(S), 1),
+        "power_to_db_max": (lambda: lt.power_to_db(S, ref=np.max), 2),
+        "amplitude_to_db": (lambda: lt.amplitude_to_db(Smag), 1),
+        "mu_compress": (lambda: lt.mu_compress(y2), 1),
+        "remix": (lambda: lt.effects.remix(y2, [(0, 500), (900, 1400)]), 1),
+        "sync": (lambda: lt.util.sync(S, [0, 10, 20]), 1),
+        "viterbi": (lambda: lt.sequence.viterbi(
+            np.abs(np.random.RandomState(0).rand(4, 30)),
+            np.full((4, 4), 0.25)), 2),
+    }
+    for name, (fn, budget) in cases.items():
+        r = dispatch_profile(fn)
+        assert r["launches"] <= budget, (name, r)
+
+
+def test_power_to_db_max_peak_exact(y10):
+    # 0 dB at the peak is contractual (reference semantics + docstring)
+    S = jnp.abs(lt.stft(y10[: SR * 2])) ** 2
+    out = np.asarray(lt.power_to_db(S, ref=np.max))
+    assert out.max() == 0.0
+    out = np.asarray(lt.amplitude_to_db(jnp.sqrt(S), ref=np.max))
+    assert out.max() == 0.0
+
+
 def test_griffinlim_reseed_does_not_recompile():
     # the seed is a traced scalar: different rng values must reuse the
     # compiled program (compiles would show as huge extra latency on TPU)
