@@ -317,6 +317,129 @@ def render_case(name: str):
             ax.plot(times, env, label="onset strength")
             ax.plot(times, env[::-1], label="reversed")
             lt.display.legend_for_axes(ax)
+        elif name == "waveshow_zoom":
+            # reference test_waveshow_mono_zoom: xlim change after draw
+            # exercises the adaptive envelope/sample switching
+            lt.display.waveshow(y, sr=SR, ax=ax)
+            fig.canvas.draw()
+            ax.set_xlim(0.5, 0.52)
+        elif name == "waveshow_zoom_out":
+            adp = lt.display.waveshow(y[:4000], sr=SR, ax=ax)
+            fig.canvas.draw()
+            ax.set_xlim(-0.2, 0.4)
+        elif name == "waveshow_transpose":
+            lt.display.waveshow(y, sr=SR, ax=ax, transpose=True)
+        elif name == "waveshow_inverted":
+            lt.display.waveshow(y, sr=SR, ax=ax)
+            ax.invert_xaxis()
+        elif name == "waveshow_offset":
+            lt.display.waveshow(y, sr=SR, ax=ax, offset=5.0, marker=".")
+        elif name == "wavebars_transpose":
+            lt.display.wavebars(y, sr=SR, ax=ax, transpose=True)
+        elif name == "specshow_abs_input":
+            # reference test_abs_input: magnitudes without dB conversion
+            S = np.abs(np.asarray(lt.stft(y)))
+            lt.display.specshow(S, sr=SR, x_axis="time", y_axis="linear",
+                                ax=ax)
+        elif name == "specshow_boolean":
+            # reference test_specshow_boolean_norm
+            X = np.asarray(lt.feature.mfcc(y=y, sr=SR)).astype(float)
+            R = np.asarray(
+                lt.segment.recurrence_matrix(X, sparse=False), dtype=bool
+            )
+            lt.display.specshow(R, x_axis="frames", y_axis="frames", ax=ax)
+        elif name == "specshow_diverging":
+            # reference test_diverging_scales: symmetric colormap around 0
+            tn = np.asarray(lt.feature.tonnetz(
+                y=y, sr=SR,
+                chroma=np.abs(np.asarray(
+                    lt.feature.chroma_stft(y=y, sr=SR, tuning=0.0)))))
+            lt.display.specshow(tn, x_axis="time", ax=ax, cmap="coolwarm")
+        elif name == "specshow_double_chroma":
+            ch = np.asarray(lt.feature.chroma_stft(y=y, sr=SR, tuning=0.0))
+            ch2 = np.vstack([ch, ch])
+            lt.display.specshow(ch2, sr=SR, x_axis="time", y_axis="chroma",
+                                ax=ax)
+        elif name == "specshow_x_mel":
+            M = lt.power_to_db(
+                np.asarray(lt.feature.melspectrogram(y=y, sr=SR)), ref=np.max
+            )
+            lt.display.specshow(np.asarray(M).T, sr=SR, x_axis="mel", ax=ax)
+        elif name == "specshow_y_mel_bounded":
+            M = lt.power_to_db(
+                np.asarray(lt.feature.melspectrogram(
+                    y=y, sr=SR, fmin=100, fmax=6000)), ref=np.max
+            )
+            lt.display.specshow(
+                np.asarray(M), sr=SR, y_axis="mel", fmin=100, fmax=6000,
+                ax=ax,
+            )
+        elif name == "specshow_unicode_false":
+            C = lt.amplitude_to_db(
+                np.abs(np.asarray(lt.cqt(y, sr=SR, res_type="polyphase"))),
+                ref=np.max,
+            )
+            lt.display.specshow(
+                np.asarray(C), sr=SR, y_axis="cqt_note", unicode=False, ax=ax
+            )
+        elif name == "specshow_time_unit_lag":
+            # reference test_time_unit_lag: ms ticks on a lag axis
+            X = np.asarray(lt.feature.mfcc(y=y, sr=SR)).astype(float)
+            R = np.asarray(
+                lt.segment.recurrence_matrix(X, sparse=False), dtype=float
+            )
+            lag = np.asarray(lt.segment.recurrence_to_lag(R))
+            lt.display.specshow(lag, sr=SR, x_axis="time", y_axis="lag_ms",
+                                ax=ax)
+        elif name == "specshow_xy_none":
+            # reference xaxis_none_yaxis_* family: one decorated axis only
+            S = lt.power_to_db(
+                np.abs(np.asarray(lt.stft(y))) ** 2, ref=np.max
+            )
+            lt.display.specshow(np.asarray(S), sr=SR, y_axis="log", ax=ax)
+        elif name == "sharex_specshow_ms":
+            # reference test_sharex_specshow_ms: linked time axes
+            import matplotlib.pyplot as _plt
+
+            _plt.close(fig)
+            fig, (ax0, ax1) = _plt.subplots(
+                2, 1, sharex=True, figsize=(5, 3), dpi=72
+            )
+            ax = ax0
+            S = lt.power_to_db(
+                np.abs(np.asarray(lt.stft(y))) ** 2, ref=np.max
+            )
+            lt.display.specshow(
+                np.asarray(S), sr=SR, x_axis="ms", y_axis="log", ax=ax0
+            )
+            lt.display.waveshow(y, sr=SR, ax=ax1)
+        elif name == "legend_for_axes_left":
+            env = np.asarray(lt.onset.onset_strength(y=y, sr=SR))
+            times = np.asarray(lt.times_like(env, sr=SR))
+            ax.plot(times, env, label="onset strength")
+            lt.display.legend_for_axes(ax, loc="center left")
+        elif name == "specshow_coords":
+            # reference test_coords: explicit coordinate arrays
+            ch = np.asarray(lt.feature.chroma_stft(y=y, sr=SR, tuning=0.0))
+            lt.display.specshow(
+                ch, x_coords=np.linspace(0, 2, ch.shape[1] + 1),
+                x_axis="time", ax=ax,
+            )
+        elif name == "specshow_fft_odd":
+            # odd n_fft exercises bin-frequency edge handling
+            S = lt.amplitude_to_db(
+                np.abs(np.asarray(lt.stft(y, n_fft=1023))), ref=np.max
+            )
+            lt.display.specshow(
+                np.asarray(S), sr=SR, n_fft=1023, y_axis="fft_note", ax=ax
+            )
+        elif name == "wavef0_voicing":
+            f0 = np.asarray(
+                lt.yin(y, fmin=100, fmax=800, sr=SR), dtype=float
+            )
+            voiced = f0 < 500
+            lt.display.wavef0(y, f0=np.where(voiced, f0, np.nan), sr=SR,
+                              ax=ax)
         else:
             raise KeyError(name)
 
@@ -371,4 +494,24 @@ CASES = [
     "multiplot_specshow",
     "highlight_colored",
     "legend_for_axes",
+    "waveshow_zoom",
+    "waveshow_zoom_out",
+    "waveshow_transpose",
+    "waveshow_inverted",
+    "waveshow_offset",
+    "wavebars_transpose",
+    "specshow_abs_input",
+    "specshow_boolean",
+    "specshow_diverging",
+    "specshow_double_chroma",
+    "specshow_x_mel",
+    "specshow_y_mel_bounded",
+    "specshow_unicode_false",
+    "specshow_time_unit_lag",
+    "specshow_xy_none",
+    "sharex_specshow_ms",
+    "legend_for_axes_left",
+    "specshow_coords",
+    "specshow_fft_odd",
+    "wavef0_voicing",
 ]
