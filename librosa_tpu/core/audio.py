@@ -643,10 +643,41 @@ def _upfirdn_conv(
 def resample_poly(
     x: Any, up: int, down: int, *, axis: int = -1, dtype: Any = None
 ) -> jax.Array:
-    """TPU-native equivalent of ``scipy.signal.resample_poly`` (kaiser, 5.0).
+    """Polyphase resampling by a rational factor ``up / down``.
 
-    Exact output-alignment semantics: zero-padded filter centering and
-    length ``ceil(n*up/down)``.
+    TPU-native equivalent of ``scipy.signal.resample_poly`` with the
+    default Kaiser(5.0) anti-aliasing filter and exact output-alignment
+    semantics (zero-padded filter centering, output length
+    ``ceil(n * up / down)``).  The upfirdn runs as one blocked MXU
+    matmul program (``_upfirdn_conv``).
+
+    Parameters
+    ----------
+    x : np.ndarray or jax.Array
+        input signal(s)
+    up, down : int > 0
+        integer resampling ratio
+    axis : int
+        resampling axis
+    dtype : dtype or None
+        optional output cast
+
+    Returns
+    -------
+    x_hat : jax.Array
+        resampled signal
+
+    See Also
+    --------
+    resample
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> from librosa_tpu.core.audio import resample_poly
+    >>> y = np.asarray(lt.tone(440, duration=1.0))
+    >>> resample_poly(y, 2, 1).shape[-1] == 2 * len(y)
+    True
     """
     x = jnp.asarray(x)
     if axis != -1:

@@ -597,7 +597,57 @@ def pseudo_cqt(
     pad_mode: str = "constant",
     dtype: Any = None,
 ) -> jax.Array:
-    """Pseudo-CQT: |STFT| × |basis|, no phase. Parity: constantq.py:415."""
+    """Pseudo constant-Q transform: |STFT| projected through |basis|.
+
+    Computes a single magnitude STFT at the largest required window and
+    projects it through the absolute values of the CQT filterbank —
+    discarding phase, but avoiding the multirate octave ladder entirely.
+    On TPU the STFT, the basis matmul, and the length scaling run as ONE
+    fused program (behavior parity with the reference
+    ``constantq.py:415``).
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)]
+        audio signal(s)
+    sr : number > 0
+        sampling rate
+    hop_length : int > 0
+        hop between frames
+    fmin : float or None
+        lowest transform frequency (default: C1)
+    n_bins : int or None
+        number of frequency bins (None = up to Nyquist)
+    bins_per_octave : int > 0
+        bin density
+    tuning : float or None
+        tuning deviation in fractional bins (None = estimate from ``y``)
+    filter_scale, norm, sparsity, window
+        wavelet basis construction controls, as in :func:`cqt`
+    scale : bool
+        scale the response by ``1/sqrt(n_fft)``
+    pad_mode : str
+        signal padding mode
+    dtype : dtype or None
+        output dtype
+
+    Returns
+    -------
+    C : jax.Array [shape=(..., n_bins, t)]
+        magnitude-only pseudo-CQT
+
+    See Also
+    --------
+    cqt, hybrid_cqt
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(220, duration=1.0))
+    >>> P = lt.pseudo_cqt(y, sr=22050)
+    >>> P.shape
+    (84, 44)
+    """
     y = jnp.asarray(y)
     if fmin is None:
         fmin = note_to_hz("C1")
@@ -674,9 +724,47 @@ def hybrid_cqt(
     res_type: str = "soxr_hq",
     dtype: Any = None,
 ) -> jax.Array:
-    """Hybrid CQT: pseudo-CQT for short filters + full CQT below.
+    """Hybrid constant-Q transform.
 
-    Parity: constantq.py:209.
+    Splits the frequency range at the hop length: bins whose wavelets are
+    shorter than ``2 * hop_length`` use the (cheap, phase-free)
+    pseudo-CQT; lower bins use the full multirate CQT ladder.  The two
+    responses are trimmed and stacked in one fused program (behavior
+    parity with the reference ``constantq.py:209``).
+
+    Parameters
+    ----------
+    y : np.ndarray or jax.Array [shape=(..., n)]
+        audio signal(s)
+    sr, hop_length, fmin, n_bins, bins_per_octave, tuning
+        transform geometry, as in :func:`cqt`
+    filter_scale, norm, sparsity, window
+        wavelet basis construction controls
+    scale : bool
+        energy normalization, as in :func:`cqt`
+    pad_mode : str
+        signal padding mode
+    res_type : str
+        resampling mode for the full-CQT octave ladder
+    dtype : dtype or None
+        output dtype
+
+    Returns
+    -------
+    C : jax.Array [shape=(..., n_bins, t)]
+        hybrid CQT magnitudes
+
+    See Also
+    --------
+    cqt, pseudo_cqt
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(220, duration=1.0))
+    >>> H = lt.hybrid_cqt(y, sr=22050, res_type='polyphase')
+    >>> H.shape
+    (84, 44)
     """
     y = jnp.asarray(y)
     if fmin is None:
@@ -989,7 +1077,54 @@ def griffinlim_cqt(
     rng: Optional[Any] = None,
     random_state: Optional[Any] = None,
 ) -> jax.Array:
-    """Griffin-Lim phase recovery for CQT magnitudes. Parity: constantq.py:1285."""
+    """Invert CQT magnitudes to audio via Griffin-Lim phase recovery.
+
+    Alternates :func:`icqt` synthesis and :func:`cqt` re-analysis with
+    momentum acceleration [Perraudin et al. 2013] until the phases are
+    self-consistent (behavior parity with the reference
+    ``constantq.py:1285``).  The random phase initialization runs as one
+    jitted program with the seed as a traced scalar.
+
+    Parameters
+    ----------
+    C : np.ndarray or jax.Array [shape=(..., n_bins, t)]
+        CQT magnitudes to invert
+    n_iter : int > 0
+        number of Griffin-Lim iterations
+    sr, hop_length, fmin, bins_per_octave, tuning
+        CQT geometry (must match the forward transform)
+    filter_scale, norm, sparsity, window, scale, pad_mode, res_type
+        basis construction / resampling controls, as in :func:`cqt`
+    dtype : dtype or None
+        output dtype
+    length : int or None
+        exact output length in samples
+    momentum : float in [0, 1)
+        acceleration parameter (0 = plain Griffin-Lim)
+    init : 'random' or None
+        phase initialization (None = zero phase)
+    rng, random_state
+        randomness source (``random_state`` is deprecated)
+
+    Returns
+    -------
+    y : jax.Array [shape=(..., n)]
+        reconstructed time-domain signal
+
+    See Also
+    --------
+    griffinlim, icqt
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> y = np.asarray(lt.tone(220, duration=0.5))
+    >>> C = np.abs(np.asarray(lt.cqt(y, sr=22050, res_type='polyphase')))
+    >>> y_hat = lt.griffinlim_cqt(C, sr=22050, n_iter=1,
+    ...                           res_type='polyphase', length=len(y))
+    >>> y_hat.shape == y.shape
+    True
+    """
     import warnings
 
     if random_state is not None:

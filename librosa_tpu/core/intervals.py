@@ -46,10 +46,46 @@ def interval_frequencies(
     tuning: float = 0.0,
     sort: bool = True,
 ) -> np.ndarray:
-    """Construct a set of frequencies from an interval set.
+    """Construct a set of frequencies from a musical interval system.
 
-    Parity: core/intervals.py:28 — 'equal', 'pythagorean', 'ji3', 'ji5',
-    'ji7', or an explicit ratio array.
+    Tiles the chosen interval ratios across octaves starting at ``fmin``
+    — the frequency grid used by variable-Q transforms over non-equal
+    temperaments (behavior parity with the reference
+    ``core/intervals.py:28``).
+
+    Parameters
+    ----------
+    n_bins : int > 0
+        number of frequencies to generate
+    fmin : float > 0
+        base frequency of the first bin
+    intervals : str or array of float
+        - ``'equal'`` — equal temperament
+        - ``'pythagorean'`` — 3-limit stacked fifths
+        - ``'ji3'``/``'ji5'``/``'ji7'`` — 3-, 5-, or 7-limit just
+          intonation
+        - an explicit array of ratios in [1, 2)
+    bins_per_octave : int > 0
+        bins per octave for the named systems
+    tuning : float
+        deviation in fractional bins (equal-spaced offset)
+    sort : bool
+        sort the ratios ascending within the octave
+
+    Returns
+    -------
+    frequencies : np.ndarray [shape=(n_bins,)]
+
+    See Also
+    --------
+    pythagorean_intervals, plimit_intervals
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> f = lt.interval_frequencies(4, fmin=55, intervals='equal')
+    >>> np.round(f, 2)
+    array([55.  , 58.27, 61.74, 65.41])
     """
     if isinstance(intervals, str):
         if intervals == "equal":
@@ -96,7 +132,36 @@ def pythagorean_intervals(
     """Pythagorean (3-limit) intervals: stacked fifths folded into one octave.
 
     The k-th interval (circle-of-fifths order) is ``3**k / 2**m`` with ``m``
-    chosen so the ratio lands in [1, 2).  Parity: core/intervals.py:146.
+    chosen so the ratio lands in [1, 2).
+
+    Parameters
+    ----------
+    bins_per_octave : int > 0
+        number of intervals to generate
+    sort : bool
+        sort ratios ascending (False = circle-of-fifths order)
+    return_factors : bool
+        also return each interval's prime factorization as a list of
+        ``{prime: exponent}`` dicts
+
+    Returns
+    -------
+    intervals : np.ndarray [shape=(bins_per_octave,)]
+        frequency ratios in [1, 2)
+    factors : list of dict
+        only when ``return_factors=True``
+
+    See Also
+    --------
+    plimit_intervals, interval_frequencies
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> np.round(lt.pythagorean_intervals(bins_per_octave=5), 4)
+    array([1.    , 1.125 , 1.2656, 1.5   , 1.6875])
+
+    Parity: reference core/intervals.py:146.
     """
     fifths = np.arange(bins_per_octave)
     folded_log, octs = _fold_to_octave(fifths * np.log2(3.0))
@@ -206,9 +271,42 @@ def plimit_intervals(
     sort: bool = True,
     return_factors: bool = False,
 ):
-    """p-limit just intervals by harmonic-distance crystal growth.
+    """p-limit just-intonation intervals by harmonic-distance crystal growth.
 
-    Parity: core/intervals.py:302.
+    Greedily grows a set of intervals from the given prime limits,
+    adding at each step the candidate with the smallest total Tenney
+    harmonic distance to the intervals already chosen [Sabat & Schweinitz
+    2004] — the reference's "crystal growth" procedure.
+
+    Parameters
+    ----------
+    primes : array of int
+        odd prime limits (e.g. ``[3, 5]`` for 5-limit just intonation)
+    bins_per_octave : int > 0
+        number of intervals to generate
+    sort : bool
+        sort ratios ascending (False = growth order)
+    return_factors : bool
+        also return prime factorizations as ``{prime: exponent}`` dicts
+
+    Returns
+    -------
+    intervals : np.ndarray [shape=(bins_per_octave,)]
+        frequency ratios in [1, 2)
+    factors : list of dict
+        only when ``return_factors=True``
+
+    See Also
+    --------
+    pythagorean_intervals, interval_frequencies
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> np.round(lt.plimit_intervals(primes=[3, 5], bins_per_octave=5), 4)
+    array([1.    , 1.125 , 1.25  , 1.3333, 1.5   ])
+
+    Parity: reference core/intervals.py:302.
     """
     primes = np.atleast_1d(primes)
     logs = np.log2(primes, dtype=np.float64)

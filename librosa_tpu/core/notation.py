@@ -104,7 +104,31 @@ _UNICODE_DOWN = str.maketrans(
 
 
 def thaat_to_degrees(thaat: str) -> np.ndarray:
-    """Pitch classes for a Hindustani thaat. Parity: notation.py:169."""
+    """Pitch classes (scale degrees) for a Hindustani thaat.
+
+    Parameters
+    ----------
+    thaat : str
+        thaat name (case-insensitive), e.g. ``'bilaval'``, ``'kafi'``,
+        ``'bhairavi'`` — see :func:`list_thaat` for the full set
+
+    Returns
+    -------
+    degrees : np.ndarray [shape=(7,), dtype=int]
+        the seven pitch classes (semitones above Sa) of the thaat
+
+    See Also
+    --------
+    list_thaat, mela_to_degrees
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.thaat_to_degrees('bilaval')
+    array([ 0,  2,  4,  5,  7,  9, 11])
+
+    Parity: reference core/notation.py:169.
+    """
     return np.asarray(THAAT_MAP[thaat.lower()])
 
 
@@ -115,7 +139,38 @@ _MELA_PAIRS = [(a, b) for a in range(4) for b in range(a + 1, 4)]
 
 
 def mela_to_degrees(mela: Union[str, int]) -> np.ndarray:
-    """Pitch classes for a melakarta raga. Parity: notation.py:200."""
+    """Pitch classes (scale degrees) for a Carnatic melakarta raga.
+
+    The 72 melakarta ragas factor into a chakra structure: Ma is perfect
+    for melas 1-36 and augmented for 37-72, while the Ri/Ga and Dha/Ni
+    pairs each cycle through the six 2-element subsets of four
+    consecutive semitone slots.
+
+    Parameters
+    ----------
+    mela : str or int in [1, 72]
+        melakarta name (case-insensitive) or index —
+        see :func:`list_mela`
+
+    Returns
+    -------
+    degrees : np.ndarray [shape=(7,), dtype=int]
+        the seven pitch classes (semitones above Sa)
+
+    See Also
+    --------
+    list_mela, mela_to_svara, thaat_to_degrees
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.mela_to_degrees(1)          # kanakangi
+    array([0, 1, 2, 5, 7, 8, 9])
+    >>> lt.mela_to_degrees('harikambhoji')
+    array([ 0,  2,  4,  5,  7,  9, 10])
+
+    Parity: reference core/notation.py:200.
+    """
     if isinstance(mela, str):
         index = MELAKARTA_MAP[mela.lower()] - 1
     elif 0 < mela <= 72:
@@ -133,9 +188,38 @@ def mela_to_degrees(mela: Union[str, int]) -> np.ndarray:
 def mela_to_svara(
     mela: Union[str, int], *, abbr: bool = True, unicode: bool = True
 ) -> List[str]:
-    """Svara names for the chromatic scale under a given mela.
+    """Svara names for all 12 chromatic degrees under a given mela.
 
-    Parity: notation.py:299.
+    Each chromatic pitch class gets its svara spelling in the chosen
+    melakarta raga: degrees in the raga use their functional name
+    (Ri/Ga/Dha/Ni variants follow the mela's structure), the rest take
+    the nearest enharmonic spelling.
+
+    Parameters
+    ----------
+    mela : str or int in [1, 72]
+        melakarta name or index
+    abbr : bool
+        abbreviate names (``'R₁'`` instead of ``'ri₁'``)
+    unicode : bool
+        use unicode subscripts in the names
+
+    Returns
+    -------
+    svara : list of str, length 12
+        svara names for pitch classes 0-11 above Sa
+
+    See Also
+    --------
+    mela_to_degrees, key_to_notes
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.mela_to_svara(1, unicode=False)[:4]
+    ['S', 'R1', 'G1', 'G2']
+
+    Parity: reference core/notation.py:299.
     """
     svara_map = [
         "Sa", "Ri₁", "", "", "Ga₃", "Ma₁", "Ma₂", "Pa",
@@ -167,12 +251,48 @@ def mela_to_svara(
 
 
 def list_mela() -> Dict[str, int]:
-    """Map of melakarta names → indices. Parity: notation.py:444."""
+    """Map every Carnatic melakarta raga name to its index.
+
+    Returns
+    -------
+    mela_map : dict [str → int in [1, 72]]
+        raga name (lowercase) → melakarta number
+
+    See Also
+    --------
+    mela_to_degrees, mela_to_svara
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.list_mela()['kanakangi']
+    1
+
+    Parity: reference core/notation.py:444.
+    """
     return MELAKARTA_MAP.copy()
 
 
 def list_thaat() -> List[str]:
-    """List of Hindustani thaats. Parity: notation.py:477."""
+    """List the Hindustani thaats understood by :func:`thaat_to_degrees`.
+
+    Returns
+    -------
+    thaats : list of str
+        the ten thaat names
+
+    See Also
+    --------
+    thaat_to_degrees
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> 'bhairavi' in lt.list_thaat()
+    True
+
+    Parity: reference core/notation.py:477.
+    """
     return list(THAAT_MAP.keys())
 
 
@@ -311,7 +431,33 @@ def key_to_notes(
 
 
 def key_to_degrees(key: str) -> np.ndarray:
-    """Pitch classes in a given key. Parity: notation.py:872."""
+    """Pitch classes belonging to a major or minor key.
+
+    Parameters
+    ----------
+    key : str
+        key specification ``'<tonic>:<maj|min>'``, e.g. ``'C:maj'``,
+        ``'F#:min'``, with unicode accidentals accepted
+
+    Returns
+    -------
+    degrees : np.ndarray [shape=(7,), dtype=int]
+        the seven diatonic pitch classes of the key
+
+    See Also
+    --------
+    key_to_notes
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.key_to_degrees('C:maj')
+    array([ 0,  2,  4,  5,  7,  9, 11])
+    >>> lt.key_to_degrees('A:min')
+    array([ 9, 11,  0,  2,  4,  5,  7])
+
+    Parity: reference core/notation.py:872.
+    """
     notes = dict(
         maj=np.array([0, 2, 4, 5, 7, 9, 11]),
         min=np.array([0, 2, 3, 5, 7, 8, 10]),
@@ -335,7 +481,40 @@ def key_to_degrees(key: str) -> np.ndarray:
 
 
 def fifths_to_note(*, unison: str, fifths: int, unicode: bool = True) -> str:
-    """Transpose a note name by perfect fifths. Parity: notation.py:942."""
+    """Spell the note that lies a number of perfect fifths from a unison.
+
+    Walks the circle of fifths from ``unison``, accumulating sharps or
+    flats as the walk wraps (used by the FJS notation system to spell
+    Pythagorean intervals).
+
+    Parameters
+    ----------
+    unison : str
+        starting note name (letter + optional accidentals)
+    fifths : int
+        number of perfect fifths to move (negative = flatward)
+    unicode : bool
+        spell accidentals with unicode (``'♯'``) or ASCII (``'#'``)
+
+    Returns
+    -------
+    note : str
+        the transposed note name
+
+    See Also
+    --------
+    interval_to_fjs
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.fifths_to_note(unison='C', fifths=2, unicode=False)
+    'D'
+    >>> lt.fifths_to_note(unison='C', fifths=7, unicode=False)
+    'C#'
+
+    Parity: reference core/notation.py:942.
+    """
     COFMAP = "FCGDAEB"
     if unicode:
         acc_map_inv = {1: "♯", 2: "𝄪", -1: "♭", -2: "𝄫", 0: ""}

@@ -112,7 +112,14 @@ def frames_power_spectrum(
 
 
 def frames_rdft(frames: jax.Array, *, n_fft: int, dft_mats=None) -> jax.Array:
-    """rfft over the last axis → complex (..., T, 1 + n_fft//2)."""
+    """Real-input DFT over the last axis → complex ``(..., T, 1+n_fft//2)``.
+
+    On the matmul backend the transform is two MXU products against the
+    cached cos/-sin matrices combined with ``lax.complex`` (no complex
+    intermediates until the very end); otherwise it defers to the XLA
+    FFT.  ``dft_mats`` may be passed explicitly so outer jits receive the
+    matrices as arguments instead of embedded constants.
+    """
     if dft_mats is not None or _resolved_backend() == "matmul":
         if dft_mats is None:
             dft_mats = dft_mats_device(n_fft, frames.dtype)

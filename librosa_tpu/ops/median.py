@@ -21,7 +21,26 @@ __all__ = ["median_filter_1d"]
 
 @functools.partial(jax.jit, static_argnames=("size", "axis"))
 def median_filter_1d(x: jax.Array, *, size: int, axis: int = -1) -> jax.Array:
-    """Centered median filter along one axis (scipy 'reflect' boundary)."""
+    """Centered sliding median along one axis (scipy ``reflect`` boundary).
+
+    Device equivalent of ``scipy.ndimage.median_filter`` restricted to a
+    1-D window: the window gather is static, the median is a sort over
+    the window axis, and the whole thing fuses into the calling program
+    (the HPSS hot path, reference ``decompose.py:211``).
+
+    Parameters
+    ----------
+    x : jax.Array
+        input array
+    size : int >= 1
+        window length (odd sizes are centered exactly like scipy)
+    axis : int
+        filtering axis
+
+    Returns
+    -------
+    filtered : jax.Array, same shape as ``x``
+    """
     if size < 1:
         raise ValueError("size must be >= 1")
     if size == 1:

@@ -87,7 +87,22 @@ def kernel_macs_per_frame(n_fft: int, n_out: int) -> int:
 
 
 def pallas_supported(n_fft: int, hop_length: int) -> bool:
-    """The kernel handles the standard pow2 configurations."""
+    """Whether the fused Pallas kernel supports an (n_fft, hop) geometry.
+
+    The kernel requires power-of-two ``n_fft >= 256`` and a hop that
+    divides ``n_fft`` and is a multiple of 128 (the Mosaic lane width —
+    frame starts must be lane-aligned for the zero-copy row DMA).
+    Unsupported geometries fall back to the XLA matmul pipeline.
+
+    Parameters
+    ----------
+    n_fft, hop_length : int
+        proposed STFT geometry
+
+    Returns
+    -------
+    supported : bool
+    """
     if n_fft < 256 or n_fft & (n_fft - 1):
         return False
     if hop_length <= 0 or n_fft % hop_length:

@@ -15,7 +15,25 @@ __all__ = ["make_mesh", "time_mesh"]
 def make_mesh(
     shape: Sequence[int], axis_names: Sequence[str], *, devices=None
 ) -> Mesh:
-    """Create a device mesh with the given logical shape and axis names."""
+    """Create a ``jax.sharding.Mesh`` with a logical shape and axis names.
+
+    Parameters
+    ----------
+    shape : sequence of int
+        logical mesh extents, e.g. ``(2, 4)`` for 2-way data x 4-way time
+    axis_names : sequence of str
+        one name per mesh axis (used in ``PartitionSpec``s)
+    devices : sequence of jax.Device or None
+        devices to lay out (default: all available, in order)
+
+    Returns
+    -------
+    mesh : jax.sharding.Mesh
+
+    See Also
+    --------
+    time_mesh, pod_mesh
+    """
     if devices is None:
         devices = jax.devices()
     n = int(np.prod(shape))
@@ -29,7 +47,25 @@ def make_mesh(
 
 
 def time_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D mesh over the time axis (overlap-save sharding of long signals)."""
+    """1-D device mesh named ``time`` for overlap-save signal sharding.
+
+    The axis every ``*_sharded`` analysis in this package shards over:
+    each device owns a contiguous signal span and exchanges halo samples
+    with its neighbors via ``ppermute`` (see ``parallel/sharded.py``).
+
+    Parameters
+    ----------
+    n_devices : int or None
+        mesh size (default: every visible device)
+
+    Returns
+    -------
+    mesh : jax.sharding.Mesh
+
+    See Also
+    --------
+    make_mesh, pod_mesh
+    """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)

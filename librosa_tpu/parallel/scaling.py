@@ -27,6 +27,14 @@ __all__ = ["ScalingPoint", "scaling_report"]
 
 @dataclass
 class ScalingPoint:
+    """One measured point on the weak-scaling curve.
+
+    Produced by :func:`scaling_report`: throughput of the time-sharded
+    melspectrogram at a given mesh size, with efficiency relative to
+    linear scaling from the smallest measured mesh (see SCALING.md for
+    the communication model behind the expected curve).
+    """
+
     n_devices: int
     samples_per_s: float
     efficiency: float  # vs linear scaling from the smallest mesh

@@ -115,8 +115,33 @@ def stft_sharded(
 ) -> jax.Array:
     """Centered STFT of a time-sharded signal; bit-identical to ``stft``.
 
-    Requirements: ``n % (D * hop_length) == 0`` where D is the mesh size
-    along ``axis_name``, and each shard is at least ``n_fft`` samples.
+    Each device frames its own contiguous signal span; the ``n_fft - hop``
+    halo samples a shard needs from its neighbors arrive via one
+    ``ppermute`` exchange inside the shard_map, so no frame straddles a
+    seam and the concatenated result equals the unsharded transform
+    exactly (tested bit-identical on an 8-device mesh).
+
+    Parameters
+    ----------
+    y : array [shape=(..., n)]
+        input signal; ``n % (D * hop_length) == 0`` where D is the mesh
+        size along ``axis_name``, and each shard must span >= ``n_fft``
+        samples
+    mesh : jax.sharding.Mesh
+        device mesh (see ``parallel.time_mesh``)
+    axis_name : str
+        mesh axis to shard time over
+    n_fft, hop_length, win_length, window, pad_mode
+        STFT controls, as in :func:`librosa_tpu.stft`
+
+    Returns
+    -------
+    D_sharded : jax.Array [shape=(..., 1 + n_fft//2, n // hop_length)]
+        complex spectrogram, sharded over frames
+
+    See Also
+    --------
+    melspectrogram_sharded, librosa_tpu.stft
     """
     if pad_mode not in ("constant", "reflect"):
         raise ParameterError(f"Unsupported sharded pad_mode: {pad_mode}")
@@ -187,10 +212,35 @@ def melspectrogram_sharded(
     n_mels: int = 128,
     **mel_kwargs: Any,
 ) -> jax.Array:
-    """Time-sharded fused STFT→|·|^power→mel pipeline.
+    """Time-sharded fused STFT→|·|²→mel pipeline.
 
-    The mel matmul runs inside each shard (replicated basis), so only the
-    small (n_mels, T_loc) output ever crosses shard boundaries.
+    The halo exchange of :func:`stft_sharded` feeds the per-shard fused
+    power-mel program; the mel basis is replicated, so only the small
+    ``(n_mels, T_local)`` outputs live on each device and nothing but
+    the halos ever crosses shard boundaries (SCALING.md derives the
+    resulting near-linear weak-scaling curve).
+
+    Parameters
+    ----------
+    y : array [shape=(..., n)]
+        input signal, same divisibility requirements as ``stft_sharded``
+    mesh : jax.sharding.Mesh
+        device mesh
+    axis_name : str
+        mesh axis to shard time over
+    sr, n_fft, hop_length, win_length, window, pad_mode
+        STFT/mel controls
+    **mel_kwargs
+        mel filterbank controls (``n_mels``, ``fmax``, ...)
+
+    Returns
+    -------
+    M : jax.Array [shape=(..., n_mels, n // hop_length)]
+        mel spectrogram, sharded over frames
+
+    See Also
+    --------
+    stft_sharded, librosa_tpu.feature.melspectrogram
     """
     if win_length is None:
         win_length = n_fft

@@ -14,7 +14,30 @@ F = TypeVar("F", bound=Callable[..., Any])
 
 
 def moved(*, moved_from: str, version: str, version_removed: str) -> Callable[[F], F]:
-    """Mark a function as moved/renamed. Parity: util/decorators.py:28."""
+    """Decorator: mark a function as moved or renamed.
+
+    Calls through the old name keep working but emit a ``FutureWarning``
+    naming the new location and the removal version — the reference's
+    alias-deprecation machinery (``util/decorators.py:28``).
+
+    Parameters
+    ----------
+    moved_from : str
+        fully qualified old name, shown in the warning
+    version : str
+        version in which the function moved
+    version_removed : str
+        version in which the alias will stop working
+
+    Returns
+    -------
+    decorator : callable
+        wraps the relocated function
+
+    See Also
+    --------
+    deprecated
+    """
 
     def __wrapper(func: F) -> F:
         @functools.wraps(func)
@@ -34,7 +57,27 @@ def moved(*, moved_from: str, version: str, version_removed: str) -> Callable[[F
 
 
 def deprecated(*, version: str, version_removed: str) -> Callable[[F], F]:
-    """Mark a function as deprecated. Parity: util/decorators.py:65."""
+    """Decorator: mark a function as deprecated.
+
+    The wrapped function still runs, but every call emits a
+    ``FutureWarning`` announcing the removal version (reference
+    ``util/decorators.py:65``).
+
+    Parameters
+    ----------
+    version : str
+        version in which the function was deprecated
+    version_removed : str
+        version in which it will be removed
+
+    Returns
+    -------
+    decorator : callable
+
+    See Also
+    --------
+    moved
+    """
 
     def __wrapper(func: F) -> F:
         @functools.wraps(func)
@@ -53,7 +96,22 @@ def deprecated(*, version: str, version_removed: str) -> Callable[[F], F]:
 
 
 def vectorize(*, otypes: Any = None, excluded: Any = None, signature: Any = None):
-    """np.vectorize preserving docstrings. Parity: util/decorators.py:98."""
+    """Decorator: ``np.vectorize`` that preserves the wrapped docstring.
+
+    Plain ``np.vectorize`` replaces ``__doc__`` with its own; this
+    variant keeps the original function's documentation while gaining
+    element-wise broadcasting over array arguments (reference
+    ``util/decorators.py:98``).
+
+    Parameters
+    ----------
+    otypes, excluded, signature
+        forwarded to ``np.vectorize``
+
+    Returns
+    -------
+    decorator : callable
+    """
 
     def __wrapper(function: F) -> F:
         vecfunc = np.vectorize(
@@ -67,9 +125,24 @@ def vectorize(*, otypes: Any = None, excluded: Any = None, signature: Any = None
 def future_default(
     *, param_name: str, old_default: Any, new_default: Any, version: str
 ):
-    """Warn when a caller relies on a default value scheduled to change.
+    """Decorator: warn when a caller relies on a default scheduled to change.
 
-    Parity: util/decorators.py:160 (future_default).
+    If the decorated function is called WITHOUT the named parameter, a
+    ``FutureWarning`` announces the upcoming default change; explicit
+    callers are untouched (reference ``util/decorators.py:160``).
+
+    Parameters
+    ----------
+    param_name : str
+        the parameter whose default will change
+    old_default, new_default
+        current and future default values (shown in the warning)
+    version : str
+        version in which the new default takes effect
+
+    Returns
+    -------
+    decorator : callable
     """
     import inspect
 

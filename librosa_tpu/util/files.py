@@ -47,8 +47,31 @@ def _data_dir() -> str:
 def example(key: str, *, hq: bool = False) -> str:
     """Retrieve the path to a local copy of a named example recording.
 
-    Parity: util/files.py:55.  Offline build: looks in ``LIBROSA_DATA_DIR``
-    for ``<key>[.hq].ogg``; raises with guidance if missing (no network).
+    This build runs offline: instead of fetching from the remote data
+    registry (the reference uses pooch, ``util/files.py:55``), the file
+    is looked up under ``LIBROSA_DATA_DIR``; a missing file raises with
+    guidance on where to place it.
+
+    Parameters
+    ----------
+    key : str
+        example identifier (see :func:`list_examples`)
+    hq : bool
+        prefer the high-quality variant when available
+
+    Returns
+    -------
+    path : str
+        local filesystem path to the recording
+
+    Raises
+    ------
+    ParameterError
+        for unknown keys, or when the file is not present locally
+
+    See Also
+    --------
+    list_examples, librosa_tpu.loadx
     """
     if key not in _EXAMPLES:
         raise ParameterError(f"Unknown example key: {key}")
@@ -196,12 +219,31 @@ _CONCEPT_DOI = "10.5281/zenodo.591533"
 
 
 def cite(version: Optional[str] = None) -> str:
-    """Retrieve the citation DOI for a release.
+    """Retrieve the citation DOI for a release of this library.
 
-    Parity: util/files.py:290 — same failure semantics (unreleased or
-    unknown versions raise ``ParameterError``); ``version=None`` cites
-    the concept DOI covering all releases, since the offline build
-    cannot fetch the full per-release index.
+    Parameters
+    ----------
+    version : str or None
+        release version to cite.  ``None`` returns the concept DOI
+        covering all releases (this offline build cannot fetch the full
+        per-release index the reference downloads, ``util/files.py:290``)
+
+    Returns
+    -------
+    doi : str
+        a ``https://doi.org/...`` citation URL
+
+    Raises
+    ------
+    ParameterError
+        for development ("dev") or unknown release versions — matching
+        the reference's failure semantics
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.cite().startswith('https://doi.org/')
+    True
     """
     if version is None:
         return f"https://doi.org/{_CONCEPT_DOI}"

@@ -35,7 +35,22 @@ __all__ = [
 
 @contextlib.contextmanager
 def trace(log_dir: str):
-    """Profile a block into ``log_dir`` (view with TensorBoard/XProf)."""
+    """Context manager: profile the enclosed block into ``log_dir``.
+
+    Wraps ``jax.profiler.start_trace``/``stop_trace`` so a pipeline can
+    emit a TensorBoard/XProf-compatible device trace around any region.
+
+    Parameters
+    ----------
+    log_dir : str
+        directory to write the trace into
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> with lt.util.profiling.trace('/tmp/trace'):   # doctest: +SKIP
+    ...     _ = lt.stft(y)
+    """
     import jax
 
     jax.profiler.start_trace(log_dir)
@@ -46,7 +61,18 @@ def trace(log_dir: str):
 
 
 def annotate(name: str):
-    """Named region for the device trace timeline."""
+    """Context manager: a named region on the device trace timeline.
+
+    Parameters
+    ----------
+    name : str
+        label shown in the trace viewer for the enclosed work
+
+    Returns
+    -------
+    ctx : context manager
+        a ``jax.profiler.TraceAnnotation``
+    """
     import jax
 
     return jax.profiler.TraceAnnotation(name)
@@ -139,7 +165,13 @@ def dispatch_profile(fn: Callable[[], Any], *, warmup: int = 1) -> dict:
 
 @dataclass
 class DeviceCeilings:
-    """Measured achievable peaks for one device."""
+    """Measured achievable performance ceilings for one device.
+
+    Produced by :func:`calibrate`; the fields are *measured* sustained
+    rates (chained-op probes), not datasheet numbers — on the
+    tunnel-attached TPU in this environment the two differ by 5-10x,
+    so rooflines must use these.
+    """
 
     matmul_f32_flops: float      # HIGHEST-precision f32 matmul FLOP/s
     matmul_bf16_flops: float     # default-precision matmul FLOP/s
@@ -155,6 +187,26 @@ def calibrate(
     Each probe chains ``chain`` dependent operations inside ONE jitted
     program: over the axon tunnel a single dispatch costs ~20 ms, so a
     lone matmul (sub-ms of compute) measures the tunnel, not the chip.
+
+    Parameters
+    ----------
+    device : jax.Device or None
+        device to probe (default: first available)
+    size : int
+        square matmul operand size for the FLOP probes
+    chain : int
+        dependent ops per program (amortizes dispatch)
+    include_bf16 : bool
+        also probe default-precision (bf16 MXU) matmul
+
+    Returns
+    -------
+    ceilings : DeviceCeilings
+        measured f32/bf16 matmul FLOP/s and HBM bytes/s
+
+    See Also
+    --------
+    roofline, DeviceCeilings
     """
     import jax
     import jax.numpy as jnp
@@ -214,6 +266,13 @@ def calibrate(
 
 @dataclass
 class RooflineReport:
+    """Timing + utilization report for one jitted function.
+
+    Produced by :func:`roofline`; ``str()`` renders a one-line summary
+    (time, achieved TF/s and GB/s with ceiling percentages, and whether
+    the op is compute- or memory-bound under the measured ceilings).
+    """
+
     seconds: float
     flops: Optional[float]
     bytes_accessed: Optional[float]

@@ -697,17 +697,30 @@ def normalize(
 def localmax(x: _ArrayLike, *, axis: int = 0) -> jax.Array:
     """Boolean mask of local maxima (``x[i] > x[i-1]`` and ``x[i] >= x[i+1]``).
 
-    Parity: util/utils.py:1060 as a shift-compare (the reference uses a
-    numba stencil).
+    First elements are never maxima; last elements are maxima when they
+    exceed their left neighbor.  Computed as a shift-compare (the
+    reference uses a numba stencil, ``util/utils.py:1060``).
 
     Parameters
     ----------
-    x : input array
+    x : np.ndarray or jax.Array
+        input array
     axis : int
+        axis along which to detect maxima
 
     Returns
     -------
-    mask : jax.Array [bool]
+    mask : jax.Array [bool, same shape as x]
+
+    See Also
+    --------
+    localmin, peak_pick
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> np.asarray(lt.util.localmax(np.array([1, 3, 2, 4, 4, 0]), axis=-1))
+    array([False,  True, False,  True, False, False])
     """
     x = jnp.asarray(x)
     xi = jnp.swapaxes(x, -1, axis)
@@ -726,16 +739,29 @@ def localmax(x: _ArrayLike, *, axis: int = 0) -> jax.Array:
 def localmin(x: _ArrayLike, *, axis: int = 0) -> jax.Array:
     """Boolean mask of local minima (``x[i] < x[i-1]`` and ``x[i] <= x[i+1]``).
 
-    Parity: util/utils.py:1121 as a shift-compare.
+    The mirror of :func:`localmax` (reference ``util/utils.py:1121``),
+    used e.g. for trough selection in YIN.
 
     Parameters
     ----------
-    x : input array
+    x : np.ndarray or jax.Array
+        input array
     axis : int
+        axis along which to detect minima
 
     Returns
     -------
-    mask : jax.Array [bool]
+    mask : jax.Array [bool, same shape as x]
+
+    See Also
+    --------
+    localmax
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> np.asarray(lt.util.localmin(np.array([3, 1, 2, 0, 0, 5]), axis=-1))
+    array([False,  True, False,  True, False, False])
     """
     x = jnp.asarray(x)
     xi = jnp.swapaxes(x, -1, axis)

@@ -9,7 +9,22 @@ short_version = "0.1"
 def show_versions() -> None:
     """Print version information for librosa_tpu and its dependencies.
 
-    Parity with reference ``librosa/version.py:27`` (show_versions).
+    Reports the library version, the Python interpreter, and the
+    installed versions of every core and optional dependency (jax,
+    numpy, scipy, matplotlib, ...) — the diagnostic header requested in
+    bug reports.  Behavior parity with the reference
+    ``librosa/version.py:27``.
+
+    Returns
+    -------
+    None
+        the report prints to stdout
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.show_versions()               # doctest: +ELLIPSIS
+    librosa_tpu: ...
     """
     import sys
 
