@@ -17,7 +17,16 @@ __all__ = ["cache", "CacheManager"]
 
 
 class CacheManager:
-    """Wraps joblib.Memory with a level filter. Parity: _cache.py:24."""
+    """``joblib.Memory`` wrapper with a cache-level filter.
+
+    Decorating a function with ``cache(level=L)`` memoizes it to disk
+    only when ``L`` is at or below the manager's configured level —
+    the reference's opt-in caching contract (``librosa/_cache.py:24``).
+    Controlled entirely by environment variables: ``LIBROSA_CACHE_DIR``
+    activates the cache, ``LIBROSA_CACHE_LEVEL``/``..._COMPRESS``/
+    ``..._VERBOSE`` tune it.  With no cache dir, decorated functions
+    run unwrapped (zero overhead).
+    """
 
     def __init__(self, *args: Any, **kwargs: Any) -> None:
         level = kwargs.pop("level", 10)

@@ -54,7 +54,14 @@ _lib.lt_last_error.restype = ctypes.c_char_p
 
 
 class audioio:
-    """Namespace matching librosa_tpu.io's expectations."""
+    """ctypes namespace over the native C++ audio decoder.
+
+    Thin static-method wrappers (``decode``, ``info``) over
+    ``libaudioio.so`` (``_native/audioio.cpp``): a from-scratch WAV
+    parser and FLAC decoder plus ogg/vorbis via a dlopen'd system
+    libvorbisfile.  Falls back to None at import when the shared
+    library hasn't been built — callers then use stdlib/wave paths.
+    """
 
     @staticmethod
     def decode(path: str) -> Tuple[np.ndarray, int]:

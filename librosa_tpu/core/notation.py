@@ -607,9 +607,39 @@ def interval_to_fjs(
     tolerance: float = 65.0 / 63,
     unicode: bool = True,
 ):
-    """Convert a just interval to Functional Just System notation.
+    """Convert a just-intonation interval to FJS notation.
 
-    Parity: notation.py:1099.
+    The Functional Just System spells a frequency ratio as a Pythagorean
+    note name (a walk on the circle of fifths from ``unison``) decorated
+    with otonal/utonal prime commas, e.g. ``5/4`` above C is ``E⁵``.
+
+    Parameters
+    ----------
+    interval : float or array of float
+        frequency ratio(s) to spell
+    unison : str
+        note name of the 1/1 reference
+    tolerance : float
+        radius of tolerance for snapping to a Pythagorean spine note
+    unicode : bool
+        use superscript/subscript commas (ASCII otherwise)
+
+    Returns
+    -------
+    name : str or np.ndarray of str
+        FJS name(s) of the interval(s)
+
+    See Also
+    --------
+    fifths_to_note, interval_frequencies
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt
+    >>> lt.interval_to_fjs(5/4, unison='C', unicode=False)
+    'E^5'
+
+    Parity: reference core/notation.py:1099.
     """
     if not np.isscalar(interval):
         return np.array(

@@ -59,7 +59,20 @@ def _native():
 
 
 def get_info(path: str) -> Tuple[int, int, int]:
-    """Return (sr, n_channels, n_frames) without decoding the whole file."""
+    """Read an audio file's header: ``(sr, n_channels, n_frames)``.
+
+    Uses the native C++ probe when available (wav/flac/ogg), falling
+    back to the stdlib ``wave`` parser — no sample data is decoded.
+
+    Parameters
+    ----------
+    path : str or Path
+        audio file
+
+    Returns
+    -------
+    sr, n_channels, n_frames : int
+    """
     nat = _native()
     if nat is not None:
         return nat.info(os.fspath(path))
@@ -68,7 +81,20 @@ def get_info(path: str) -> Tuple[int, int, int]:
 
 
 def get_samplerate(path: str) -> int:
-    """Sample rate of an audio file. Parity: librosa/core/audio.py:1289."""
+    """Native sample rate of an audio file, without decoding it.
+
+    Parameters
+    ----------
+    path : str or Path
+        audio file
+
+    Returns
+    -------
+    sr : int
+        sampling rate declared in the file header
+
+    Parity: reference ``librosa/core/audio.py:1289`` (get_samplerate).
+    """
     return get_info(os.fspath(path))[0]
 
 

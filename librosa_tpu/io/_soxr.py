@@ -92,13 +92,35 @@ def _get_lib() -> Optional[ctypes.CDLL]:
 
 
 def available() -> bool:
+    """Whether the system libsoxr shared library could be loaded.
+
+    When False, ``soxr_*`` resampling modes substitute the device
+    polyphase resampler (with a warning) for integer rate pairs.
+    """
     return _get_lib() is not None
 
 
 def resample(
     x: np.ndarray, in_rate: float, out_rate: float, quality: str = "soxr_hq"
 ) -> np.ndarray:
-    """Resample a 1-D float array with libsoxr (one-shot)."""
+    """Resample a 1-D float32 array with libsoxr (one-shot API).
+
+    Host-side binding of the reference's default resampler so the
+    ``soxr_hq/vhq/mq/lq/qq`` modes match bit-for-bit.
+
+    Parameters
+    ----------
+    x : np.ndarray [1-D]
+        input samples
+    in_rate, out_rate : float > 0
+        source and target rates
+    quality : str
+        one of the ``soxr_*`` recipe names
+
+    Returns
+    -------
+    y : np.ndarray [1-D, float32]
+    """
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("libsoxr is not available on this system")

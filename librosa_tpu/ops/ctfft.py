@@ -26,7 +26,21 @@ __all__ = ["fft_arbitrary", "ifft_arbitrary", "good_fft_factor"]
 
 
 def good_fft_factor(n: int) -> Tuple[int, int]:
-    """Split n = n1·n2 as near-square as possible (n1 ≤ n2)."""
+    """Split ``n = n1 * n2`` as near-square as possible (``n1 <= n2``).
+
+    The Cooley-Tukey stage sizes: a near-square factorization minimizes
+    the total matmul FLOPs ``n * (n1 + n2)`` of the two dense stages.
+    Prime ``n`` returns ``(1, n)`` — the caller falls back to a direct
+    DFT in that case.
+
+    Parameters
+    ----------
+    n : int > 0
+
+    Returns
+    -------
+    (n1, n2) : tuple of int
+    """
     best = (1, n)
     for d in range(int(np.sqrt(n)), 0, -1):
         if n % d == 0:
@@ -81,7 +95,24 @@ def _ct_fft_core(x, *, n: int, inverse: bool):
 
 
 def fft_arbitrary(x: jax.Array, n: int) -> jax.Array:
-    """Complex FFT over the last axis; composite-length safe on TPU."""
+    """Complex FFT over the last axis, composite-length safe on TPU.
+
+    Power-of-two lengths defer to the XLA FFT; other lengths factor as
+    ``n = n1 * n2`` and run a two-stage Cooley-Tukey decomposition whose
+    stages are dense matmuls — XLA would otherwise lower a non-pow2 FFT
+    to a single O(n²) DFT matrix (48 GB for seconds of audio).
+
+    Parameters
+    ----------
+    x : jax.Array [shape=(..., n)]
+        complex (or real, promoted) input
+    n : int
+        transform length; must equal ``x.shape[-1]``
+
+    Returns
+    -------
+    X : jax.Array [shape=(..., n), complex]
+    """
     x = jnp.asarray(x)
     if x.shape[-1] != n:
         raise ValueError("length mismatch")

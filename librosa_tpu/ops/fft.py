@@ -38,7 +38,21 @@ _MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def set_stft_backend(backend: str, *, precision=None) -> None:
-    """Select the framed-transform backend: 'auto', 'fft', or 'matmul'."""
+    """Select the framed-DFT backend for the STFT engine.
+
+    Parameters
+    ----------
+    backend : str
+        - ``'auto'`` (default) — matmul (MXU) on TPU, XLA FFT elsewhere
+        - ``'matmul'`` — force DFT-as-matmul (cos/-sin products)
+        - ``'fft'`` — force the XLA FFT lowering
+    precision : jax.lax.Precision or None
+        matmul precision for the DFT products (default HIGHEST)
+
+    See Also
+    --------
+    get_stft_backend
+    """
     global _BACKEND, _MATMUL_PRECISION
     if backend not in ("auto", "fft", "matmul"):
         raise ValueError(f"Unknown stft backend: {backend}")
@@ -48,6 +62,12 @@ def set_stft_backend(backend: str, *, precision=None) -> None:
 
 
 def get_stft_backend() -> str:
+    """Return the configured framed-DFT backend name.
+
+    One of ``'auto'``, ``'fft'``, or ``'matmul'`` — the *requested*
+    setting; ``'auto'`` resolves per-call against the active device
+    platform (see :func:`set_stft_backend`).
+    """
     return _BACKEND
 
 

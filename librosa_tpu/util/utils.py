@@ -1270,10 +1270,28 @@ def fill_off_diagonal(
 
 
 def band_mask(nx: int, ny: int, *, radius: float) -> np.ndarray:
-    """Boolean mask of a Sakoe-Chiba band (True = inside band).
+    """Boolean mask of a Sakoe-Chiba band (True = inside the band).
 
-    TPU-native companion to :func:`fill_off_diagonal` — masks stay dense on
-    device instead of mutating matrices in place.
+    The diagonal constraint region used by banded DTW: cell ``(i, j)``
+    is inside when the scaled distance from the main diagonal is below
+    ``radius``.  TPU-native companion to :func:`fill_off_diagonal` —
+    masks stay dense on device instead of mutating matrices in place.
+
+    Parameters
+    ----------
+    nx, ny : int > 0
+        mask shape
+    radius : float
+        band half-width; values < 1 are interpreted as a fraction of
+        ``min(nx, ny)``
+
+    Returns
+    -------
+    mask : np.ndarray [shape=(nx, ny), dtype=bool]
+
+    See Also
+    --------
+    fill_off_diagonal, librosa_tpu.sequence.dtw
     """
     minval = min(nx, ny)
     if isinstance(radius, float) and radius < 1:
@@ -1335,11 +1353,39 @@ def cyclic_gradient(
 
 
 def shear(X: _ArrayLike, *, factor: int = 1, axis: int = -1) -> jax.Array:
-    """Shear a matrix: with the default ``axis=-1`` each column ``X[:, n]``
-    is rolled by ``factor * n``; with ``axis=0`` each row is rolled instead.
+    """Shear a 2-D matrix by circularly rolling rows or columns.
 
-    Gather formulation of util/utils.py:2136 (``__shear_dense``, which
-    transposes for axis=0 and column-rolls otherwise).
+    With the default ``axis=-1`` each column ``X[:, n]`` rolls down by
+    ``factor * n``; with ``axis=0`` each row rolls instead — the
+    operation that converts between recurrence and lag coordinates.
+    Implemented as one modular gather (the reference uses a dense
+    column-roll loop, ``util/utils.py:2136``).
+
+    Parameters
+    ----------
+    X : np.ndarray or jax.Array [shape=(d, n)]
+        input matrix
+    factor : int
+        roll step per row/column (may be negative)
+    axis : int
+        which axis indexes the progressive roll
+
+    Returns
+    -------
+    X_shear : jax.Array, same shape as ``X``
+
+    See Also
+    --------
+    librosa_tpu.segment.recurrence_to_lag
+
+    Examples
+    --------
+    >>> import numpy as np, librosa_tpu as lt
+    >>> E = np.eye(3)
+    >>> np.asarray(lt.util.shear(E, factor=1, axis=-1))
+    array([[1., 0., 0.],
+           [0., 0., 1.],
+           [0., 1., 0.]], dtype=float32)
     """
     if not np.issubdtype(type(factor), np.integer):
         raise ParameterError(f"factor={factor} must be integer-valued")
