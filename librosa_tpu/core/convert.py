@@ -447,15 +447,15 @@ def note_to_midi(note: Any, *, round_midi: bool = True):
     return note_value
 
 
-def note_to_hz(note: Any, **kwargs: Any):
+def note_to_hz(note: Any, *, round_midi: bool = True):
     """Convert one or more note names to frequencies in Hz.
 
     Parameters
     ----------
     note : str or iterable of str
         spelled note(s), e.g. ``'A4'``, ``'C#3'``
-    **kwargs
-        forwarded to :func:`note_to_midi` (e.g. ``round_midi``)
+    round_midi : bool
+        round cent deviations to the nearest semitone before converting
 
     Returns
     -------
@@ -472,7 +472,7 @@ def note_to_hz(note: Any, **kwargs: Any):
 
     Parity: reference core/convert.py:569.
     """
-    return midi_to_hz(note_to_midi(note, **kwargs))
+    return midi_to_hz(note_to_midi(note, round_midi=round_midi))
 
 
 def midi_to_note(

@@ -123,7 +123,20 @@ def _hpss_stft_pipeline(
     )
 
 
-def hpss(y: Any, **kwargs: Any) -> Tuple[jax.Array, jax.Array]:
+def hpss(
+    y: Any,
+    *,
+    kernel_size: Any = 31,
+    power: float = 2.0,
+    mask: bool = False,
+    margin: Any = 1.0,
+    n_fft: int = 2048,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    window: Any = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> Tuple[jax.Array, jax.Array]:
     """Decompose audio into harmonic and percussive components.
 
     Accepts the median-filter/mask parameters of :func:`decompose.hpss`
@@ -133,10 +146,27 @@ def hpss(y: Any, **kwargs: Any) -> Tuple[jax.Array, jax.Array]:
 
     Parity: effects.py:70 — stft → decompose.hpss → istft.
     """
-    return _hpss_stft_pipeline(y, **kwargs)
+    return _hpss_stft_pipeline(
+        y, kernel_size=kernel_size, power=power, mask=mask, margin=margin,
+        n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window=window, center=center, pad_mode=pad_mode,
+    )
 
 
-def harmonic(y: Any, **kwargs: Any) -> jax.Array:
+def harmonic(
+    y: Any,
+    *,
+    kernel_size: Any = 31,
+    power: float = 2.0,
+    mask: bool = False,
+    margin: Any = 1.0,
+    n_fft: int = 2048,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    window: Any = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> jax.Array:
     """Extract the harmonic (tonal) component of an audio signal.
 
     Runs ``istft(harmonic_mask · stft(y))`` as one fused device
@@ -147,9 +177,10 @@ def harmonic(y: Any, **kwargs: Any) -> jax.Array:
     ----------
     y : array-like
         input signal (multichannel supported on leading axes)
-    **kwargs
-        forwarded to ``decompose.hpss`` (``kernel_size``, ``power``,
-        ``margin``, ...)
+    kernel_size, power, mask, margin
+        median-filter separation controls (see ``decompose.hpss``)
+    n_fft, hop_length, win_length, window, center, pad_mode
+        STFT analysis parameters threaded through the round trip
 
     Examples
     --------
@@ -164,10 +195,27 @@ def harmonic(y: Any, **kwargs: Any) -> jax.Array:
     -------
     y_harmonic : jax.Array, same shape as ``y``
     """
-    return _hpss_stft_pipeline(y, **kwargs)[0]
+    return _hpss_stft_pipeline(
+        y, kernel_size=kernel_size, power=power, mask=mask, margin=margin,
+        n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window=window, center=center, pad_mode=pad_mode,
+    )[0]
 
 
-def percussive(y: Any, **kwargs: Any) -> jax.Array:
+def percussive(
+    y: Any,
+    *,
+    kernel_size: Any = 31,
+    power: float = 2.0,
+    mask: bool = False,
+    margin: Any = 1.0,
+    n_fft: int = 2048,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    window: Any = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> jax.Array:
     """Extract the percussive component of an audio signal.
 
     ``istft(percussive_mask * stft(y))`` in one fused program; see
@@ -176,13 +224,20 @@ def percussive(y: Any, **kwargs: Any) -> jax.Array:
     Parameters
     ----------
     y : input signal
-    **kwargs : forwarded to ``decompose.hpss``
+    kernel_size, power, mask, margin
+        separation controls (see ``decompose.hpss``)
+    n_fft, hop_length, win_length, window, center, pad_mode
+        STFT analysis parameters
 
     Returns
     -------
     y_percussive : jax.Array, same shape as ``y``
     """
-    return _hpss_stft_pipeline(y, **kwargs)[1]
+    return _hpss_stft_pipeline(
+        y, kernel_size=kernel_size, power=power, mask=mask, margin=margin,
+        n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window=window, center=center, pad_mode=pad_mode,
+    )[1]
 
 
 @functools.partial(jax.jit, static_argnames=("rate", "len_stretch"))

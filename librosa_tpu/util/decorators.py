@@ -95,7 +95,10 @@ def deprecated(*, version: str, version_removed: str) -> Callable[[F], F]:
     return __wrapper
 
 
-def vectorize(*, otypes: Any = None, excluded: Any = None, signature: Any = None):
+def vectorize(
+    *, otypes: Any = None, doc: Any = None, excluded: Any = None,
+    cache: bool = False, signature: Any = None,
+):
     """Decorator: ``np.vectorize`` that preserves the wrapped docstring.
 
     Plain ``np.vectorize`` replaces ``__doc__`` with its own; this
@@ -115,7 +118,8 @@ def vectorize(*, otypes: Any = None, excluded: Any = None, signature: Any = None
 
     def __wrapper(function: F) -> F:
         vecfunc = np.vectorize(
-            function, otypes=otypes, excluded=excluded, signature=signature
+            function, otypes=otypes, doc=doc, excluded=excluded,
+            cache=cache, signature=signature,
         )
         return functools.wraps(function)(vecfunc)  # type: ignore[return-value]
 
