@@ -447,7 +447,7 @@ def note_to_midi(note: Any, *, round_midi: bool = True):
     return note_value
 
 
-def note_to_hz(note: Any, *, round_midi: bool = True):
+def note_to_hz(note: Any, *, round_midi: bool = False):
     """Convert one or more note names to frequencies in Hz.
 
     Parameters

@@ -557,7 +557,8 @@ def phase_vocoder(
         mag_idx = (i0e, np.minimum(i0e + 1, n_frames - 1).astype(np.int32))
         frace = jnp.asarray((t_out - i0e).astype(rdt))
     elif kind == "nearest":
-        mag_idx = (np.where(t_out - i0 < 0.5, i0, i1).astype(np.int32), None)
+        # scipy interp1d 'nearest' rounds half-ties DOWN (toward i0)
+        mag_idx = (np.where(t_out - i0 <= 0.5, i0, i1).astype(np.int32), None)
         frace = None
     else:
         mag_idx = (None, None)

@@ -957,7 +957,7 @@ def chroma_vqt(
     norm: Optional[float] = np.inf,
     threshold: float = 0.0,
     n_octaves: int = 7,
-    gamma: Optional[float] = None,
+    gamma: Optional[float] = 0,
     bins_per_octave: int = 12,
 ) -> jax.Array:
     """Variable-Q chromagram.

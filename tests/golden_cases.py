@@ -440,6 +440,51 @@ def _(L, s):
     return _np({"c": L.feature.chroma_vqt(V=V, sr=SR, intervals="ji5")})
 
 
+# Non-default branches of the round-3 fused programs (LATENCY.md):
+# exercises the static-argument paths the launch-budget fusions added.
+@case("fused_branch_configs", compare=_snr_compare(90))
+def _(L, s):
+    S = np.abs(np.asarray(L.stft(s["chirp"])))
+    freqs = np.asarray(L.fft_frequencies(sr=SR))
+    m = np.asarray(L.feature.mfcc(y=s["tone"], sr=SR))
+    return _np({
+        "pv_nearest": np.abs(np.asarray(
+            L.phase_vocoder(S.astype(np.complex64), rate=1.7,
+                            kind="nearest"))),
+        "pv_tout": np.abs(np.asarray(
+            L.phase_vocoder(S.astype(np.complex64),
+                            t_out=np.linspace(0, S.shape[-1] - 1, 17)))),
+        "contrast_linear": L.feature.spectral_contrast(
+            S=S, sr=SR, linear=True, quantile=0.05),
+        "rolloff_p": L.feature.spectral_rolloff(S=S, sr=SR,
+                                                roll_percent=0.5),
+        # filter_peaks=False here: the strict argrelmax mask flips on
+        # last-ulp STFT differences between implementations, so the
+        # peak-filtered path is pinned by the (coarser) salience golden
+        # and these cases pin the weighted aggregation exactly
+        "salience_w": np.asarray(L.salience(
+            S, freqs=freqs, harmonics=[1, 2, 3], weights=[1.0, 0.5, 0.25],
+            filter_peaks=False, fill_value=0.0)),
+        "salience_nofilter": np.asarray(L.salience(
+            S, freqs=freqs, harmonics=[1, 2], filter_peaks=False,
+            fill_value=0.0)),
+        "pip_scalar_ref": np.asarray(
+            L.piptrack(S=S, sr=SR, ref=float(S.max()) * 0.1)[1]),
+        "stack_neg": L.feature.stack_memory(m, n_steps=3, delay=-2),
+    })
+
+
+# Locks a default a signature audit found drifting (since fixed):
+# note_to_hz defaults to round_midi=False, so cent annotations survive.
+# (chroma_vqt's gamma=0 default is pinned in test_features.py — the
+# reference's y-path needs soxr, which the harvest shims stub out.)
+@case("default_semantics", compare=_snr_compare(100))
+def _(L, s):
+    return _np({
+        "n2h_cents": np.atleast_1d(L.note_to_hz("A4+50")).astype(float),
+    })
+
+
 @case("tonnetz", compare=_snr_compare(115))
 def _(L, s):
     return _np({

@@ -168,3 +168,22 @@ def test_piptrack_tone(tone_440):
     active = pitches[mags > 0.5 * mags.max()]
     assert len(active)
     assert abs(np.median(active) - 440) < 5
+
+
+def test_chroma_vqt_default_gamma_is_zero():
+    # reference feature/spectral.py:1588 declares gamma=0 (constant-Q
+    # bandwidths); the default must NOT fall through to vqt's auto-gamma
+    import librosa_tpu as lt
+
+    y = np.asarray(lt.tone(220, duration=0.5)).astype(np.float32)
+    default = np.asarray(lt.feature.chroma_vqt(
+        y=y, sr=22050, intervals="equal", n_octaves=6,
+    ))
+    explicit = np.asarray(lt.feature.chroma_vqt(
+        y=y, sr=22050, intervals="equal", n_octaves=6, gamma=0,
+    ))
+    auto = np.asarray(lt.feature.chroma_vqt(
+        y=y, sr=22050, intervals="equal", n_octaves=6, gamma=None,
+    ))
+    np.testing.assert_array_equal(default, explicit)
+    assert not np.allclose(default, auto)
