@@ -507,10 +507,14 @@ class AdaptiveWaveplot:
     def __init__(self, times, y, steps, envelope, sr=22050,
                  max_samples=11025, transpose=False, label=None,
                  max_points=None):
+        import weakref
+
         self.times = times
         self.y = y
-        self.steps = steps
-        self.envelope = envelope
+        # artists are held by weak reference (reference display.py:930):
+        # the axes own them; the waveplot must not keep them alive
+        self._steps_ref = weakref.ref(steps)
+        self._envelope_ref = weakref.ref(envelope)
         self.sr = sr
         # max_points kept as a deprecated alias of max_samples
         self.max_samples = max_points if max_points is not None else max_samples
@@ -518,6 +522,16 @@ class AdaptiveWaveplot:
         self.label = label
         self.cid = None
         self._ax = None
+
+    @property
+    def steps(self):
+        """The step-plot artist (Line2D), or None if garbage collected."""
+        return self._steps_ref()
+
+    @property
+    def envelope(self):
+        """The envelope artist (PolyCollection), or None if collected."""
+        return self._envelope_ref()
 
     @property
     def max_points(self):
@@ -534,12 +548,13 @@ class AdaptiveWaveplot:
         else:
             lims = ax.get_xlim()
         n_view = int((lims[1] - lims[0]) * self.sr)
-        if n_view <= self.max_samples:
-            self.steps.set_visible(True)
-            self.envelope.set_visible(False)
-        else:
-            self.steps.set_visible(False)
-            self.envelope.set_visible(True)
+        steps = self.steps
+        envelope = self.envelope
+        show_steps = n_view <= self.max_samples
+        if steps is not None:
+            steps.set_visible(show_steps)
+        if envelope is not None:
+            envelope.set_visible(not show_steps)
 
     def connect(self, ax, signal: str = "xlim_changed") -> None:
         """Register the zoom-adaptive callback on ``ax``.
