@@ -1054,6 +1054,20 @@ def icqt(
     return y
 
 
+@jax.jit
+def _gl_cqt_proj(C, angles):
+    """Magnitude × phase product for the Griffin-Lim CQT iteration."""
+    return C * angles
+
+
+@functools.partial(jax.jit, static_argnames=("momentum", "eps", "t_len"))
+def _gl_cqt_update(rebuilt, tprev, *, momentum, eps, t_len):
+    rebuilt = rebuilt[..., :t_len]
+    angles = rebuilt - (momentum / (1 + momentum)) * tprev
+    angles = angles / (jnp.abs(angles) + eps)
+    return angles, rebuilt
+
+
 def griffinlim_cqt(
     C: Any,
     *,
@@ -1174,7 +1188,7 @@ def griffinlim_cqt(
     for _ in range(n_iter):
         tprev = rebuilt
         inverse = icqt(
-            C * angles, sr=sr, hop_length=hop_length,
+            _gl_cqt_proj(C, angles), sr=sr, hop_length=hop_length,
             bins_per_octave=bins_per_octave, fmin=fmin, tuning=tuning,
             filter_scale=filter_scale, window=window, length=length,
             res_type=res_type, norm=norm, scale=scale, sparsity=sparsity,
@@ -1186,12 +1200,15 @@ def griffinlim_cqt(
             res_type=res_type, norm=norm, scale=scale, sparsity=sparsity,
             pad_mode=pad_mode,
         )
-        rebuilt = rebuilt[..., : C.shape[-1]]
-        angles = rebuilt - (momentum / (1 + momentum)) * tprev
-        angles = angles / (jnp.abs(angles) + eps)
+        # trim + momentum update + phase normalization as ONE program
+        # (eagerly ~4 dispatches per iteration)
+        angles, rebuilt = _gl_cqt_update(
+            rebuilt, tprev, momentum=float(momentum), eps=float(eps),
+            t_len=int(C.shape[-1]),
+        )
 
     return icqt(
-        C * angles, sr=sr, hop_length=hop_length,
+        _gl_cqt_proj(C, angles), sr=sr, hop_length=hop_length,
         bins_per_octave=bins_per_octave, fmin=fmin, tuning=tuning,
         filter_scale=filter_scale, window=window, length=length, dtype=dtype,
         res_type=res_type, norm=norm, scale=scale, sparsity=sparsity,

@@ -96,7 +96,23 @@ def dft_mats_device(n_fft: int, dtype) -> tuple:
     """Device-resident (Cᵀ, Sᵀ) DFT matrices, cached per (n_fft, dtype).
 
     Passed as jit *arguments* (not traced constants) so large matrices are
-    uploaded once and shared across every compiled program.
+    uploaded once and shared across every compiled program — embedding a
+    2048-point matrix pair as constants would re-ship ~16 MB through the
+    remote compiler per program.  The cache is tracer-guarded: values
+    created under a trace are never stored (see the axon notes in
+    CLAUDE.md).
+
+    Parameters
+    ----------
+    n_fft : int
+        transform size
+    dtype : dtype
+        real dtype of the matrices
+
+    Returns
+    -------
+    (Ct, St) : tuple of jax.Array [shape=(n_fft, 1 + n_fft//2)]
+        cosine and sine analysis matrices, transposed for rhs matmul
     """
     key = (n_fft, jnp.dtype(dtype).name)
     if key in _DEV_MATS:

@@ -77,7 +77,15 @@ def candidate_mask(
     post_avg: int,
     delta: float,
 ) -> jax.Array:
-    """Frames passing both windowed tests (no wait constraint yet)."""
+    """Peak candidates: frames passing both windowed tests.
+
+    A frame qualifies when it equals the max over its
+    ``[n-pre_max, n+post_max)`` window AND exceeds the mean over
+    ``[n-pre_avg, n+post_avg)`` by ``delta`` — the reference
+    ``peak_pick`` conditions before the sequential ``wait`` constraint
+    is applied (``util/utils.py:1225``).  Pure shift-compare device ops;
+    batched over leading axes.
+    """
     wmax, wmean = _windowed_stats(x, pre_max, post_max, pre_avg, post_avg)
     return (x == wmax) & (x >= wmean + delta)
 

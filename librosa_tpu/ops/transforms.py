@@ -18,8 +18,21 @@ __all__ = ["dct_matrix", "dft_matrices"]
 def dct_matrix(n: int, *, dct_type: int = 2, norm: str | None = "ortho") -> np.ndarray:
     """DCT matrix ``C`` such that ``C @ x == scipy.fft.dct(x, type, norm)``.
 
-    Covers types 2 and 3 (the ones used by MFCC, reference
-    ``feature/spectral.py:2005``).  Built in float64, returned float32.
+    The MFCC projection runs as this matrix applied on the MXU rather
+    than a host DCT call.  Covers types 2 and 3 (the ones the reference
+    uses, ``feature/spectral.py:2005``); built in float64 for accurate
+    trigonometry, returned float32 for the device matmul.
+
+    Parameters
+    ----------
+    n : int > 0
+        transform size
+    dct_type : int in {2, 3}
+    norm : 'ortho' or None
+
+    Returns
+    -------
+    C : np.ndarray [shape=(n, n), float32]
     """
     k = np.arange(n)[:, None]
     m = np.arange(n)[None, :]
