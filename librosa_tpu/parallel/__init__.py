@@ -18,3 +18,4 @@ from .analysis import (  # noqa: F401
     beat_track_sharded,
 )
 from .constantq import cqt_sharded  # noqa: F401
+from .effects import hpss_sharded  # noqa: F401

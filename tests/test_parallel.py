@@ -201,3 +201,39 @@ def test_beat_track_sharded_matches_unsharded(mesh8, rng):
         rtol=1e-6,
     )
     assert np.array_equal(np.asarray(beats_sh), np.asarray(beats))
+
+
+@pytest.mark.parametrize("pad_mode", ["constant", "reflect"])
+def test_hpss_sharded_seamfree(mesh8, rng, pad_mode):
+    from librosa_tpu.parallel import hpss_sharded
+
+    n = 8 * 512 * 48
+    t = np.arange(n) / 22050
+    y = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.2 * rng.randn(n)).astype(np.float32)
+
+    h_s, p_s = hpss_sharded(y, mesh=mesh8, pad_mode=pad_mode)
+    h_r, p_r = lt.effects.hpss(y, pad_mode=pad_mode)
+
+    for a, b in ((h_s, h_r), (p_s, p_r)):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b)
+        snr = 10 * np.log10((b**2).sum() / max((err**2).sum(), 1e-300))
+        assert snr > 120, snr
+
+
+def test_hpss_sharded_margins_multichannel(mesh8, rng):
+    from librosa_tpu.parallel import hpss_sharded
+
+    n = 8 * 512 * 48
+    y = (0.1 * rng.randn(2, n)).astype(np.float32)
+
+    h_s, p_s = hpss_sharded(y, mesh=mesh8, margin=2.0, kernel_size=17)
+    h_r, p_r = lt.effects.hpss(y, margin=2.0, kernel_size=17)
+
+    for a, b in ((h_s, h_r), (p_s, p_r)):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b)
+        den = (b**2).sum()
+        snr = 10 * np.log10(den / max((err**2).sum(), 1e-300))
+        assert snr > 110, snr
