@@ -16,6 +16,8 @@ from .analysis import (  # noqa: F401
     pcen_sharded,
     pyin_sharded,
     beat_track_sharded,
+    mfcc_sharded,
+    chroma_cqt_sharded,
 )
 from .constantq import cqt_sharded  # noqa: F401
 from .effects import hpss_sharded  # noqa: F401

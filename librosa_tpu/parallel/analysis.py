@@ -427,3 +427,124 @@ def beat_track_sharded(
         onset_envelope=np.asarray(env), sr=sr, hop_length=hop_length,
         **beat_kwargs,
     )
+
+
+def mfcc_sharded(
+    y: Any,
+    *,
+    mesh: Mesh,
+    axis_name: str = "time",
+    sr: float = 22050,
+    n_mfcc: int = 20,
+    dct_type: int = 2,
+    norm: Optional[str] = "ortho",
+    lifter: float = 0,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    n_mels: int = 128,
+    **mel_kwargs: Any,
+) -> jax.Array:
+    """Time-sharded MFCC: sharded mel spectrogram + frame-local DCT.
+
+    The mel spectrogram comes from :func:`parallel.melspectrogram_sharded`
+    (seam-free halo framing); the dB conversion and DCT are frame-local,
+    so they apply shard-wise with the replicated DCT matrix — no extra
+    communication beyond the mel halos.
+
+    Parameters
+    ----------
+    y : array [shape=(..., n)]
+        input signal (same divisibility rules as ``stft_sharded``)
+    mesh, axis_name
+        device mesh and its time axis
+    sr, n_mfcc, dct_type, norm, lifter, n_fft, hop_length, n_mels
+        as in :func:`librosa_tpu.feature.mfcc`
+    **mel_kwargs
+        forwarded mel filterbank controls
+
+    Returns
+    -------
+    M : jax.Array [shape=(..., n_mfcc, t)]
+        MFCCs, sharded over frames
+
+    See Also
+    --------
+    librosa_tpu.feature.mfcc, melspectrogram_sharded
+    """
+    from ..feature.spectral import _mfcc_tail
+    from ..ops.transforms import dct_matrix
+    from .sharded import melspectrogram_sharded
+
+    M = melspectrogram_sharded(
+        y, mesh=mesh, axis_name=axis_name, sr=sr, n_fft=n_fft,
+        hop_length=hop_length, n_mels=n_mels, **mel_kwargs,
+    )
+    C = dct_matrix(n_mels, dct_type=dct_type, norm=norm)[:n_mfcc]
+    return _mfcc_tail(
+        M, jnp.asarray(np.asarray(C, dtype=np.dtype(M.dtype))),
+        lifter=float(lifter), db=True,
+    )
+
+
+def chroma_cqt_sharded(
+    y: Any,
+    *,
+    mesh: Mesh,
+    axis_name: str = "time",
+    sr: float = 22050,
+    hop_length: int = 512,
+    fmin: Optional[float] = None,
+    norm: Optional[float] = np.inf,
+    threshold: float = 0.0,
+    n_chroma: int = 12,
+    n_octaves: int = 7,
+    bins_per_octave: int = 36,
+) -> jax.Array:
+    """Time-sharded constant-Q chromagram.
+
+    The CQT magnitudes come from the sharded octave ladder
+    (:func:`parallel.cqt_sharded`); the pitch-class fold, threshold, and
+    normalization are frame-local (replicated ``cq_to_chroma`` basis),
+    so the only communication is the ladder's decimation halos.
+
+    Parameters
+    ----------
+    y : array [shape=(..., n)]
+        input signal (the ladder's divisibility rules apply)
+    mesh, axis_name
+        device mesh and its time axis
+    sr, hop_length, fmin, norm, threshold, n_chroma, n_octaves,
+    bins_per_octave
+        as in :func:`librosa_tpu.feature.chroma_cqt`
+
+    Returns
+    -------
+    chromagram : jax.Array [shape=(..., n_chroma, t)]
+        sharded over frames
+
+    See Also
+    --------
+    librosa_tpu.feature.chroma_cqt, cqt_sharded
+    """
+    from .. import filters
+    from ..core.convert import note_to_hz as _n2hz
+    from ..feature.spectral import _project_norm_core
+    from .constantq import cqt_sharded
+
+    if fmin is None:
+        fmin = _n2hz("C1")
+
+    C = jnp.abs(cqt_sharded(
+        y, mesh=mesh, axis_name=axis_name, sr=sr, hop_length=hop_length,
+        fmin=fmin, n_bins=n_octaves * bins_per_octave,
+        bins_per_octave=bins_per_octave,
+    ))
+    cq_to_chr = filters.cq_to_chroma(
+        C.shape[-2], bins_per_octave=bins_per_octave, n_chroma=n_chroma,
+        fmin=fmin,
+    )
+    return _project_norm_core(
+        C, jnp.asarray(np.asarray(cq_to_chr, dtype=np.dtype(C.dtype))),
+        threshold=None if threshold is None else float(threshold),
+        norm=None if norm is None else float(norm),
+    )

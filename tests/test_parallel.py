@@ -237,3 +237,57 @@ def test_hpss_sharded_margins_multichannel(mesh8, rng):
         den = (b**2).sum()
         snr = 10 * np.log10(den / max((err**2).sum(), 1e-300))
         assert snr > 110, snr
+
+
+def test_mfcc_sharded_matches_unsharded(mesh8, rng):
+    from librosa_tpu.parallel import mfcc_sharded
+
+    n = 8 * 512 * 32
+    t = np.arange(n) / 22050
+    y = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.1 * rng.randn(n)).astype(np.float32)
+
+    m_s = np.asarray(mfcc_sharded(y, mesh=mesh8, sr=22050))
+    m_r = np.asarray(lt.feature.mfcc(y=y, sr=22050))
+    nt = min(m_s.shape[-1], m_r.shape[-1])
+    err = np.abs(m_s[..., :nt] - m_r[..., :nt])
+    snr = 10 * np.log10(
+        (m_r[..., :nt] ** 2).sum() / max((err**2).sum(), 1e-300)
+    )
+    assert snr > 120, snr
+
+
+def test_chroma_cqt_sharded_matches_polyphase(mesh8, rng):
+    # cqt_sharded's ladder is the polyphase resampler, so the oracle is
+    # the unsharded chroma over cqt(res_type='polyphase')
+    import jax.numpy as jnp
+
+    from librosa_tpu import filters
+    from librosa_tpu.feature.spectral import _project_norm_core
+    from librosa_tpu.parallel import chroma_cqt_sharded
+
+    n = 8 * 512 * 64
+    t = np.arange(n) / 22050
+    y = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.1 * rng.randn(n)).astype(np.float32)
+
+    c_s = np.asarray(chroma_cqt_sharded(
+        y, mesh=mesh8, sr=22050, hop_length=512, n_octaves=4,
+        bins_per_octave=12,
+    ))
+    fmin = float(lt.note_to_hz("C1"))
+    C = np.abs(np.asarray(lt.cqt(
+        y, sr=22050, hop_length=512, fmin=fmin, n_bins=48,
+        bins_per_octave=12, res_type="polyphase", tuning=0.0,
+    )))
+    fb = filters.cq_to_chroma(48, bins_per_octave=12, n_chroma=12, fmin=fmin)
+    c_r = np.asarray(_project_norm_core(
+        jnp.asarray(C), jnp.asarray(fb.astype(np.float32)),
+        threshold=0.0, norm=float(np.inf),
+    ))
+    nt = min(c_s.shape[-1], c_r.shape[-1])
+    err = np.abs(c_s[..., :nt] - c_r[..., :nt])
+    snr = 10 * np.log10(
+        (c_r[..., :nt] ** 2).sum() / max((err**2).sum(), 1e-300)
+    )
+    assert snr > 120, snr
