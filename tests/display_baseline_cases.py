@@ -440,6 +440,95 @@ def render_case(name: str):
             voiced = f0 < 500
             lt.display.wavef0(y, f0=np.where(voiced, f0, np.nan), sr=SR,
                               ax=ax)
+        elif name == "specshow_complex_input":
+            # reference test_complex_input: magnitude of complex data
+            D = np.asarray(lt.stft(y))
+            lt.display.specshow(D, sr=SR, x_axis="time", y_axis="linear",
+                                ax=ax)
+        elif name == "waveshow_ext_axes":
+            # reference test_waveshow_ext_axes: draw on a provided axis
+            import matplotlib.pyplot as _plt
+
+            _plt.close(fig)
+            fig, (axl, axr) = _plt.subplots(
+                1, 2, figsize=(5, 3), dpi=72
+            )
+            ax = axl
+            lt.display.waveshow(y[:8000], sr=SR, ax=axl, color="blue")
+            lt.display.waveshow(y[:8000], sr=SR, ax=axr, color="red")
+        elif name == "specshow_ext_axes":
+            import matplotlib.pyplot as _plt
+
+            _plt.close(fig)
+            fig, (axl, axr) = _plt.subplots(
+                1, 2, figsize=(5, 3), dpi=72
+            )
+            ax = axl
+            S = lt.power_to_db(
+                np.abs(np.asarray(lt.stft(y))) ** 2, ref=np.max
+            )
+            lt.display.specshow(np.asarray(S), ax=axl, y_axis="log")
+            lt.display.specshow(np.asarray(S), ax=axr, y_axis="linear")
+        elif name == "legend_grid":
+            # reference legend_for_axes_default_grid
+            import matplotlib.pyplot as _plt
+
+            _plt.close(fig)
+            fig, axes = _plt.subplots(2, 2, figsize=(5, 3), dpi=72)
+            ax = axes[0, 0]
+            env = np.asarray(lt.onset.onset_strength(y=y, sr=SR))
+            times = np.asarray(lt.times_like(env, sr=SR))
+            for k, a in enumerate(axes.ravel()):
+                a.plot(times, env * (k + 1), label=f"x{k+1}")
+            lt.display.legend_for_axes(list(axes.ravel()))
+        elif name == "specshow_oct3_minor":
+            # reference test_oct3_minor: third-octave bands, minor ticks
+            import librosa_tpu.core.convert as _conv
+
+            S = lt.power_to_db(
+                np.abs(np.asarray(lt.stft(y))) ** 2, ref=np.max
+            )[:128]
+            lt.display.specshow(
+                np.asarray(S), sr=SR, x_axis="time", y_axis="log", ax=ax
+            )
+            ax.minorticks_on()
+        elif name == "specshow_chroma_zoom":
+            ch = np.asarray(lt.feature.chroma_stft(y=y, sr=SR, tuning=0.0))
+            lt.display.specshow(ch, sr=SR, x_axis="time", y_axis="chroma",
+                                ax=ax)
+            fig.canvas.draw()
+            ax.set_ylim(2, 6)
+        elif name == "waveshow_where_pre":
+            lt.display.waveshow(y[:400], sr=SR, ax=ax, where="pre")
+        elif name == "specshow_cqt_hz_zoom":
+            C = lt.amplitude_to_db(
+                np.abs(np.asarray(lt.cqt(y, sr=SR, res_type="polyphase"))),
+                ref=np.max,
+            )
+            lt.display.specshow(
+                np.asarray(C), sr=SR, x_axis="time", y_axis="cqt_hz", ax=ax
+            )
+            fig.canvas.draw()
+            ax.set_ylim(100, 400)
+        elif name == "specshow_tempo_zoom":
+            tg = np.asarray(lt.feature.tempogram(y=y, sr=SR))
+            lt.display.specshow(tg, sr=SR, x_axis="time", y_axis="tempo",
+                                ax=ax)
+            fig.canvas.draw()
+            ax.set_ylim(60, 240)
+        elif name == "wavebars_invert":
+            lt.display.wavebars(y, sr=SR, ax=ax, invert=True)
+        elif name == "specshow_no_axes":
+            S = lt.power_to_db(
+                np.abs(np.asarray(lt.stft(y))) ** 2, ref=np.max
+            )
+            lt.display.specshow(np.asarray(S), sr=SR, ax=ax)
+        elif name == "specshow_vscale_phase":
+            D = np.asarray(lt.stft(y))
+            lt.display.specshow(
+                np.angle(D), sr=SR, x_axis="time", y_axis="linear",
+                vscale="phase", ax=ax,
+            )
         else:
             raise KeyError(name)
 
@@ -514,4 +603,16 @@ CASES = [
     "specshow_coords",
     "specshow_fft_odd",
     "wavef0_voicing",
+    "specshow_complex_input",
+    "waveshow_ext_axes",
+    "specshow_ext_axes",
+    "legend_grid",
+    "specshow_oct3_minor",
+    "specshow_chroma_zoom",
+    "waveshow_where_pre",
+    "specshow_cqt_hz_zoom",
+    "specshow_tempo_zoom",
+    "wavebars_invert",
+    "specshow_no_axes",
+    "specshow_vscale_phase",
 ]
