@@ -42,7 +42,15 @@ def _is_axon(arr) -> bool:
 
 
 def install() -> None:
-    """Patch ``ArrayImpl._value`` with the complex-safe fetch. Idempotent."""
+    """Install the axon host↔device transfer shims (idempotent).
+
+    The axon TPU backend cannot transfer complex buffers in either
+    direction, and 0-d uploads trip a layout bug; this patches
+    ``ArrayImpl._value`` (device→host: fetch real/imag separately) and
+    ``pxla.batched_device_put`` (host→device: split complex operands,
+    ship scalars as shape-(1,) + reshape).  Imported automatically by
+    the package; calling again is a no-op.
+    """
     global _INSTALLED
     if _INSTALLED:
         return

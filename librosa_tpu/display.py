@@ -500,8 +500,14 @@ class TonnetzFormatter(Formatter):
 class AdaptiveWaveplot:
     """Switch between sample-level and envelope rendering on zoom.
 
-    Parity: display.py:862 — a simplified adaptive artist: the connected
-    callback swaps envelope and sample renderings based on the view width.
+    ``waveshow`` returns one of these: while the visible span holds at
+    most ``max_samples`` samples a step plot of the raw waveform is
+    shown; zoomed out, a min/max amplitude envelope replaces it.  The
+    swap re-fires on every x-limit change once :meth:`connect` has
+    registered the callback (done automatically by ``waveshow``).
+    Artists are held by weak reference — the axes own them.
+
+    Parity: reference display.py:862.
     """
 
     def __init__(self, times, y, steps, envelope, sr=22050,

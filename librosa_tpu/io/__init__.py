@@ -105,9 +105,28 @@ def read_audio(
     duration: Optional[float] = None,
     dtype: np.dtype = np.float32,
 ) -> Tuple[np.ndarray, int]:
-    """Decode an audio file → ``(y, sr)`` with ``y`` shaped ``(ch, n)``
-    (squeezed to ``(n,)`` for mono), matching the reference's soundfile load
-    conventions (``librosa/core/audio.py:171`` __soundfile_load).
+    """Decode an audio file to ``(y, sr)``.
+
+    ``y`` is float32 shaped ``(ch, n)`` (squeezed to ``(n,)`` for mono),
+    matching the reference's soundfile load conventions
+    (``librosa/core/audio.py:171`` __soundfile_load).  The native C++
+    decoder (wav/flac/ogg) is preferred; stdlib ``wave`` is the fallback.
+
+    Parameters
+    ----------
+    path : str or Path
+        audio file
+    offset : float
+        start reading at this time (seconds, native rate)
+    duration : float or None
+        maximum amount to decode (seconds)
+    dtype : numeric dtype
+        output sample dtype
+
+    Returns
+    -------
+    y : np.ndarray
+    sr : int
     """
     path = os.fspath(path)
     nat = _native()

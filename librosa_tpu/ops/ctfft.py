@@ -125,7 +125,22 @@ def fft_arbitrary(x: jax.Array, n: int) -> jax.Array:
 
 
 def ifft_arbitrary(x: jax.Array, n: int) -> jax.Array:
-    """Inverse complex FFT over the last axis."""
+    """Inverse complex FFT over the last axis (composite-length safe).
+
+    The inverse twin of :func:`fft_arbitrary`: power-of-two lengths use
+    the XLA IFFT; other lengths run the two-stage Cooley-Tukey matmul
+    decomposition with conjugated twiddles and the 1/n scale.
+
+    Parameters
+    ----------
+    x : jax.Array [shape=(..., n), complex]
+    n : int
+        transform length; must equal ``x.shape[-1]``
+
+    Returns
+    -------
+    y : jax.Array [shape=(..., n), complex]
+    """
     x = jnp.asarray(x)
     if x.shape[-1] != n:
         raise ValueError("length mismatch")

@@ -108,8 +108,26 @@ def greedy_mask(
 ) -> jax.Array:
     """Greedy peak mask over the last axis; leading axes are batched.
 
-    Bit-identical to the host ``_peak_pick_greedy_1d`` (and the reference
-    numba kernel) up to float-precision of the windowed mean.
+    A ``lax.scan`` with a wait-countdown carry reproduces the reference
+    numba kernel's sequential semantics: a candidate frame becomes a
+    peak only if at least ``wait`` frames have passed since the last
+    accepted peak.  Bit-identical to the host ``_peak_pick_greedy_1d``
+    up to float precision of the windowed mean.
+
+    Parameters
+    ----------
+    x : jax.Array [shape=(..., n)]
+        envelope(s)
+    pre_max, post_max, pre_avg, post_avg : int
+        windowed max/mean extents (see ``util.peak_pick``)
+    delta : float
+        mean-exceedance threshold
+    wait : int
+        minimum frames between accepted peaks
+
+    Returns
+    -------
+    mask : jax.Array [bool, shape of x]
     """
     cand = candidate_mask(
         x, pre_max=pre_max, post_max=post_max, pre_avg=pre_avg,

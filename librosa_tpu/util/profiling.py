@@ -307,6 +307,22 @@ def roofline(
 
     FLOP/byte counts come from XLA's compiled cost analysis; ``ceilings``
     defaults to a fresh :func:`calibrate` run.
+
+    Parameters
+    ----------
+    fn : callable
+        function to profile (jitted here)
+    *args
+        example inputs
+    ceilings : DeviceCeilings or None
+        measured ceilings to compare against
+    iters : int
+        timing repetitions (best is kept)
+
+    Returns
+    -------
+    report : RooflineReport
+        achieved FLOP/s, bandwidth, utilizations, and the binding limit
     """
     import jax
     import jax.numpy as jnp
