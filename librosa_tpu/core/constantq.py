@@ -31,7 +31,7 @@ from . import audio
 from .convert import cqt_frequencies, note_to_hz
 from .intervals import interval_frequencies
 from .pitch import estimate_tuning
-from .spectrum import _griffinlim_init, istft, stft
+from .spectrum import _griffinlim_init, istft
 
 __all__ = ["cqt", "vqt", "hybrid_cqt", "pseudo_cqt", "icqt", "griffinlim_cqt"]
 

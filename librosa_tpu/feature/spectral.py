@@ -18,14 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import filters
-from ..core.convert import fft_frequencies, mel_frequencies
+from ..core.convert import fft_frequencies
 from ..core.spectrum import (
     _mats_arg,
     _spectrogram,
     _stft_mel_core,
     _win_device,
     power_to_db,
-    stft,
 )
 from ..ops.transforms import dct_matrix
 from ..util import utils as util

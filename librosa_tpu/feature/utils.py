@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..util import utils as util
 from ..util.exceptions import ParameterError
 
 __all__ = ["delta", "stack_memory"]

@@ -10,7 +10,6 @@ scatter-add fallback otherwise.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

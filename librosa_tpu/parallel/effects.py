@@ -23,11 +23,10 @@ the unsharded ``effects.hpss`` to float precision.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
