@@ -1,0 +1,156 @@
+"""Measurement battery for the fused STFT+mel kernel's ROOFLINE residuals.
+
+One command gathers every number VERDICT r2 item 1 asks for, the moment
+a TPU is available (the device grant was wedged for all of round 3's
+measurement window — see ROOFLINE.md).  Run on the real device:
+
+    python scripts/kernel_experiments.py            # full battery
+    python scripts/kernel_experiments.py quick      # headline only
+
+Experiments:
+
+1. **zero-copy vs legacy layout** — the round-3 kernel DMAs interior
+   tiles straight from the caller's buffer; the padded legacy layout is
+   the proven round-2 structure.  If Mosaic rejected the new layout the
+   fallback fires automatically (``_LEGACY_CONFIGS`` reports it).
+2. **end-to-end vs pre-padded** — confirms the jnp.pad reconciliation
+   (BENCH_r02 3.63 G vs kernel-alone 4.05-4.13 G, ROOFLINE.md).
+3. **mixed-precision dial** — (stage_a, stage_b, basis) sweep over
+   HIGHEST/DEFAULT triples: the speed/SNR frontier.
+4. **tile-size sweep** — tt ∈ {64, 128, 256}: serial-slice amortization.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+SR = 22050
+N_FFT = 2048
+HOP = 512
+N_MELS = 128
+BIG_N = 1 << 26
+
+
+def _sync(x):
+    return float(jnp.sum(x))
+
+
+def _bench(fn, y, iters=5, groups=3):
+    """Best sustained group (tunnel stalls poison means)."""
+    _sync(fn(y))
+    best = float("inf")
+    for _ in range(groups):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(y)
+        _sync(r)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main() -> None:
+    quick = "quick" in sys.argv[1:]
+
+    import librosa_tpu as lt
+    from librosa_tpu import filters
+    from librosa_tpu.core.spectrum import _win_device
+    from librosa_tpu.ops import pallas_stft as ps
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.randn(BIG_N).astype(np.float32))
+    window = _win_device("hann", N_FFT, N_FFT, jnp.float32)
+    basis = filters.mel(sr=SR, n_fft=N_FFT, n_mels=N_MELS).astype(np.float32)
+
+    def gsps(dt):
+        return BIG_N / dt / 1e9
+
+    # ---- 1. zero-copy (production path) ------------------------------
+    def prod(yb):
+        return ps.stft_mel_pallas(
+            yb, window, basis, n_fft=N_FFT, hop_length=HOP, power=2.0,
+        )
+
+    dt = _bench(prod, y)
+    print(f"[1] zero-copy end-to-end: {gsps(dt):.2f} G samples/s "
+          f"({dt*1e3:.1f} ms)  legacy-fallbacks={ps._LEGACY_CONFIGS}",
+          flush=True)
+
+    # ---- 2. pre-padded comparison (kernel-alone measurement) ---------
+    lpad = N_FFT // 2
+    y_pad = jnp.pad(y, (lpad, lpad + HOP))
+
+    def padded(yb):
+        # time only the kernel over an already-materialized padded buffer
+        return ps.stft_mel_pallas(
+            yb[lpad:-lpad - HOP], window, basis, n_fft=N_FFT,
+            hop_length=HOP, power=2.0,
+        )
+
+    dt2 = _bench(padded, y_pad)
+    print(f"[2] over pre-padded buffer: {gsps(dt2):.2f} G samples/s",
+          flush=True)
+
+    if quick:
+        return
+
+    # ---- 3. mixed-precision dial --------------------------------------
+    H = jax.lax.Precision.HIGHEST
+    D = jax.lax.Precision.DEFAULT
+    ref = None
+    m = SR * 4
+    import scipy.fft
+
+    ys = np.asarray(y[:m])
+    ypad = np.pad(ys.astype(np.float64), N_FFT // 2)
+    nf = 1 + m // HOP
+    idx = np.arange(N_FFT)[None, :] + HOP * np.arange(nf)[:, None]
+    win64 = np.asarray(window).astype(np.float64)
+    sp = scipy.fft.rfft(ypad[idx] * win64, axis=-1)
+    ref = ((sp.real**2 + sp.imag**2) @ basis.astype(np.float64).T).T
+
+    for name, prec in [("HHH", (H, H, H)), ("HHD", (H, H, D)),
+                       ("HDD", (H, D, D)), ("DDD", (D, D, D))]:
+        def fn(yb, p=prec):
+            return ps.stft_mel_pallas(
+                yb, window, basis, n_fft=N_FFT, hop_length=HOP, power=2.0,
+                precision=p,
+            )
+
+        dt3 = _bench(fn, y)
+        ours = np.asarray(fn(y[:m]))[:, : ref.shape[1]].astype(np.float64)
+        err = ours - ref
+        snr = 10 * np.log10((ref**2).sum() / max((err**2).sum(), 1e-300))
+        print(f"[3] precision {name}: {gsps(dt3):.2f} G samples/s, "
+              f"SNR {snr:.1f} dB", flush=True)
+
+    # ---- 4. tile-size sweep -------------------------------------------
+    for tt in (64, 128, 256):
+        try:
+            def fn(yb, t=tt):
+                return ps.stft_mel_pallas(
+                    yb, window, basis, n_fft=N_FFT, hop_length=HOP,
+                    power=2.0, tile_frames=t,
+                )
+
+            dt4 = _bench(fn, y)
+            print(f"[4] tile_frames={tt}: {gsps(dt4):.2f} G samples/s",
+                  flush=True)
+        except Exception as e:
+            print(f"[4] tile_frames={tt}: failed ({str(e)[:80]})",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
