@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import filters
+from ..ops import iir
 from ..util import utils as util
 from ..util.exceptions import ParameterError
 from . import convert
@@ -363,9 +364,20 @@ def iirt(
     -------
     bands_power : jax.Array [shape=(..., 85, t)]
         short-time mean-square power per semitone band
-    """
-    import scipy.signal
 
+    Notes
+    -----
+    The reference filters each of the 85 bands through a separate host
+    ``scipy.signal.filtfilt``/``sosfiltfilt`` call.  Here each sample-rate
+    group (36 + 34 + 15 bands) runs as ONE fused device program —
+    zero-phase bank filtering via residual-refined prefix-doubling scans
+    (:func:`librosa_tpu.ops.iir.sos_bank_filtfilt`) chained straight into
+    the fractional-hop frame-energy gather, so no per-band host traffic
+    remains.  ``flayout='ba'`` is realized with the same biquad cascades
+    (the order-8 transfer function factored into sections is the
+    numerically superior representation; zero-phase output agrees with
+    the reference's ``filtfilt(b, a)`` to float64 design precision).
+    """
     if flayout not in ("ba", "sos"):
         raise ParameterError(f"Unsupported flayout={flayout}")
 
@@ -381,53 +393,78 @@ def iirt(
         padding[-1] = (win_length // 2, win_length // 2)
         y = np.pad(y, padding, mode=pad_mode)
 
+    # Filtering always runs on the SOS factorization (see Notes); the
+    # flayout argument is validated above for API parity.
     filterbank_ct, sample_rates = filters.semitone_filterbank(
-        tuning=tuning, flayout=flayout, **kwargs
+        tuning=tuning, flayout="sos", **kwargs
     )
 
-    y_srs = np.unique(sample_rates)
-    y_resampled = [
-        np.asarray(resample(y, orig_sr=sr, target_sr=cur_sr, res_type=res_type))
-        for cur_sr in y_srs
-    ]
-
     n_frames = int(1 + (y.shape[-1] - win_length) // hop_length)
+    batch = y.shape[:-1]
 
-    shape = list(y.shape)
-    shape[-1] = n_frames
-    shape.insert(-1, len(filterbank_ct))
-    bands_power = np.empty(shape, dtype=y.dtype)
+    outs = []
+    band_order: list = []
+    for cur_sr in np.unique(sample_rates):
+        sel = np.flatnonzero(sample_rates == cur_sr)
+        band_order.extend(sel.tolist())
+        group_sos = np.stack([np.asarray(filterbank_ct[i]) for i in sel])
 
-    slices: list = [slice(None) for _ in bands_power.shape]
-    for i, (cur_sr, cur_filter) in enumerate(zip(sample_rates, filterbank_ct)):
-        slices[-2] = i
-        cur_sr_idx = int(np.flatnonzero(y_srs == cur_sr)[0])
-
-        if flayout == "ba":
-            cur_out = scipy.signal.filtfilt(
-                cur_filter[0], cur_filter[1], y_resampled[cur_sr_idx], axis=-1
-            )
-        else:
-            cur_out = scipy.signal.sosfiltfilt(
-                cur_filter, y_resampled[cur_sr_idx], axis=-1
-            )
+        y_rs = resample(y, orig_sr=sr, target_sr=cur_sr, res_type=res_type)
+        n_rs = y_rs.shape[-1]
 
         factor = sr / cur_sr
         hop_stmsp = hop_length / factor
         win_stmsp = round(win_length / factor)
 
-        start_idx = np.arange(0, cur_out.shape[-1] - win_stmsp, hop_stmsp)
-        if len(start_idx) < n_frames:
-            min_length = int(np.ceil(n_frames * hop_stmsp)) + win_stmsp
-            cur_out = np.asarray(
-                util.fix_length(jnp.asarray(cur_out), size=min_length)
+        start = np.arange(0, n_rs - win_stmsp, hop_stmsp)
+        pad_to = n_rs
+        if len(start) < n_frames:
+            pad_to = int(np.ceil(n_frames * hop_stmsp)) + win_stmsp
+            start = np.arange(0, pad_to - win_stmsp, hop_stmsp)
+        start_idx = np.round(start).astype(np.int32)[:n_frames]
+        idx = start_idx[:, None] + np.arange(win_stmsp, dtype=np.int32)
+
+        padlen = iir._bank_padlen(group_sos)
+        if n_rs <= padlen:
+            raise ParameterError(
+                f"Input too short for the {cur_sr} Hz filter group: "
+                f"{n_rs} resampled samples <= pad length {padlen}"
             )
-            start_idx = np.arange(0, cur_out.shape[-1] - win_stmsp, hop_stmsp)
-        start_idx = np.round(start_idx).astype(int)[:n_frames]
-
-        idx = np.add.outer(start_idx, np.arange(win_stmsp))
-        bands_power[tuple(slices)] = factor * np.sum(
-            cur_out[..., idx] ** 2, axis=-1
+        M, v, b0, Mpows, M_lo, v_lo = iir._bank_params(
+            group_sos, n_rs + 2 * padlen
         )
+        zi_unit = np.stack(
+            [iir.sosfilt_zi(s) for s in group_sos]
+        ).astype(np.float32)
 
-    return jnp.asarray(bands_power)
+        out = _iirt_group_core(
+            jnp.reshape(y_rs, (-1, n_rs)),
+            M, v, b0, Mpows, zi_unit, M_lo, v_lo, idx,
+            padlen=padlen, pad_to=pad_to, factor=float(factor),
+        )
+        outs.append(out)
+
+    inv = np.argsort(np.asarray(band_order))
+    bands_power = jnp.concatenate(outs, axis=1)[:, inv]
+    return bands_power.reshape(batch + bands_power.shape[1:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("padlen", "pad_to", "factor")
+)
+def _iirt_group_core(
+    y2, M, v, b0, Mpows, zi_unit, M_lo, v_lo, idx, *, padlen, pad_to, factor
+):
+    """One iirt sample-rate group: bank filtfilt → frame-energy, fused.
+
+    ``y2``: (L, n_rs) resampled signals; returns (L, n_bands, n_frames)
+    short-time mean-square powers scaled by the rate ``factor``.
+    """
+    filtered = iir._bank_filtfilt_core(
+        y2, M, v, b0, Mpows, zi_unit, M_lo, v_lo, padlen=padlen
+    )
+    n = filtered.shape[-1]
+    if pad_to > n:
+        filtered = jnp.pad(filtered, ((0, 0), (0, 0), (0, pad_to - n)))
+    frames = filtered[:, :, idx]                        # (L, B, F, W)
+    return factor * jnp.sum(frames * frames, axis=-1)

@@ -108,7 +108,8 @@ class TestSecondOrderSections:
 
     def test_sosfiltfilt_high_q(self, rng):
         # the iirt-style elliptic band-pass: poles near the unit circle
-        # are the numerically hard case for f32 scans
+        # are the numerically hard case for f32 scans.  The exact-residual
+        # refinement (+ f64-coefficient tails) must hold ~f64 accuracy.
         import scipy.signal
 
         from librosa_tpu.ops.iir import sosfiltfilt
@@ -120,7 +121,58 @@ class TestSecondOrderSections:
         y = np.asarray(sosfiltfilt(x, sos))
         ref = scipy.signal.sosfiltfilt(sos, x.astype(np.float64))
         snr = 10 * np.log10((ref**2).sum() / ((y - ref) ** 2).sum())
-        assert snr > 90, snr
+        assert snr > 130, snr
+
+    def test_eft_exactness_under_jit(self, rng):
+        # the refinement relies on two_sum/two_prod being error-free in
+        # f32; XLA must not reassociate or FMA-contract them away
+        import jax
+
+        from librosa_tpu.ops.iir import _two_prod, _two_sum
+
+        a = rng.randn(2048).astype(np.float32)
+        b = rng.randn(2048).astype(np.float32)
+        p, e = jax.jit(_two_prod)(a, b)
+        exact = a.astype(np.float64) * b.astype(np.float64)
+        got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+        assert np.abs(got - exact).max() == 0.0
+        s, e2 = jax.jit(_two_sum)(a, b)
+        got = np.asarray(s, np.float64) + np.asarray(e2, np.float64)
+        assert np.abs(got - (a.astype(np.float64) + b.astype(np.float64))).max() == 0.0
+
+    def test_bank_filtfilt_semitone_worst_case(self, rng):
+        # the full 882 Hz semitone group (Q ~ 1000) through ONE banked
+        # program must match f64 scipy per band
+        import scipy.signal
+
+        import librosa_tpu.filters as ltf
+        from librosa_tpu.ops.iir import sos_bank_filtfilt
+
+        bank, rates = ltf.semitone_filterbank(flayout="sos")
+        group = np.stack(
+            [np.asarray(b) for b, r in zip(bank, rates) if r == 882.0]
+        )[:8]
+        x = rng.randn(4410).astype(np.float32)
+        yb = np.asarray(sos_bank_filtfilt(x, group))
+        assert yb.shape == (8, 4410)
+        for i in range(group.shape[0]):
+            ref = scipy.signal.sosfiltfilt(group[i], x.astype(np.float64))
+            snr = 10 * np.log10((ref**2).sum() / ((yb[i] - ref) ** 2).sum())
+            assert snr > 130, (i, snr)
+
+    def test_bank_filtfilt_batched_input(self, rng):
+        import scipy.signal
+
+        from librosa_tpu.ops.iir import sos_bank_filtfilt
+
+        bank = np.stack(
+            [scipy.signal.butter(2, w, output="sos") for w in (0.1, 0.3)]
+        )
+        x = rng.randn(2, 3, 500).astype(np.float32)
+        y = np.asarray(sos_bank_filtfilt(x, bank))
+        assert y.shape == (2, 3, 2, 500)
+        ref = scipy.signal.sosfiltfilt(bank[1], x[1, 2].astype(np.float64))
+        np.testing.assert_allclose(y[1, 2, 1], ref, atol=1e-5)
 
     def test_sosfiltfilt_short_input_raises(self):
         from librosa_tpu.ops.iir import sosfiltfilt
