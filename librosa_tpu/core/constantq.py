@@ -233,38 +233,47 @@ def _trim_stack(
 
 
 def _early_downsample_count(nyquist, filter_cutoff, hop_length, n_octaves) -> int:
-    downsample_count1 = max(
-        0, int(np.ceil(np.log2(nyquist / filter_cutoff)) - 1) - 1
-    )
-    num_twos = _num_two_factors(hop_length)
-    downsample_count2 = max(0, num_twos - n_octaves + 1)
-    return min(downsample_count1, downsample_count2)
+    """Octaves of early decimation the ladder plan can absorb.
+
+    Two independent budgets cap the decimation (matching the reference
+    planner at constantq.py:1223): the spectral headroom between the top
+    filter's cutoff and Nyquist (keeping one guard octave), and the
+    power-of-two content of the hop — each decimation consumes one factor
+    of two, and the recursive ladder itself still needs ``n_octaves - 1``
+    halvings.
+    """
+    spectral = int(np.ceil(np.log2(nyquist / filter_cutoff))) - 2
+    hop_budget = _num_two_factors(hop_length) - (n_octaves - 1)
+    return max(0, min(spectral, hop_budget))
 
 
 def _early_downsample(
     y, sr, hop_length, res_type, n_octaves, nyquist, filter_cutoff, scale
 ):
-    """Parity: constantq.py:1235 (__early_downsample)."""
-    downsample_count = _early_downsample_count(
+    """Pre-decimate the input by the plan's headroom before the ladder.
+
+    Reference behavior: constantq.py:1235 (__early_downsample) — one
+    up-front ``2^k : 1`` resample replaces the first ``k`` rungs of the
+    recursive ladder when the analysis band leaves room for it.
+    """
+    octs_down = _early_downsample_count(
         nyquist, filter_cutoff, hop_length, n_octaves
     )
-    if downsample_count > 0:
-        downsample_factor = 2**downsample_count
-        hop_length //= downsample_factor
-        if y.shape[-1] < downsample_factor:
-            raise ParameterError(
-                f"Input signal length={y.shape[-1]:d} is too short for "
-                f"{n_octaves:d}-octave CQT"
-            )
-        new_sr = sr / float(downsample_factor)
-        y = audio.resample(
-            y, orig_sr=downsample_factor, target_sr=1, res_type=res_type,
-            scale=True,
+    if octs_down == 0:
+        return y, sr, hop_length
+
+    decim = 1 << octs_down
+    if y.shape[-1] < decim:
+        raise ParameterError(
+            f"A {n_octaves:d}-octave analysis wants a {decim:d}:1 early "
+            f"decimation, but the signal has only {y.shape[-1]:d} samples"
         )
-        if not scale:
-            y = y * np.sqrt(downsample_factor)
-        sr = new_sr
-    return y, sr, hop_length
+    y = audio.resample(
+        y, orig_sr=decim, target_sr=1, res_type=res_type, scale=True
+    )
+    if not scale:
+        y = y * np.sqrt(decim)
+    return y, sr / decim, hop_length // decim
 
 
 def vqt(

@@ -1610,20 +1610,32 @@ def wavef0(
 
 
 def _radian_formatter(x: float, pos: Optional[int] = None) -> str:
-    """Format radians as rational multiples of π. Parity: display.py:3440."""
-    from fractions import Fraction
+    """Format a radian tick as a signed rational multiple of π.
 
-    m = x / np.pi
-    frac = Fraction(m).limit_denominator(16)
-    num, den = frac.numerator, frac.denominator
-    if num == 0:
+    Snaps ``x/π`` to the nearest fraction with denominator ≤ 16 by
+    scanning candidate denominators (smallest denominator wins ties up
+    to float noise), then renders ``±[p]π[/q]`` with the unit
+    coefficient elided — e.g. `` π/2``, ``-3π/4``, `` 0``, `` 2π``.
+    Output grammar matches the reference phase labels (display.py:3440).
+    """
+    import math
+
+    turns = x / np.pi
+    best = (abs(turns - round(turns)), 1, int(round(turns)))
+    for q in range(2, 17):
+        p = int(round(turns * q))
+        err = abs(turns - p / q)
+        if err < best[0] - 1e-12:
+            best = (err, q, p)
+    _, q, p = best
+    if p == 0:
         return " 0"
-    sign = "-" if num * den < 0 else " "
-    num_abs = abs(num)
-    coeff = "" if num_abs == 1 else str(num_abs)
-    if den == 1:
-        return f"{sign}{coeff}π"
-    return f"{sign}{coeff}π/{den}"
+    shared = math.gcd(abs(p), q)
+    p, q = p // shared, q // shared
+    head = "-" if p < 0 else " "
+    if abs(p) != 1:
+        head += str(abs(p))
+    return f"{head}π" if q == 1 else f"{head}π/{q}"
 
 
 def colorbar_phase(
