@@ -51,6 +51,22 @@ _lib.lt_info.argtypes = [
 _lib.lt_free.restype = None
 _lib.lt_free.argtypes = [ctypes.c_void_p]
 _lib.lt_last_error.restype = ctypes.c_char_p
+_lib.lt_open.restype = ctypes.c_void_p
+_lib.lt_open.argtypes = [ctypes.c_char_p]
+_lib.lt_stream_sr.restype = ctypes.c_int
+_lib.lt_stream_sr.argtypes = [ctypes.c_void_p]
+_lib.lt_stream_channels.restype = ctypes.c_int
+_lib.lt_stream_channels.argtypes = [ctypes.c_void_p]
+_lib.lt_stream_frames.restype = ctypes.c_long
+_lib.lt_stream_frames.argtypes = [ctypes.c_void_p]
+_lib.lt_stream_read.restype = ctypes.c_long
+_lib.lt_stream_read.argtypes = [
+    ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+]
+_lib.lt_stream_seek.restype = ctypes.c_int
+_lib.lt_stream_seek.argtypes = [ctypes.c_void_p, ctypes.c_long]
+_lib.lt_stream_close.restype = None
+_lib.lt_stream_close.argtypes = [ctypes.c_void_p]
 
 
 class audioio:
@@ -98,3 +114,70 @@ class audioio:
             err = _lib.lt_last_error().decode()
             raise RuntimeError(f"audio info failed ({rc}): {err}")
         return sr.value, channels.value, frames.value
+
+    @staticmethod
+    def open(path: str) -> "NativeStream":
+        """Open a streaming decode handle (O(block) memory reads)."""
+        return NativeStream(path)
+
+
+class NativeStream:
+    """Streaming decoder handle over ``lt_open``/``lt_stream_read``.
+
+    Reads interleaved float32 frames incrementally — the file is never
+    decoded whole (WAV reads straight off the file; FLAC decodes through
+    a fixed sliding window; ogg/mp3 pull through their libraries' own
+    streaming APIs).  Seeking is sample-accurate: positional for WAV,
+    library-native for ogg/mp3, decode-skip for FLAC.
+    """
+
+    def __init__(self, path: str):
+        handle = _lib.lt_open(os.fspath(path).encode())
+        if not handle:
+            err = _lib.lt_last_error().decode()
+            raise RuntimeError(f"audio open failed: {err}")
+        self._h = handle
+        self.sr = int(_lib.lt_stream_sr(handle))
+        self.channels = int(_lib.lt_stream_channels(handle))
+        n = int(_lib.lt_stream_frames(handle))
+        self.frames = n if n >= 0 else None
+
+    def read(self, n_frames: int) -> np.ndarray:
+        """Decode up to ``n_frames`` → ``(n, channels)`` float32 (short at EOF)."""
+        if self._h is None:
+            raise ValueError("stream is closed")
+        out = np.empty((int(n_frames), self.channels), dtype=np.float32)
+        got = _lib.lt_stream_read(
+            self._h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(n_frames),
+        )
+        if got < 0:
+            err = _lib.lt_last_error().decode()
+            raise RuntimeError(f"audio stream read failed: {err}")
+        return out[: int(got)]
+
+    def seek(self, frame: int) -> None:
+        """Position the stream at an absolute frame index."""
+        if self._h is None:
+            raise ValueError("stream is closed")
+        if _lib.lt_stream_seek(self._h, int(frame)) != 0:
+            err = _lib.lt_last_error().decode()
+            raise RuntimeError(f"audio stream seek failed: {err}")
+
+    def close(self) -> None:
+        if self._h is not None:
+            _lib.lt_stream_close(self._h)
+            self._h = None
+
+    def __enter__(self) -> "NativeStream":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -200,6 +200,17 @@ def stream(
     ------
     block : np.ndarray
         overlapping signal blocks
+
+    Notes
+    -----
+    Memory is O(block): the decoder is a streaming handle
+    (:class:`librosa_tpu.io.AudioReader` — incremental WAV reads, a
+    sliding-window FLAC decoder, library-native ogg/mp3 pulls), rate
+    conversion holds libsoxr filter state across chunks
+    (:class:`librosa_tpu.io._soxr.StreamResampler`), and blocks are carved
+    from a small ring buffer sized ``yield + 2·advance`` samples.  The
+    full signal is never materialized — see
+    ``tests/test_stream.py::test_stream_never_materializes_signal``.
     """
     if not util.is_positive_int(block_length):
         raise ParameterError(f"block_length={block_length} must be a positive integer")
@@ -207,38 +218,116 @@ def stream(
         raise ParameterError(f"frame_length={frame_length} must be a positive integer")
     if not util.is_positive_int(hop_length):
         raise ParameterError(f"hop_length={hop_length} must be a positive integer")
-
-    # Decode fully on host, then emit overlapping views.  (The reference
-    # streams via libsndfile blocks; decoding here is host-side either way,
-    # and views avoid copies.)
-    y, sr_native = audio_io.read_audio(
-        path, offset=offset, duration=duration, dtype=dtype
-    )
-    if mono:
-        y = np.asarray(to_mono(y), dtype=dtype)
-    if sr is not None and sr != sr_native:
-        if not str(res_type).startswith("soxr"):
-            raise ParameterError(
-                f"res_type={res_type} is not a valid soxr resampling mode for streaming"
-            )
-        y = np.asarray(
-            resample(y, orig_sr=sr_native, target_sr=sr, res_type=res_type),
-            dtype=dtype,
+    if sr is not None and not (np.isfinite(sr) and sr > 0):
+        raise ParameterError(f"sr={sr} must be a positive number")
+    if res_type not in ("soxr_vhq", "soxr_hq", "soxr_mq", "soxr_lq", "soxr_qq"):
+        raise ParameterError(
+            f"res_type={res_type} is not a valid soxr resampling mode for streaming"
         )
 
-    n = y.shape[-1]
     yield_size = (block_length - 1) * hop_length + frame_length
     advance = block_length * hop_length
 
-    start = 0
-    while start < n:
-        block = y[..., start : start + yield_size]
-        if fill_value is not None and block.shape[-1] < yield_size:
-            pad = [(0, 0)] * block.ndim
-            pad[-1] = (0, yield_size - block.shape[-1])
-            block = np.pad(block, pad, constant_values=fill_value)
-        yield block
-        start += advance
+    reader = audio_io.AudioReader(path)
+    try:
+        sr_native = reader.sr
+        needs_resampling = sr is not None and sr != sr_native
+        if sr is None:
+            sr = sr_native
+
+        # one output advance must map to a whole number of native samples,
+        # or block boundaries would drift against the decoder
+        exact_step = advance * sr_native / sr
+        native_step = int(round(exact_step))
+        if abs(exact_step - native_step) > 1e-5 + 1e-7 * abs(exact_step):
+            raise ParameterError(
+                f"A block advance of {advance} samples at sr={sr} is a "
+                f"fractional number of samples at the native rate "
+                f"{sr_native}; choose block/hop lengths that divide evenly"
+            )
+
+        n_channels = 1 if mono else reader.channels
+        resampler = (
+            audio_io._soxr.StreamResampler(
+                sr_native, sr, channels=n_channels, quality=res_type
+            )
+            if needs_resampling
+            else None
+        )
+
+        if offset >= 0:
+            reader.seek(int(offset * sr_native))
+        else:
+            if reader.frames is None:
+                raise ParameterError(
+                    "negative offset requires a container that declares "
+                    "its length"
+                )
+            reader.seek(reader.frames + int(offset * sr_native))
+        budget = int(duration * sr_native) if duration is not None else None
+
+        # ring buffer of decoded-and-resampled samples, (n, ch) layout
+        capacity = yield_size + 2 * advance
+        ring = np.zeros((capacity, n_channels), dtype=dtype)
+        w_idx = 0
+        r_idx = 0
+
+        def _emit(block2d):
+            # (n, ch) → caller-facing (n,) mono or (ch, n) multichannel.
+            # Must COPY: the source is a view into the ring buffer, which
+            # later reads overwrite after the consumer holds the block.
+            if mono or block2d.shape[1] == 1:
+                return block2d[:, 0].copy()
+            return block2d.T.copy()
+
+        while budget is None or budget > 0:
+            want = native_step if budget is None else min(native_step, budget)
+            chunk = reader.read(want)
+            if budget is not None:
+                budget -= chunk.shape[0]
+            if chunk.shape[0] == 0:
+                break
+            if mono and reader.channels > 1:
+                chunk = chunk.mean(axis=1, keepdims=True)
+            if resampler is not None:
+                chunk = resampler.process(chunk)
+            chunk = chunk.astype(dtype, copy=False)
+
+            n_in = chunk.shape[0]
+            if w_idx + n_in > capacity:
+                held = w_idx - r_idx
+                ring[:held] = ring[r_idx:w_idx]
+                r_idx, w_idx = 0, held
+            ring[w_idx : w_idx + n_in] = chunk
+            w_idx += n_in
+
+            while w_idx - r_idx >= yield_size:
+                yield _emit(ring[r_idx : r_idx + yield_size])
+                r_idx += advance
+
+        # flush the resampler's filter tail and drain the remainder
+        tail = [ring[r_idx:w_idx]]
+        if resampler is not None:
+            flushed = resampler.process(
+                np.empty((0, n_channels), dtype=np.float32), last=True
+            ).astype(dtype, copy=False)
+            if flushed.shape[0]:
+                tail.append(flushed)
+        remainder = np.concatenate(tail) if len(tail) > 1 else tail[0]
+
+        pos = 0
+        while pos < remainder.shape[0]:
+            block = remainder[pos : pos + yield_size]
+            if fill_value is not None and block.shape[0] < yield_size:
+                block = np.pad(
+                    block,
+                    ((0, yield_size - block.shape[0]), (0, 0)),
+                    constant_values=fill_value,
+                )
+            yield _emit(block)
+            pos += advance
+    finally:
+        reader.close()
 
 
 def get_samplerate(path: Any) -> int:

@@ -17,25 +17,20 @@ from typing import Optional, Tuple
 import numpy as np
 
 from ..util.exceptions import ParameterError
+from . import _soxr
 
-__all__ = ["read_audio", "get_samplerate", "get_info"]
+__all__ = ["read_audio", "get_samplerate", "get_info", "AudioReader"]
 
 
-def _read_wav_python(path: str) -> Tuple[np.ndarray, int]:
-    """Stdlib WAV fallback: returns (samples (n, ch) float32 in [-1,1], sr)."""
-    with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        n_ch = w.getnchannels()
-        width = w.getsampwidth()
-        n = w.getnframes()
-        raw = w.readframes(n)
+def _wav_bytes_to_float(raw: bytes, width: int) -> np.ndarray:
+    """Interleaved PCM bytes → float32 samples in [-1, 1)."""
     if width == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif width == 4:
-        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
-    elif width == 1:
-        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    elif width == 3:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if width == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    if width == 1:
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    if width == 3:
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
         vals = (
             b[:, 0].astype(np.int32)
@@ -43,10 +38,8 @@ def _read_wav_python(path: str) -> Tuple[np.ndarray, int]:
             | (b[:, 2].astype(np.int32) << 16)
         )
         vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
-        data = vals.astype(np.float32) / float(1 << 23)
-    else:
-        raise ParameterError(f"Unsupported WAV sample width: {width}")
-    return data.reshape(-1, n_ch), sr
+        return vals.astype(np.float32) / float(1 << 23)
+    raise ParameterError(f"Unsupported WAV sample width: {width}")
 
 
 def _native():
@@ -56,6 +49,88 @@ def _native():
         return audioio
     except Exception:
         return None
+
+
+class AudioReader:
+    """Streaming decode handle: open once, seek to a frame, read N frames.
+
+    The O(block)-memory primitive under :func:`read_audio` and
+    ``librosa_tpu.stream`` (the reference holds a ``soundfile.SoundFile``
+    the same way, ``librosa/core/audio.py:223``): the native C++ streams
+    (wav/flac/ogg/mp3, ``_native/audioio.cpp``) decode incrementally, and
+    a stdlib ``wave`` handle covers WAV when the native module is absent.
+
+    Attributes
+    ----------
+    sr : int — native sampling rate
+    channels : int — channel count
+    frames : int or None — total frames if the container declares them
+
+    Examples
+    --------
+    >>> import numpy as np, wave, tempfile, os
+    >>> from librosa_tpu.io import AudioReader
+    >>> path = os.path.join(tempfile.mkdtemp(), "t.wav")
+    >>> with wave.open(path, "wb") as w:
+    ...     w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+    ...     w.writeframes((np.arange(100) % 7 * 1000).astype("<i2").tobytes())
+    >>> with AudioReader(path) as r:
+    ...     r.sr, r.channels, r.frames, r.read(10).shape
+    (8000, 1, 100, (10, 1))
+    """
+
+    def __init__(self, path):
+        path = os.fspath(path)
+        nat = _native()
+        self._nat = None
+        self._wave = None
+        if nat is not None:
+            self._nat = nat.open(path)
+            self.sr = self._nat.sr
+            self.channels = self._nat.channels
+            self.frames = self._nat.frames
+        else:
+            ext = os.path.splitext(path)[1].lower()
+            if ext not in (".wav", ".wave"):
+                raise ParameterError(
+                    f"Cannot stream {path!r}: native audio module unavailable "
+                    "and the pure-Python fallback only supports WAV"
+                )
+            self._wave = wave.open(path, "rb")
+            self.sr = self._wave.getframerate()
+            self.channels = self._wave.getnchannels()
+            self.frames = self._wave.getnframes()
+            self._width = self._wave.getsampwidth()
+
+    def read(self, n_frames: int) -> np.ndarray:
+        """Decode up to ``n_frames`` → ``(n, channels)`` float32 (short at EOF)."""
+        if self._nat is not None:
+            return self._nat.read(int(n_frames))
+        raw = self._wave.readframes(int(n_frames))
+        return _wav_bytes_to_float(raw, self._width).reshape(-1, self.channels)
+
+    def seek(self, frame: int) -> None:
+        """Position the stream at an absolute frame index."""
+        frame = max(0, int(frame))
+        if self._nat is not None:
+            self._nat.seek(frame)
+        else:
+            self._wave.setpos(min(frame, self.frames))
+
+    def close(self) -> None:
+        """Release the underlying decoder handle."""
+        if self._nat is not None:
+            self._nat.close()
+            self._nat = None
+        if self._wave is not None:
+            self._wave.close()
+            self._wave = None
+
+    def __enter__(self) -> "AudioReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def get_info(path: str) -> Tuple[int, int, int]:
@@ -127,30 +202,35 @@ def read_audio(
     -------
     y : np.ndarray
     sr : int
-    """
-    path = os.fspath(path)
-    nat = _native()
-    if nat is not None:
-        data, sr = nat.decode(path)  # (n, ch) float32
-    else:
-        ext = os.path.splitext(path)[1].lower()
-        if ext in (".wav", ".wave"):
-            data, sr = _read_wav_python(path)
-        else:
-            raise ParameterError(
-                f"Cannot decode {path!r}: native audio module unavailable and "
-                "pure-Python fallback only supports WAV"
-            )
 
-    if offset:
-        start = int(np.round(sr * offset))
-    else:
-        start = 0
-    if duration is not None:
-        stop = start + int(np.round(sr * duration))
-    else:
-        stop = data.shape[0]
-    data = data[start:stop]
+    Notes
+    -----
+    Decodes through the streaming :class:`AudioReader`, so ``offset`` seeks
+    instead of decoding-then-discarding and ``duration`` stops the decoder
+    early — loading a minute from the middle of an hour-long file costs a
+    minute's decode work, not an hour's.
+    """
+    with AudioReader(path) as reader:
+        sr = reader.sr
+        start = int(np.round(sr * offset)) if offset else 0
+        if start:
+            reader.seek(start)
+        if duration is not None:
+            data = reader.read(int(np.round(sr * duration)))
+        elif reader.frames is not None:
+            data = reader.read(max(0, reader.frames - start))
+        else:
+            chunks = []
+            while True:
+                c = reader.read(1 << 16)
+                if c.shape[0] == 0:
+                    break
+                chunks.append(c)
+            data = (
+                np.concatenate(chunks)
+                if chunks
+                else np.empty((0, reader.channels), dtype=np.float32)
+            )
 
     y = data.astype(dtype, copy=False).T  # (ch, n)
     if y.shape[0] == 1:

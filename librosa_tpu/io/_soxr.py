@@ -83,6 +83,29 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(_QualitySpec),
                 ctypes.c_void_p,
             ]
+            # streaming API (soxr_create / soxr_process / soxr_delete)
+            lib.soxr_create.restype = ctypes.c_void_p
+            lib.soxr_create.argtypes = [
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_uint,
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(_IOSpec),
+                ctypes.POINTER(_QualitySpec),
+                ctypes.c_void_p,
+            ]
+            lib.soxr_process.restype = ctypes.c_char_p
+            lib.soxr_process.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
+            lib.soxr_delete.restype = None
+            lib.soxr_delete.argtypes = [ctypes.c_void_p]
             _lib = lib
             return _lib
         except OSError:
@@ -154,3 +177,145 @@ def resample(
     if err:
         raise RuntimeError(f"soxr error: {err.decode()}")
     return out[: odone.value]
+
+
+class StreamResampler:
+    """Incremental libsoxr resampler holding filter state across chunks.
+
+    The streaming twin of :func:`resample` (reference stream() uses
+    ``soxr.ResampleStream`` the same way, ``librosa/core/audio.py:425``):
+    feed the signal block by block and the band-limited filter history
+    carries over, so the concatenated output matches a one-shot resample
+    of the whole signal — the piece that makes O(block)-memory streaming
+    with sample-rate conversion possible.
+
+    Parameters
+    ----------
+    in_rate, out_rate : float > 0
+        source and target sampling rates
+    channels : int > 0
+        interleaved channel count of the chunks
+    quality : str
+        one of the ``soxr_*`` recipe names
+
+    Examples
+    --------
+    >>> from librosa_tpu.io import _soxr
+    >>> import numpy as np
+    >>> if _soxr.available():
+    ...     rs = _soxr.StreamResampler(4, 1, channels=1)
+    ...     x = np.random.RandomState(0).randn(4000).astype(np.float32)
+    ...     parts = [rs.process(x[:2000]), rs.process(x[2000:]),
+    ...              rs.process(np.empty(0, np.float32), last=True)]
+    ...     y = np.concatenate(parts)
+    ...     ref = _soxr.resample(x, 4, 1)
+    ...     assert abs(len(y) - len(ref)) <= 2
+    """
+
+    def __init__(
+        self,
+        in_rate: float,
+        out_rate: float,
+        *,
+        channels: int = 1,
+        quality: str = "soxr_hq",
+    ):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError("libsoxr is not available on this system")
+        if quality not in _RECIPES:
+            raise ValueError(f"Unknown soxr quality: {quality}")
+        self._lib = lib
+        self._channels = int(channels)
+        self._ratio = float(out_rate) / float(in_rate)
+        err = ctypes.c_char_p(None)
+        qspec = lib.soxr_quality_spec(_RECIPES[quality], 0)
+        iospec = lib.soxr_io_spec(_SOXR_FLOAT32_I, _SOXR_FLOAT32_I)
+        self._h = lib.soxr_create(
+            float(in_rate), float(out_rate), self._channels,
+            ctypes.byref(err), ctypes.byref(iospec), ctypes.byref(qspec), None,
+        )
+        if not self._h:
+            raise RuntimeError(
+                f"soxr_create failed: {(err.value or b'?').decode()}"
+            )
+
+    def process(self, block: np.ndarray, last: bool = False) -> np.ndarray:
+        """Resample one chunk; ``last=True`` flushes the filter tail.
+
+        ``block`` is ``(n,)`` for one channel or ``(n, channels)``
+        interleaved; the output has the same layout.
+        """
+        if self._h is None:
+            raise ValueError("resampler is closed")
+        block = np.ascontiguousarray(block, dtype=np.float32)
+        squeeze = block.ndim == 1
+        if squeeze:
+            block = block[:, None]
+        n_in = block.shape[0]
+
+        pieces = []
+        fed = 0
+        while True:
+            cap = int(np.ceil((n_in - fed) * self._ratio)) + 256
+            out = np.empty((cap, self._channels), dtype=np.float32)
+            idone = ctypes.c_size_t(0)
+            odone = ctypes.c_size_t(0)
+            in_ptr = (
+                block[fed:].ctypes.data_as(ctypes.c_void_p)
+                if fed < n_in
+                else None
+            )
+            e = self._lib.soxr_process(
+                self._h,
+                in_ptr,
+                n_in - fed,
+                ctypes.byref(idone),
+                out.ctypes.data_as(ctypes.c_void_p),
+                cap,
+                ctypes.byref(odone),
+            )
+            if e:
+                raise RuntimeError(f"soxr error: {e.decode()}")
+            fed += idone.value
+            if odone.value:
+                pieces.append(out[: odone.value])
+            if fed >= n_in and (odone.value == 0 or not last):
+                if not last or odone.value == 0:
+                    break
+
+        if last:
+            # flush: NULL input signals end-of-stream; drain until dry
+            while True:
+                cap = 8192
+                out = np.empty((cap, self._channels), dtype=np.float32)
+                idone = ctypes.c_size_t(0)
+                odone = ctypes.c_size_t(0)
+                e = self._lib.soxr_process(
+                    self._h, None, 0, ctypes.byref(idone),
+                    out.ctypes.data_as(ctypes.c_void_p), cap,
+                    ctypes.byref(odone),
+                )
+                if e:
+                    raise RuntimeError(f"soxr error: {e.decode()}")
+                if odone.value == 0:
+                    break
+                pieces.append(out[: odone.value])
+
+        if pieces:
+            res = np.concatenate(pieces, axis=0)
+        else:
+            res = np.empty((0, self._channels), dtype=np.float32)
+        return res[:, 0] if squeeze else res
+
+    def close(self) -> None:
+        """Release the native resampler state."""
+        if self._h is not None:
+            self._lib.soxr_delete(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
