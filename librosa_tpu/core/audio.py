@@ -671,7 +671,9 @@ def _upfirdn_matrix(h_key: tuple, up: int, down: int):
         c_p = (p * down) // up
         for j in range(L):
             F[(L - 1) + c_p - j, p] = h_np[t_mod + j * up]
-    return jnp.asarray(F), L, W
+    # cache NUMPY, not a device array: a jnp constant created under an
+    # outer jit trace is a tracer, and caching it poisons later calls
+    return F, L, W
 
 
 @functools.partial(
@@ -793,9 +795,10 @@ def resample_poly(
         )
         out = _upfirdn_conv(
             x,
-            # dtype-cast on host: jnp.asarray(np_f64, dtype=f32) issues a
-            # separate convert_element_type device program per call
-            jnp.asarray(np.asarray(h_padded, dtype=x.dtype)),
+            # stays host-side numpy: _upfirdn_conv only reads h for the
+            # filter-matrix cache key (and uploading it would both cost a
+            # convert program and break tracing under an outer jit)
+            np.asarray(h_padded, dtype=np.float32),
             up=up,
             down=down,
             n_pre_remove=n_pre_remove,

@@ -337,11 +337,69 @@ def vqt(
     y = jnp.asarray(y)
 
     if not isinstance(intervals, str):
+        # hashable form, so the config can key the jit cache below
+        intervals = tuple(float(v) for v in np.asarray(intervals))
+    if tuning is None:
+        tuning = estimate_tuning(y=y, sr=sr, bins_per_octave=bins_per_octave)
+
+    cfg = dict(
+        sr=sr, hop_length=hop_length, fmin=fmin, n_bins=n_bins,
+        intervals=intervals, gamma=gamma, bins_per_octave=bins_per_octave,
+        tuning=float(tuning), filter_scale=filter_scale, norm=norm,
+        sparsity=sparsity, window=window, scale=scale, pad_mode=pad_mode,
+        res_type=res_type, dtype=dtype,
+    )
+    if _cfg_jittable(res_type, cfg.values()):
+        # device res_type + hashable config: the ENTIRE transform — early
+        # decimation, the per-octave resample ladder, every octave's
+        # STFT/basis product, trim/stack, scaling — compiles into ONE
+        # program (the eager path costs ~2 launches per decimated octave)
+        return _vqt_jit(y, **cfg)
+    return _vqt_body(y, **cfg)
+
+
+def _cfg_jittable(res_type: str, values) -> bool:
+    """Whether a transform config can be a static jit key.
+
+    Host-soxr resampling cannot trace; array-valued windows/params are
+    unhashable.  Everything else (the common case) goes through the fused
+    jitted entry.
+    """
+    if str(res_type).startswith("soxr"):
+        return False
+    return all(
+        isinstance(v, (str, int, float, bool, complex, tuple, type(None),
+                       np.dtype, type))
+        or np.isscalar(v)
+        for v in values
+    )
+
+
+def _vqt_body(
+    y,
+    *,
+    sr,
+    hop_length,
+    fmin,
+    n_bins,
+    intervals,
+    gamma,
+    bins_per_octave,
+    tuning,
+    filter_scale,
+    norm,
+    sparsity,
+    window,
+    scale,
+    pad_mode,
+    res_type,
+    dtype,
+):
+    """Traceable VQT body (host planning at trace time, device compute)."""
+    if not isinstance(intervals, str):
         bins_per_octave = len(intervals)
     if fmin is None:
         fmin = note_to_hz("C1")
-    if tuning is None:
-        tuning = estimate_tuning(y=y, sr=sr, bins_per_octave=bins_per_octave)
     if dtype is None:
         dtype = util.dtype_r2c(y.dtype)
 
@@ -488,6 +546,16 @@ def vqt(
         ys, bases, jnp.asarray(scales), plan=plan, n_bins=n_bins,
         pad_mode=pad_mode, dtype=jnp.dtype(dtype).name,
     )
+
+
+_vqt_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sr", "hop_length", "fmin", "n_bins", "intervals", "gamma",
+        "bins_per_octave", "tuning", "filter_scale", "norm", "sparsity",
+        "window", "scale", "pad_mode", "res_type", "dtype",
+    ),
+)(_vqt_body)
 
 
 @functools.partial(
@@ -781,6 +849,38 @@ def hybrid_cqt(
     if tuning is None:
         tuning = estimate_tuning(y=y, sr=sr, bins_per_octave=bins_per_octave)
 
+    cfg = dict(
+        sr=sr, hop_length=hop_length, fmin=fmin, n_bins=n_bins,
+        bins_per_octave=bins_per_octave, tuning=float(tuning),
+        filter_scale=filter_scale, norm=norm, sparsity=sparsity,
+        window=window, scale=scale, pad_mode=pad_mode, res_type=res_type,
+        dtype=dtype,
+    )
+    if _cfg_jittable(res_type, cfg.values()):
+        # pseudo response, full ladder, |·| and trim/stack in ONE program
+        return _hybrid_jit(y, **cfg)
+    return _hybrid_body(y, **cfg)
+
+
+def _hybrid_body(
+    y,
+    *,
+    sr,
+    hop_length,
+    fmin,
+    n_bins,
+    bins_per_octave,
+    tuning,
+    filter_scale,
+    norm,
+    sparsity,
+    window,
+    scale,
+    pad_mode,
+    res_type,
+    dtype,
+):
+    """Traceable hybrid-CQT body (split planning happens at trace time)."""
     fmin = fmin * 2.0 ** (tuning / bins_per_octave)
     if fmin >= sr / 2:
         raise ParameterError(f"fmin={fmin} must be less than sr/2={sr/2}")
@@ -846,6 +946,16 @@ def hybrid_cqt(
         tuple(cqt_resp), n_bins=int(n_bins),
         dtype_name=jnp.dtype(cqt_resp[-1].dtype).name,
     )
+
+
+_hybrid_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sr", "hop_length", "fmin", "n_bins", "bins_per_octave", "tuning",
+        "filter_scale", "norm", "sparsity", "window", "scale", "pad_mode",
+        "res_type", "dtype",
+    ),
+)(_hybrid_body)
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "dtype_name"))
@@ -938,6 +1048,39 @@ def icqt(
     True
     """
     C = jnp.asarray(C)
+    cfg = dict(
+        sr=sr, hop_length=hop_length, fmin=fmin,
+        bins_per_octave=bins_per_octave, tuning=tuning,
+        filter_scale=filter_scale, norm=norm, sparsity=sparsity,
+        window=window, scale=scale,
+        length=None if length is None else int(length),
+        res_type=res_type, dtype=dtype,
+    )
+    if _cfg_jittable(res_type, cfg.values()):
+        # inverse ladder + per-octave upsample + accumulate + trim in ONE
+        # program (eagerly: ~3 launches per upsampled octave)
+        return _icqt_jit(C, **cfg)
+    return _icqt_body(C, **cfg)
+
+
+def _icqt_body(
+    C,
+    *,
+    sr,
+    hop_length,
+    fmin,
+    bins_per_octave,
+    tuning,
+    filter_scale,
+    norm,
+    sparsity,
+    window,
+    scale,
+    length,
+    res_type,
+    dtype,
+):
+    """Traceable inverse-CQT body (octave plan built at trace time)."""
     if fmin is None:
         fmin = note_to_hz("C1")
     fmin = fmin * 2.0 ** (tuning / bins_per_octave)
@@ -1063,9 +1206,85 @@ def icqt(
     return y
 
 
+_icqt_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sr", "hop_length", "fmin", "bins_per_octave", "tuning",
+        "filter_scale", "norm", "sparsity", "window", "scale", "length",
+        "res_type", "dtype",
+    ),
+)(_icqt_body)
+
+
 @jax.jit
 def _gl_cqt_proj(C, angles):
     """Magnitude × phase product for the Griffin-Lim CQT iteration."""
+    return C * angles
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_iter", "momentum", "eps", "sr", "hop_length", "fmin",
+        "bins_per_octave", "tuning", "filter_scale", "norm", "sparsity",
+        "window", "scale", "pad_mode", "res_type", "length",
+    ),
+)
+def _gl_cqt_loop_core(
+    C,
+    angles,
+    *,
+    n_iter,
+    momentum,
+    eps,
+    sr,
+    hop_length,
+    fmin,
+    bins_per_octave,
+    tuning,
+    filter_scale,
+    norm,
+    sparsity,
+    window,
+    scale,
+    pad_mode,
+    res_type,
+    length,
+):
+    """Whole Griffin-Lim CQT loop in one program.
+
+    Each ``lax.fori_loop`` step runs the inverse ladder
+    (:func:`_icqt_body`), the forward ladder (:func:`_vqt_body`), and the
+    momentum phase update — the loop body compiles once, so launch count
+    and program size are independent of ``n_iter``.  Returns the final
+    phase-projected coefficients ``C · angles`` for the closing synthesis.
+    """
+    t_len = C.shape[-1]
+    n_bins = C.shape[-2]
+    rebuilt0 = jnp.zeros(C.shape, dtype=angles.dtype)
+
+    def body(_, carry):
+        angles_i, tprev = carry
+        inverse = _icqt_body(
+            C * angles_i, sr=sr, hop_length=hop_length, fmin=fmin,
+            bins_per_octave=bins_per_octave, tuning=tuning,
+            filter_scale=filter_scale, norm=norm, sparsity=sparsity,
+            window=window, scale=scale, length=length, res_type=res_type,
+            dtype=None,
+        )
+        rebuilt = _vqt_body(
+            inverse, sr=sr, hop_length=hop_length, fmin=fmin,
+            n_bins=n_bins, intervals="equal", gamma=0,
+            bins_per_octave=bins_per_octave, tuning=tuning,
+            filter_scale=filter_scale, norm=norm, sparsity=sparsity,
+            window=window, scale=scale, pad_mode=pad_mode,
+            res_type=res_type, dtype=None,
+        )[..., :t_len]
+        ang = rebuilt - (momentum / (1 + momentum)) * tprev
+        ang = ang / (jnp.abs(ang) + eps)
+        return ang, rebuilt
+
+    angles, _ = jax.lax.fori_loop(0, n_iter, body, (angles, rebuilt0))
     return C * angles
 
 
@@ -1189,6 +1408,32 @@ def griffinlim_cqt(
     angles = _griffinlim_init(C, np.uint32(seed), init)
 
     eps = util.tiny(np.zeros((), dtype=np.dtype(ang_dtype)))
+
+    gl_cfg = dict(
+        sr=sr, hop_length=hop_length, fmin=fmin,
+        bins_per_octave=bins_per_octave, tuning=float(tuning),
+        filter_scale=filter_scale, norm=norm, sparsity=sparsity,
+        window=window, scale=scale, pad_mode=pad_mode, res_type=res_type,
+        length=None if length is None else int(length),
+    )
+    if _cfg_jittable(res_type, gl_cfg.values()):
+        # the ENTIRE phase-recovery loop — every iteration's inverse
+        # ladder, forward ladder, trim, momentum update, and phase
+        # normalization — is ONE lax.fori_loop program (the body compiles
+        # once regardless of n_iter).  Total: init + loop + final
+        # synthesis = 3 launches, vs ~4 per iteration eagerly.
+        S_final = _gl_cqt_loop_core(
+            C, angles, n_iter=int(n_iter), momentum=float(momentum),
+            eps=float(eps), **gl_cfg,
+        )
+        return icqt(
+            S_final, sr=sr, hop_length=hop_length,
+            bins_per_octave=bins_per_octave, fmin=fmin, tuning=tuning,
+            filter_scale=filter_scale, window=window, length=length,
+            dtype=dtype, res_type=res_type, norm=norm, scale=scale,
+            sparsity=sparsity,
+        )
+
     rdt_r = np.zeros((), dtype=np.dtype(ang_dtype)).real.dtype
     rebuilt = jax.lax.complex(
         jnp.zeros(C.shape, dtype=rdt_r), jnp.zeros(C.shape, dtype=rdt_r)

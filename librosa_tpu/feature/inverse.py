@@ -52,7 +52,18 @@ def mel_to_stft(
     mel_basis = filters.mel(
         sr=sr, n_fft=n_fft, dtype=np.float32, **kwargs
     )
-    inverse = nnls(jnp.asarray(mel_basis), M)
+    return _mel_to_stft_core(np.asarray(mel_basis), M, power=float(power))
+
+
+@functools.partial(jax.jit, static_argnames=("power",))
+def _mel_to_stft_core(mel_basis, M, *, power):
+    """NNLS solve + power unfolding as one program.
+
+    Keeps ``mel_to_audio`` at two launches (this + the Griffin-Lim scan)
+    and ``mfcc_to_audio`` at three — eagerly the ``x ** (1/p)`` unfolding
+    was its own dispatch.
+    """
+    inverse = nnls(mel_basis, M)
     return jnp.power(inverse, 1.0 / power).astype(M.dtype)
 
 

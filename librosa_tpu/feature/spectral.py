@@ -752,13 +752,17 @@ def chroma_stft(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "norm"))
-def _project_norm_core(X, basis, *, threshold, norm):
+@functools.partial(jax.jit, static_argnames=("threshold", "norm", "take_abs"))
+def _project_norm_core(X, basis, *, threshold, norm, take_abs=False):
     """basis projection → threshold → per-column normalize, one program.
 
     Shared tail of the chroma features (eagerly the einsum + where +
-    normalize chain costs ~6 device dispatches per call).
+    normalize chain costs ~6 device dispatches per call).  ``take_abs``
+    folds the |CQT/VQT| magnitude into the same program, saving the
+    chroma callers a standalone ``abs`` dispatch.
     """
+    if take_abs:
+        X = jnp.abs(X)
     out = jnp.einsum(
         "cf,...ft->...ct", basis, X, precision=jax.lax.Precision.HIGHEST
     )
@@ -816,19 +820,20 @@ def chroma_cqt(
     if fmin is None:
         fmin = note_to_hz("C1")
 
+    take_abs = False
     if C is None:
         if cqt_mode not in cqt_func:
             raise ParameterError(f"Invalid cqt_mode: {cqt_mode}")
-        C = jnp.abs(
-            cqt_func[cqt_mode](
-                y,
-                sr=sr,
-                hop_length=hop_length,
-                fmin=fmin,
-                n_bins=n_octaves * bins_per_octave,
-                bins_per_octave=bins_per_octave,
-                tuning=tuning,
-            )
+        # leave the transform complex; |·| folds into the projection program
+        take_abs = True
+        C = cqt_func[cqt_mode](
+            y,
+            sr=sr,
+            hop_length=hop_length,
+            fmin=fmin,
+            n_bins=n_octaves * bins_per_octave,
+            bins_per_octave=bins_per_octave,
+            tuning=tuning,
         )
     else:
         C = jnp.asarray(C)
@@ -840,10 +845,12 @@ def chroma_cqt(
         fmin=fmin,
         window=window,
     )
+    real_dtype = np.zeros((), dtype=np.dtype(C.dtype)).real.dtype
     return _project_norm_core(
-        C, jnp.asarray(np.asarray(cq_to_chr, dtype=np.dtype(C.dtype))),
+        C, jnp.asarray(np.asarray(cq_to_chr, dtype=real_dtype)),
         threshold=None if threshold is None else float(threshold),
         norm=None if norm is None else float(norm),
+        take_abs=take_abs,
     )
 
 
@@ -983,20 +990,21 @@ def chroma_vqt(
     if fmin is None:
         fmin = note_to_hz("C1")
 
+    take_abs = False
     if V is None:
         if intervals is None:
             raise ParameterError("intervals must be provided to compute VQT chroma")
-        V = jnp.abs(
-            constantq.vqt(
-                y,
-                sr=sr,
-                hop_length=hop_length,
-                fmin=fmin,
-                intervals=intervals,
-                gamma=gamma,
-                n_bins=n_octaves * bins_per_octave,
-                bins_per_octave=bins_per_octave,
-            )
+        # leave the transform complex; |·| folds into the projection program
+        take_abs = True
+        V = constantq.vqt(
+            y,
+            sr=sr,
+            hop_length=hop_length,
+            fmin=fmin,
+            intervals=intervals,
+            gamma=gamma,
+            n_bins=n_octaves * bins_per_octave,
+            bins_per_octave=bins_per_octave,
         )
     else:
         V = jnp.asarray(V)
@@ -1007,10 +1015,12 @@ def chroma_vqt(
         n_chroma=bins_per_octave,
         fmin=fmin,
     )
+    real_dtype = np.zeros((), dtype=np.dtype(V.dtype)).real.dtype
     return _project_norm_core(
-        V, jnp.asarray(np.asarray(cq_to_chr, dtype=np.dtype(V.dtype))),
+        V, jnp.asarray(np.asarray(cq_to_chr, dtype=real_dtype)),
         threshold=None if threshold is None else float(threshold),
         norm=None if norm is None else float(norm),
+        take_abs=take_abs,
     )
 
 

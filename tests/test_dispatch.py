@@ -178,3 +178,58 @@ def test_griffinlim_reseed_does_not_recompile():
     assert r["launches"] == 1, r
     b = lt.griffinlim(S, n_iter=2, rng=1)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCqtFamilyBudgets:
+    """Fourth-wave fusions: the whole CQT family as single programs.
+
+    With a device res_type the full transform (early decimation, octave
+    resample ladder, STFTs, basis products, trim/stack) traces into ONE
+    jitted entry; the Griffin-Lim CQT loop is one fori_loop program
+    regardless of n_iter.
+    """
+
+    @pytest.fixture(scope="class")
+    def y1(self):
+        return np.asarray(lt.tone(220, duration=1.0))
+
+    def test_cqt_single_launch(self, y1):
+        r = dispatch_profile(
+            lambda: lt.cqt(y1, sr=SR, n_bins=48, res_type="polyphase")
+        )
+        assert r["launches"] == 1, r
+
+    def test_icqt_single_launch(self, y1):
+        C = np.asarray(lt.cqt(y1, sr=SR, n_bins=48, res_type="polyphase"))
+        r = dispatch_profile(
+            lambda: lt.icqt(C, sr=SR, res_type="polyphase", length=len(y1))
+        )
+        assert r["launches"] == 1, r
+
+    def test_hybrid_cqt_single_launch(self, y1):
+        r = dispatch_profile(
+            lambda: lt.hybrid_cqt(y1, sr=SR, n_bins=48, res_type="polyphase")
+        )
+        assert r["launches"] == 1, r
+
+    def test_griffinlim_cqt_three_launches(self, y1):
+        C = np.abs(np.asarray(lt.cqt(y1, sr=SR, n_bins=48, res_type="polyphase")))
+        r = dispatch_profile(
+            lambda: lt.griffinlim_cqt(
+                C, sr=SR, n_iter=3, res_type="polyphase", length=len(y1)
+            )
+        )
+        assert r["launches"] <= 3, r
+
+    def test_mfcc_to_audio_three_launches(self, y1):
+        M = np.asarray(lt.feature.mfcc(y=y1, sr=SR))
+        r = dispatch_profile(
+            lambda: lt.feature.inverse.mfcc_to_audio(M, sr=SR, length=len(y1))
+        )
+        assert r["launches"] <= 3, r
+
+    def test_chroma_vqt_two_launches(self, y1):
+        r = dispatch_profile(
+            lambda: lt.feature.chroma_vqt(y=y1, sr=SR, intervals="equal")
+        )
+        assert r["launches"] <= 2, r
