@@ -106,6 +106,15 @@ def install() -> None:
     def batched_device_put_safe(
         aval, sharding, xs, devices, committed=True, enable_x64=None
     ):
+        """Complex-safe replacement for ``pxla.batched_device_put``.
+
+        The axon tunnel cannot transfer complex buffers host→device;
+        this shim intercepts complex uploads bound for the TPU, splits
+        them into real/imag float planes on the host, uploads those, and
+        recombines with ``lax.complex`` on device.  Non-complex (or
+        non-TPU) puts pass straight through to the original function.
+        Signature mirrors jax's internal ``batched_device_put``.
+        """
         if np.issubdtype(aval.dtype, np.complexfloating) and _tpu_target(devices):
             hosts = [_host_complex(x) for x in xs]
             if all(h is not None for h in hosts):

@@ -36,6 +36,13 @@ class CacheManager:
         self.level = level
 
     def __call__(self, level: int) -> Callable:
+        """Decorator factory: cache a function if ``level`` is enabled.
+
+        Functions decorated with ``@cache(level=N)`` are memoized to
+        disk only when a cache directory is configured AND the
+        manager's level is at least ``N`` — otherwise the function is
+        returned untouched, so caching is zero-cost when disabled.
+        """
         def wrapper(function: Callable) -> Callable:
             if self.memory.location is not None and self.level >= level:
                 return self.memory.cache(function)
@@ -44,18 +51,55 @@ class CacheManager:
         return wrapper
 
     def clear(self, *args: Any, **kwargs: Any) -> None:
+        """Delete the on-disk cache directory contents.
+
+        Delegates to ``joblib.Memory.clear``; every memoized filterbank
+        and window is recomputed on next use.  Safe to call at any time
+        (the cache is purely an acceleration), and a no-op when no cache
+        directory is configured via ``LIBROSA_CACHE_DIR``.
+        """
         self.memory.clear(*args, **kwargs)
 
     def eval(self, *args: Any, **kwargs: Any):
+        """Evaluate ``func(*args, **kwargs)`` through the cache.
+
+        Delegates to ``joblib.Memory.eval``: returns the memoized result
+        when the call signature has been seen before, otherwise computes
+        and stores it.  Useful for caching a one-off computation without
+        decorating its function; behaves like a plain call when caching
+        is disabled.
+        """
         return self.memory.eval(*args, **kwargs)
 
     def format(self, *args: Any, **kwargs: Any):
+        """Render an object for cache diagnostics.
+
+        Delegates to ``joblib.Memory.format`` — the pretty-printer
+        joblib uses in its own tracebacks and verbose logs.  Exposed for
+        parity with the reference's cache wrapper, which forwards the
+        full joblib Memory surface (reference _cache.py).
+        """
         return self.memory.format(*args, **kwargs)
 
     def reduce_size(self, *args: Any, **kwargs: Any) -> None:
+        """Shrink the on-disk cache toward its configured limits.
+
+        Delegates to ``joblib.Memory.reduce_size``: evicts least-recently
+        used entries until the store fits ``bytes_limit`` /
+        ``items_limit`` / ``age_limit``.  Call periodically from
+        long-running services if a cache directory is configured; no-op
+        otherwise.
+        """
         self.memory.reduce_size(*args, **kwargs)
 
     def warn(self, *args: Any, **kwargs: Any) -> None:
+        """Emit a warning through joblib's cache logging machinery.
+
+        Delegates to ``joblib.Memory.warn`` so messages carry the same
+        formatting and verbosity gating as joblib's own cache
+        diagnostics.  Exposed for parity with the reference's cache
+        wrapper, which forwards the full joblib Memory surface.
+        """
         self.memory.warn(*args, **kwargs)
 
 

@@ -81,7 +81,14 @@ class audioio:
 
     @staticmethod
     def decode(path: str) -> Tuple[np.ndarray, int]:
-        """Decode an audio file → ((n_frames, n_channels) float32, sr)."""
+        """Decode an audio file → ((n_frames, n_channels) float32, sr).
+
+        One-shot decode of the whole file via ``lt_decode`` — which is
+        itself implemented on the streaming core (open, read to EOF,
+        close), so every decode exercises the same code path as
+        :class:`NativeStream`.  Raises RuntimeError with the C++ error
+        string on unrecognized or malformed containers.
+        """
         data = ctypes.POINTER(ctypes.c_float)()
         frames = ctypes.c_long(0)
         channels = ctypes.c_int(0)
@@ -102,7 +109,13 @@ class audioio:
 
     @staticmethod
     def info(path: str) -> Tuple[int, int, int]:
-        """Return (sr, n_channels, n_frames)."""
+        """Return (sr, n_channels, n_frames) from the container headers.
+
+        Header-only probe via ``lt_info``: WAV/FLAC read their header
+        chunks, ogg/mp3 query their libraries' metadata.  Only when a
+        container does not declare its length does this fall back to a
+        counting decode.  Raises RuntimeError on unreadable files.
+        """
         sr = ctypes.c_int(0)
         channels = ctypes.c_int(0)
         frames = ctypes.c_long(0)
@@ -117,7 +130,15 @@ class audioio:
 
     @staticmethod
     def open(path: str) -> "NativeStream":
-        """Open a streaming decode handle (O(block) memory reads)."""
+        """Open a streaming decode handle (O(block) memory reads).
+
+        Returns a :class:`NativeStream` positioned at frame 0 with the
+        container's ``sr``/``channels``/``frames`` already probed; use
+        its ``read``/``seek``/``close`` to pull samples incrementally.
+        The higher-level entry point is
+        :class:`librosa_tpu.io.AudioReader`, which adds the pure-Python
+        WAV fallback.
+        """
         return NativeStream(path)
 
 
@@ -143,7 +164,14 @@ class NativeStream:
         self.frames = n if n >= 0 else None
 
     def read(self, n_frames: int) -> np.ndarray:
-        """Decode up to ``n_frames`` → ``(n, channels)`` float32 (short at EOF)."""
+        """Decode the next ``n_frames`` frames from the current position.
+
+        Fills a preallocated ``(n_frames, channels)`` float32 buffer via
+        ``lt_stream_read`` and returns the filled prefix — shorter at
+        end-of-stream, zero rows at EOF.  WAV converts straight off the
+        file; FLAC decodes through the C++ sliding window; ogg/mp3 pull
+        from their libraries.  Raises RuntimeError on bitstream errors.
+        """
         if self._h is None:
             raise ValueError("stream is closed")
         out = np.empty((int(n_frames), self.channels), dtype=np.float32)
@@ -158,7 +186,15 @@ class NativeStream:
         return out[: int(got)]
 
     def seek(self, frame: int) -> None:
-        """Position the stream at an absolute frame index."""
+        """Position the stream at an absolute frame index.
+
+        The next :meth:`read` returns samples starting at ``frame``.
+        WAV seeks are positional (block-align arithmetic), ogg uses
+        ``ov_pcm_seek``, mp3 uses ``mpg123_seek``; FLAC decodes forward
+        from the nearest known point, so backwards seeks restart from
+        the first audio frame.  Raises RuntimeError if the container
+        cannot seek.
+        """
         if self._h is None:
             raise ValueError("stream is closed")
         if _lib.lt_stream_seek(self._h, int(frame)) != 0:
@@ -166,6 +202,15 @@ class NativeStream:
             raise RuntimeError(f"audio stream seek failed: {err}")
 
     def close(self) -> None:
+        """Free the native handle (file descriptor, window, codec state).
+
+        Releases whatever the open acquired: the FILE* and (for FLAC)
+        the sliding decode window, or the libvorbisfile / libmpg123
+        decoder state.  Idempotent; also called by ``__exit__`` and the
+        finalizer, so explicit closes are only required when holding
+        many streams open at once.  Reads or seeks after close raise
+        ``ValueError``.
+        """
         if self._h is not None:
             _lib.lt_stream_close(self._h)
             self._h = None

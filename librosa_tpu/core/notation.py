@@ -276,6 +276,12 @@ def list_mela() -> Dict[str, int]:
 def list_thaat() -> List[str]:
     """List the Hindustani thaats understood by :func:`thaat_to_degrees`.
 
+    A thaat is one of the ten parent scales of Hindustani classical
+    music (bilaval, khamaj, kafi, asavari, bhairavi, kalyan, marva,
+    poorvi, todi, bhairav); any of these names is a valid ``thaat``
+    argument to :func:`thaat_to_degrees` and to the svara display
+    formatters.
+
     Returns
     -------
     thaats : list of str

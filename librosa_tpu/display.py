@@ -176,8 +176,22 @@ class AdaptiveFormatterBase(Formatter):
 class AdaptiveEngFormatter(AdaptiveFormatterBase):
     """Engineering-notation Hz ticks with two-octave minor suppression.
 
-    Wraps :class:`matplotlib.ticker.EngFormatter` for the rendering;
-    the adaptive base decides *whether* a label appears at this zoom.
+    Renders frequency ticks as SI-prefixed engineering notation
+    (``250``, ``1k``, ``16k``) via :class:`matplotlib.ticker.EngFormatter`,
+    while the adaptive base decides *whether* a label appears at the
+    current zoom: a ``major=False`` instance labels its (minor) ticks
+    only when the visible span is at most two octaves, so zoomed-out
+    axes stay uncluttered.  Used by ``specshow(..., axis='log')`` and
+    the frequency colorbars.
+
+    Parameters
+    ----------
+    major : bool
+        formatter role; ``False`` enables the two-octave suppression
+    **kwargs
+        forwarded to :class:`matplotlib.ticker.EngFormatter`
+        (e.g. ``unit``, ``places``)
+
     Parity: reference display.py:624.
     """
 
@@ -287,11 +301,30 @@ class SvaraFormatter(AdaptiveFormatterBase):
 
 
 class FJSFormatter(AdaptiveFormatterBase):
-    """Frequency → FJS note ticks. Parity: display.py:494.
+    """Frequency ticks rendered in Functional Just System (FJS) notation.
 
-    When the bin grid is known (``n_bins`` + ``intervals``), each tick
-    is snapped to the nearest just-intonation bin frequency before
-    naming, so labels stay exact on log-spaced vqt axes.
+    Labels log-frequency axes of just-intonation VQT plots: each tick
+    frequency is named relative to ``fmin`` in FJS (note name plus comma
+    accidentals, e.g. ``A♭⁵`` with superscript otonal factors).  When the
+    bin grid is known (``n_bins`` + ``intervals``) each tick is first
+    snapped to the nearest just-intonation bin frequency, so labels stay
+    exact on log-spaced vqt axes; ticks that cannot be named in the
+    system render empty rather than erroring.
+
+    Parameters
+    ----------
+    fmin : float
+        frequency of the unison (bin 0)
+    unison : str or None
+        note name of the unison; None infers it from ``fmin``
+    major : bool
+        minor-tick instances blank out beyond a two-octave span
+    unicode : bool
+        unicode accidental/superscript glyphs
+    intervals, n_bins, bins_per_octave
+        the VQT bin grid to snap ticks onto (optional)
+
+    Parity: reference display.py:494.
     """
 
     def __init__(
@@ -357,15 +390,20 @@ class LogHzFormatter(AdaptiveFormatterBase):
 class ChromaFormatter(Formatter):
     """Pitch-class (chroma bin) ticks rendered as note names.
 
-    Bin index 0 maps to C (or the key's tonic spelling); accidentals
-    follow the key signature.
+    Labels the vertical axis of chromagrams (``specshow(..,
+    axis='chroma')``): tick position ``x`` is reduced modulo 12 to a
+    pitch class and spelled according to the key signature — bin 0 maps
+    to C, and accidentals (sharp vs flat spelling) follow ``key``, so a
+    plot in A♭ major reads ``A♭`` rather than ``G♯``.  Spelling comes
+    from :func:`librosa_tpu.key_to_notes`.
 
     Parameters
     ----------
     key : str
-        key signature for spelling
+        key signature for spelling, e.g. ``'C:maj'``, ``'Eb:min'``
     unicode : bool
-        unicode accidental symbols
+        render accidentals with unicode symbols (``♯``/``♭``) instead
+        of ASCII (``#``/``b``)
 
     Parity: reference display.py:647.
     """
@@ -478,10 +516,15 @@ class ChromaFJSFormatter(Formatter):
 
 
 class TonnetzFormatter(Formatter):
-    """Ticks naming the six tonnetz dimensions.
+    """Ticks naming the six tonnetz (tonal-centroid) dimensions.
 
-    Maps rows 0-5 to the standard tonal-centroid labels
-    (perfect fifth, minor third, major third — sin/cos pairs).
+    Labels the vertical axis of :func:`librosa_tpu.feature.tonnetz`
+    plots (``specshow(.., axis='tonnetz')``): rows 0–5 are the sin/cos
+    coordinate pairs of the three harmonic circles — perfect fifth
+    (``5x``, ``5y``), minor third (``m3x``, ``m3y``), and major third
+    (``M3x``, ``M3y``) — rendered with mathtext subscripts.  Positions
+    are reduced modulo 6, so the formatter is safe on any integer
+    locator.
 
     Parity: reference display.py:840.
     """
@@ -531,24 +574,63 @@ class AdaptiveWaveplot:
 
     @property
     def steps(self):
-        """The step-plot artist (Line2D), or None if garbage collected."""
+        """The sample-level step-plot artist.
+
+        A :class:`matplotlib.lines.Line2D` drawing the raw waveform,
+        visible only while the view holds at most ``max_samples``
+        samples (zoomed in far enough that individual samples are
+        meaningful).  Held by weak reference — returns None once the
+        axes (the owner) have released it, so callers should null-check
+        before styling it.
+        """
         return self._steps_ref()
 
     @property
     def envelope(self):
-        """The envelope artist (PolyCollection), or None if collected."""
+        """The zoomed-out amplitude-envelope artist.
+
+        A :class:`matplotlib.collections.PolyCollection` filling between
+        the per-bin min and max amplitudes, shown whenever the view
+        spans more than ``max_samples`` samples — the standard audio
+        editor "waveform overview" rendering.  Held by weak reference —
+        returns None once the axes (the owner) have released it, so
+        callers should null-check before styling it.
+        """
         return self._envelope_ref()
 
     @property
     def max_points(self):
+        """Deprecated alias of ``max_samples``.
+
+        The zoom threshold (in samples visible) at which the display
+        switches between the sample-level step plot and the min/max
+        envelope.  Kept for signature parity with the reference's
+        ``max_points`` constructor argument; new code should read
+        ``max_samples`` directly.
+        """
         return self.max_samples
 
     @property
     def ax(self):
+        """The axes this waveplot is connected to (None before connect).
+
+        Set by :meth:`connect` and cleared by :meth:`disconnect`; the
+        zoom-adaptive callback registered on these axes re-fires
+        :meth:`update` on every view-limit change.  The waveplot never
+        owns the axes — it only holds them to unregister its callback.
+        """
         return self._ax
 
     def update(self, ax) -> None:
-        """Re-render according to the current view limits."""
+        """Swap the visible artist to match the current view limits.
+
+        Reads the axes' x-limits (y-limits when ``transpose``), converts
+        the visible span to a sample count, and toggles visibility: the
+        step plot when at most ``max_samples`` samples are in view, the
+        min/max envelope otherwise.  Called automatically by the
+        callback that :meth:`connect` registers; call it directly after
+        programmatic ``set_xlim`` if no callback is attached.
+        """
         if self.transpose:
             lims = ax.get_ylim()
         else:
@@ -565,8 +647,13 @@ class AdaptiveWaveplot:
     def connect(self, ax, signal: str = "xlim_changed") -> None:
         """Register the zoom-adaptive callback on ``ax``.
 
-        ``signal`` may be an axes callback name (``xlim_changed`` /
-        ``ylim_changed``) or a canvas event name.
+        After connecting, every change of the watched view limits calls
+        :meth:`update`, so interactive pans/zooms swap between the step
+        plot and the envelope automatically.  ``signal`` may be an axes
+        callback name (``xlim_changed`` / ``ylim_changed`` — use the
+        latter for ``transpose=True`` plots) or any canvas event name
+        (e.g. ``'draw_event'``), in which case the callback registers on
+        the figure canvas instead.  ``waveshow`` calls this for you.
         """
         self._ax = ax
         if signal in ("xlim_changed", "ylim_changed"):
@@ -579,7 +666,15 @@ class AdaptiveWaveplot:
             )
 
     def disconnect(self, *, strict: bool = False) -> None:
-        """Remove the registered callback (no-op if never connected)."""
+        """Unregister the zoom-adaptive callback.
+
+        Detaches whatever :meth:`connect` registered (axes callback or
+        canvas event) and forgets the axes, freezing the plot in its
+        current step-vs-envelope state.  With ``strict=True`` a
+        disconnect without a prior connect raises
+        :class:`ParameterError`; by default it is a silent no-op so
+        teardown code can call it unconditionally.
+        """
         if self.cid is None:
             if strict:
                 raise ParameterError("AdaptiveWaveplot is not connected")
@@ -645,6 +740,15 @@ def _make_transformf0():
             self.is_inverted = is_inverted
 
         def transform_non_affine(self, values):
+            """Map (time, value) pairs along the f0 contour.
+
+            Forward: a pitch-relative offset ``v`` at time ``t`` becomes
+            absolute frequency ``2**(v / norm / bins_per_octave) · f0(t)``
+            (zero-order-hold interpolation of f0).  Inverted instances
+            map absolute Hz back to pitch-relative log2 offsets.  NaN f0
+            (unvoiced) propagates, hiding those samples.  ``values`` is
+            the (N, 2) array matplotlib hands every non-affine transform.
+            """
             values = np.asarray(values)
             idx = (1, 0) if self.transpose else (0, 1)
             times = values[:, idx[0]]
@@ -663,6 +767,14 @@ def _make_transformf0():
             return output
 
         def inverted(self):
+            """Return the inverse transform (matplotlib protocol).
+
+            The inverse of the f0-displacement map is the same transform
+            with ``is_inverted`` toggled: it converts absolute frequency
+            back into the pitch-relative offset coordinate, which
+            matplotlib needs for interactive cursors and autoscaling on
+            axes that carry this transform.
+            """
             return Transformf0(
                 f0=self.f0, sr=self.sr, hop_length=self.hop_length,
                 bins_per_octave=self.bins_per_octave, norm=self.norm,
@@ -1981,10 +2093,34 @@ def highlight(
 ) -> List[Any]:
     """Add a contrast-stroke path effect so overlays stay visible.
 
-    Parity: display.py:4251 — picks ``bright_color`` or ``dark_color``
-    based on the luminance of the underlying axes content, builds a
-    ``withStroke`` path effect, and applies it to ``artist`` in place when
-    given.
+    An f0 contour or beat-marker line drawn over a spectrogram can
+    disappear into similarly-colored cells; this samples the luminance
+    of the underlying axes images, picks ``bright_color`` on dark
+    content or ``dark_color`` on bright content (threshold
+    ``luminance_threshold``), and builds a
+    :class:`matplotlib.patheffects.withStroke` outline in that color.
+
+    Parameters
+    ----------
+    artist : matplotlib artist or None
+        if given, the effect is applied to it in place
+    ax : axes or None
+        axes whose content decides the stroke color (defaults to the
+        artist's axes, else the current axes)
+    color : color or None
+        explicit stroke color, bypassing the luminance decision
+    bright_color, dark_color : color
+        candidates chosen by background luminance
+    luminance_threshold : float in [0, 1]
+        background luminance above which ``dark_color`` is used
+    **kwargs
+        forwarded to ``withStroke`` (e.g. ``linewidth``)
+
+    Returns
+    -------
+    effects : list of path effects, ready for ``set_path_effects``
+
+    Parity: reference display.py:4251.
     """
     plt = _mpl()
     import matplotlib.patheffects as mpe

@@ -103,14 +103,29 @@ class AudioReader:
             self._width = self._wave.getsampwidth()
 
     def read(self, n_frames: int) -> np.ndarray:
-        """Decode up to ``n_frames`` → ``(n, channels)`` float32 (short at EOF)."""
+        """Decode the next ``n_frames`` frames from the current position.
+
+        Returns an ``(n, channels)`` float32 array with samples in
+        [-1, 1); ``n`` may be smaller than requested at end-of-stream,
+        and a zero-row array signals EOF.  Memory cost is O(n_frames)
+        regardless of file size — this is the read primitive
+        ``librosa_tpu.stream`` loops over.
+        """
         if self._nat is not None:
             return self._nat.read(int(n_frames))
         raw = self._wave.readframes(int(n_frames))
         return _wav_bytes_to_float(raw, self._width).reshape(-1, self.channels)
 
     def seek(self, frame: int) -> None:
-        """Position the stream at an absolute frame index."""
+        """Position the stream at an absolute frame index.
+
+        The next :meth:`read` starts at ``frame`` (clamped to the valid
+        range); this is how ``read_audio(offset=...)`` and negative
+        stream offsets avoid decoding what they skip.  Positional for
+        WAV, library-native for ogg/mp3, and decode-skip for FLAC — so
+        a backwards FLAC seek costs a re-decode from the start, while
+        all forward seeks are cheap.
+        """
         frame = max(0, int(frame))
         if self._nat is not None:
             self._nat.seek(frame)
@@ -118,7 +133,15 @@ class AudioReader:
             self._wave.setpos(min(frame, self.frames))
 
     def close(self) -> None:
-        """Release the underlying decoder handle."""
+        """Release the underlying decoder handle.
+
+        Frees the native stream (or stdlib ``wave`` reader) and its
+        buffers — for FLAC that includes the multi-megabyte sliding
+        decode window, so long-lived processes holding many readers
+        should close them promptly.  Further reads raise.  Idempotent,
+        and called automatically when the reader is used as a context
+        manager.
+        """
         if self._nat is not None:
             self._nat.close()
             self._nat = None
@@ -136,8 +159,12 @@ class AudioReader:
 def get_info(path: str) -> Tuple[int, int, int]:
     """Read an audio file's header: ``(sr, n_channels, n_frames)``.
 
-    Uses the native C++ probe when available (wav/flac/ogg), falling
-    back to the stdlib ``wave`` parser — no sample data is decoded.
+    Uses the native C++ probe when available (wav/flac/ogg/mp3 — the
+    same streaming open as :class:`AudioReader`, so only headers and
+    metadata blocks are parsed), falling back to the stdlib ``wave``
+    parser.  No sample data is decoded, making this the cheap way to
+    size buffers or pick analysis parameters before a full
+    :func:`read_audio`.
 
     Parameters
     ----------
@@ -147,6 +174,7 @@ def get_info(path: str) -> Tuple[int, int, int]:
     Returns
     -------
     sr, n_channels, n_frames : int
+        header sampling rate, channel count, and total frames
     """
     nat = _native()
     if nat is not None:
@@ -158,6 +186,10 @@ def get_info(path: str) -> Tuple[int, int, int]:
 def get_samplerate(path: str) -> int:
     """Native sample rate of an audio file, without decoding it.
 
+    Header-only probe (see :func:`get_info`); the usual companion of
+    ``librosa_tpu.stream``, whose frame/hop geometry is expressed at the
+    native rate — query the rate first, then choose block parameters.
+
     Parameters
     ----------
     path : str or Path
@@ -167,6 +199,11 @@ def get_samplerate(path: str) -> int:
     -------
     sr : int
         sampling rate declared in the file header
+
+    Examples
+    --------
+    >>> import librosa_tpu as lt  # doctest: +SKIP
+    >>> sr = lt.get_samplerate('recording.flac')  # doctest: +SKIP
 
     Parity: reference ``librosa/core/audio.py:1289`` (get_samplerate).
     """

@@ -117,8 +117,16 @@ def _get_lib() -> Optional[ctypes.CDLL]:
 def available() -> bool:
     """Whether the system libsoxr shared library could be loaded.
 
-    When False, ``soxr_*`` resampling modes substitute the device
-    polyphase resampler (with a warning) for integer rate pairs.
+    Probes (and caches) the dlopen of ``libsoxr.so`` on first call.
+    When False, ``soxr_*`` res_types in :func:`librosa_tpu.resample`
+    substitute the device polyphase resampler with a warning (integer
+    rate pairs only), and streaming rate conversion in
+    ``librosa_tpu.stream`` is unavailable.  The probe never raises — a
+    missing library is an expected configuration, not an error.
+
+    Returns
+    -------
+    ok : bool — True iff the soxr one-shot and streaming APIs are bound
     """
     return _get_lib() is not None
 
@@ -243,8 +251,23 @@ class StreamResampler:
     def process(self, block: np.ndarray, last: bool = False) -> np.ndarray:
         """Resample one chunk; ``last=True`` flushes the filter tail.
 
-        ``block`` is ``(n,)`` for one channel or ``(n, channels)``
-        interleaved; the output has the same layout.
+        Output length varies per call — soxr buffers enough input to
+        keep its sinc filter centered, so early chunks return slightly
+        fewer samples and the flush returns the held-back tail.  The
+        concatenation over all calls equals a one-shot
+        :func:`resample` of the concatenated input (pinned by
+        ``test_stream.py::test_soxr_stream_matches_oneshot``).
+
+        Parameters
+        ----------
+        block : np.ndarray [shape=(n,) or (n, channels)]
+            next chunk of input samples (may be empty, e.g. for a flush)
+        last : bool
+            signal end-of-stream and drain the filter state
+
+        Returns
+        -------
+        out : np.ndarray — resampled samples, same layout as the input
         """
         if self._h is None:
             raise ValueError("resampler is closed")
@@ -309,7 +332,14 @@ class StreamResampler:
         return res[:, 0] if squeeze else res
 
     def close(self) -> None:
-        """Release the native resampler state."""
+        """Release the native resampler state.
+
+        Calls ``soxr_delete`` on the underlying handle — freeing the
+        band-limited filter history soxr keeps between chunks — and
+        marks the object closed (further :meth:`process` calls raise).
+        Idempotent and invoked by the finalizer, so explicit calls are
+        only needed when many resamplers are created in a tight loop.
+        """
         if self._h is not None:
             self._lib.soxr_delete(self._h)
             self._h = None

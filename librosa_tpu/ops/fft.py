@@ -65,8 +65,22 @@ def get_stft_backend() -> str:
     """Return the configured framed-DFT backend name.
 
     One of ``'auto'``, ``'fft'``, or ``'matmul'`` — the *requested*
-    setting; ``'auto'`` resolves per-call against the active device
-    platform (see :func:`set_stft_backend`).
+    setting as last passed to :func:`set_stft_backend` (or the
+    ``LIBROSA_TPU_STFT_BACKEND`` default).  ``'auto'`` is resolved
+    per call against the device the computation actually places on:
+    ``'matmul'`` (DFT as an MXU matrix product) on TPU, ``'fft'``
+    (native XLA FFT) on CPU — including under a ``jax.default_device``
+    override inside a TPU process.
+
+    Returns
+    -------
+    backend : str — the requested backend name, unresolved
+
+    Examples
+    --------
+    >>> from librosa_tpu.ops.fft import get_stft_backend
+    >>> get_stft_backend() in ('auto', 'fft', 'matmul')
+    True
     """
     return _BACKEND
 

@@ -325,9 +325,21 @@ def biquad_filter(
 ) -> Tuple[jax.Array, jax.Array]:
     """One second-order section ``[b0 b1 b2 1 a1 a2]`` along ``axis``.
 
-    scipy transposed direct-form-II semantics (see module notes for the
-    affine-recurrence formulation); a single-section, single-bank view of
-    :func:`sosfilt`.  Returns ``(y, zf)`` with ``zf`` shaped ``(..., 2)``.
+    scipy transposed direct-form-II semantics (see the module notes for
+    the affine-recurrence formulation and the residual refinement that
+    holds ~float64 accuracy in float32); a single-section, single-bank
+    view of :func:`sosfilt`.
+
+    Parameters
+    ----------
+    x : jax.Array — input signal(s)
+    sos_row : array-like [shape=(6,)] — one scipy-layout section
+    zi : jax.Array [shape=(..., 2)] or None — initial TDF-II state
+    axis : int — time axis of ``x``
+
+    Returns
+    -------
+    y, zf : filtered output and the final ``(..., 2)`` delay state
     """
     y, zf = sosfilt(x, np.asarray(sos_row)[None], zi=None if zi is None
                     else jnp.asarray(zi)[..., None, :], axis=axis)

@@ -77,9 +77,23 @@ def _factor(n_fft: int) -> tuple[int, int]:
 def kernel_macs_per_frame(n_fft: int, n_out: int) -> int:
     """Useful multiply-accumulates per frame (roofline accounting).
 
-    Stage A: 2·kh·n2·n1 (real+imag, half-spectrum k2 rows); stage B:
-    4·kh·n1·n1; basis projection: kh·n1·n_out.  Twiddle/power elementwise
-    FLOPs are excluded (they are not MXU work).
+    The denominator of the kernel's honest utilization number: only the
+    MACs an ideal two-stage Cooley-Tukey DFT + basis projection *needs*,
+    not whatever the implementation happens to execute.  Stage A costs
+    2·kh·n2·n1 (real+imag, half-spectrum k2 rows), stage B 4·kh·n1·n1
+    (complex × complex as 4 real dots), the basis projection
+    kh·n1·n_out.  Twiddle and |·|² elementwise FLOPs are excluded — they
+    are VPU work, not MXU work, and counting them would inflate the
+    apparent utilization (ROOFLINE.md uses this convention throughout).
+
+    Parameters
+    ----------
+    n_fft : int — transform size (power of two ≥ 256)
+    n_out : int — basis rows (e.g. 128 mel bands)
+
+    Returns
+    -------
+    macs : int — multiply-accumulates per frame
     """
     n1, n2 = _factor(n_fft)
     kh = n2 // 2 + 1
@@ -539,6 +553,13 @@ def stft_mel_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused |STFT|^power → basis projection.  Returns (..., n_out, T).
+
+    The flagship kernel: framing, windowing, the two-stage Cooley-Tukey
+    DFT, the |·|^power magnitude, and the filterbank projection execute
+    in one Pallas program per tile of frames, with interior tiles DMA'd
+    zero-copy from the caller's buffer (see the module docstring for the
+    math and ROOFLINE.md for the measured decomposition).  This is the
+    hot path behind ``melspectrogram``/``mfcc`` on TPU.
 
     ``basis`` is (n_out, 1 + n_fft//2) — a mel filterbank, chroma map, or
     identity-like selector.  ``window`` is the length-n_fft analysis

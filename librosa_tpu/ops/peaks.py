@@ -208,9 +208,23 @@ def dp_values(
 def dp_mask(taken_row, wait: int):
     """Host backtrack: walk the taken flags with the wait spacing.
 
-    Mirrors the reference's pointer-following (util/utils.py:1225): from a
-    taken frame the next decision point is ``n + wait + 1``, otherwise
-    ``n + 1``.
+    Final step of sparse peak-picking (``peak_pick(sparse=True)``): the
+    device DP scan emits per-frame "taken" flags, and this converts them
+    into the actual peak mask by replaying the reference's
+    pointer-following rule (util/utils.py:1225) — from a taken frame the
+    next decision point is ``n + wait + 1`` (enforcing the minimum
+    spacing), otherwise ``n + 1``.  Sequential pointer chasing over a
+    boolean vector is exactly the workload SURVEY §2.1 maps to host
+    numpy; the arrays here are tiny (one flag per onset candidate).
+
+    Parameters
+    ----------
+    taken_row : array of bool [shape=(..., T)] — DP "taken" flags
+    wait : int — minimum inter-peak spacing in frames
+
+    Returns
+    -------
+    peaks : np.ndarray of bool, same shape — the selected peaks
     """
     import numpy as np
 

@@ -69,9 +69,20 @@ def dct_matrix(n: int, *, dct_type: int = 2, norm: str | None = "ortho") -> np.n
 def dft_matrices(n_fft: int, *, dtype: str = "float32"):
     """Real/imag DFT analysis matrices for the rfft bins.
 
-    Returns ``(C, S)`` with shapes ``(1 + n_fft//2, n_fft)`` such that
-    ``rfft(x) = C @ x - 1j * (S @ x)``.  Used by the matmul-STFT path where
-    the MXU outperforms the XLA FFT for fused frame→power→mel pipelines.
+    Returns ``(C, S)`` — host numpy arrays of shape
+    ``(1 + n_fft//2, n_fft)`` — such that ``rfft(x) = C @ x − 1j·(S @ x)``.
+    This is the dense-matmul formulation of the framed DFT: on TPU a
+    (bins × n_fft) × (n_fft × frames) matrix product runs on the MXU and
+    fuses with windowing, |·|², and filterbank projection into one
+    program, which beats the XLA FFT for every framed-analysis pipeline
+    in this package (ops/fft.py chooses per backend).  Cached per
+    ``n_fft`` as NUMPY so the cache can never capture a tracer; callers
+    upload or close over the constants as fits their jit.
+
+    Parameters
+    ----------
+    n_fft : int — transform length
+    dtype : str — element dtype of the returned matrices
     """
     n_bins = 1 + n_fft // 2
     k = np.arange(n_bins)[:, None]

@@ -171,9 +171,28 @@ def tempo_sharded(
 ) -> jax.Array:
     """Global tempo estimate of a time-sharded signal.
 
-    The onset envelope is computed sharded (the heavy part); the envelope
-    itself is tiny (one value per hop), so the tempogram + log-normal prior
-    argmax runs replicated after an implicit gather.
+    The onset envelope — the part whose cost scales with signal length —
+    is computed seam-free across the mesh by
+    :func:`onset_strength_sharded` (STFT halos exchanged over ICI with
+    ``ppermute``).  The envelope itself is tiny (one value per hop), so
+    the tempogram autocorrelation and log-normal prior argmax run
+    replicated after the implicit gather, exactly matching the
+    single-device :func:`librosa_tpu.feature.tempo` result.
+
+    Parameters
+    ----------
+    y : array [shape=(n,)]
+        audio, length divisible by the mesh's time-axis size × hop
+    mesh : jax.sharding.Mesh
+        device mesh with a time axis named ``axis_name``
+    sr, hop_length
+        analysis parameters (as in ``feature.tempo``)
+    **tempo_kwargs
+        forwarded to :func:`librosa_tpu.feature.tempo`
+
+    Returns
+    -------
+    tempo : jax.Array — estimated global tempo in BPM
     """
     from ..feature.rhythm import tempo as tempo_fn
 

@@ -101,10 +101,28 @@ def cqt_sharded(
 ) -> jax.Array:
     """Time-sharded CQT; equals ``cqt(y, ..., res_type='polyphase')``.
 
+    The full recursive ladder runs on a device mesh with the signal
+    split along time: each octave's 2:1 polyphase decimation and
+    windowed response are computed per-shard, with filter-reach halos
+    exchanged between neighbors over ICI (``ppermute``) at every rung so
+    octave boundaries are seam-free — numerically ~5e-7 of the unsharded
+    transform (``test_parallel.py``).  SCALING.md derives the
+    communication model (halo bytes are 5–6 orders below ICI capacity).
+
     Requirements: no early downsampling for this configuration, ``n``
     divisible by ``D * hop_length``, ``hop_length`` divisible by
     ``2**(n_octaves-1)``, and every shard at least ``n_fft`` samples at
     every rate of the ladder.
+
+    Parameters
+    ----------
+    y : array [shape=(n,)] — audio to transform
+    mesh, axis_name : the device mesh and its time-axis name
+    (remaining parameters as in :func:`librosa_tpu.cqt`)
+
+    Returns
+    -------
+    C : jax.Array [shape=(n_bins, t)] — constant-Q spectrogram
     """
     y = jnp.asarray(y)
     if fmin is None:

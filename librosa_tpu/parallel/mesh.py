@@ -102,9 +102,26 @@ def pod_mesh(
 ) -> Mesh:
     """2-D (time, track) mesh over every device of a (multi-host) pod slice.
 
-    ``time_axis`` defaults to ``n_devices // track_axis``.  Within a slice
-    the mesh rides ICI; across slices the halo ppermutes fall back to DCN —
-    the axis ORDER puts time innermost so neighbor halos stay on ICI.
+    The standard deployment layout for batch audio analysis: the
+    ``track`` axis distributes independent recordings (embarrassingly
+    parallel, no communication) and the ``time`` axis shards each
+    recording for the seam-free halo-exchange chains in this package.
+    ``time_axis`` defaults to ``n_devices // track_axis``.  The axis
+    ORDER puts time innermost, so the neighbor-to-neighbor halo
+    ``ppermute``s land between physically adjacent devices and ride ICI;
+    only the (communication-free) track axis ever spans slice/DCN
+    boundaries.
+
+    Parameters
+    ----------
+    time_axis : int or None
+        devices along the time axis (None = ``n_devices // track_axis``)
+    track_axis : int
+        devices along the track axis
+
+    Returns
+    -------
+    mesh : jax.sharding.Mesh with axes ``("track", "time")``
     """
     devices = jax.devices()
     n = len(devices)

@@ -29,10 +29,20 @@ __all__ = ["ScalingPoint", "scaling_report"]
 class ScalingPoint:
     """One measured point on the weak-scaling curve.
 
-    Produced by :func:`scaling_report`: throughput of the time-sharded
-    melspectrogram at a given mesh size, with efficiency relative to
-    linear scaling from the smallest measured mesh (see SCALING.md for
-    the communication model behind the expected curve).
+    Produced by :func:`scaling_report`: throughput of a time-sharded
+    chain at a given mesh size, with efficiency relative to linear
+    scaling from the smallest measured mesh.  Efficiency 1.0 means the
+    mesh processes D× the audio in the same wall time as one device;
+    the expected deviation is the halo-exchange communication derived in
+    SCALING.md (negligible on ICI for every chain in this package, so a
+    sub-0.85 value on real hardware indicates a layout problem, not an
+    algorithmic cost).
+
+    Attributes
+    ----------
+    n_devices : int — mesh size measured
+    samples_per_s : float — audio throughput at this size
+    efficiency : float — ratio to linear scaling from the smallest mesh
     """
 
     n_devices: int
@@ -49,11 +59,29 @@ def scaling_report(
     hop_length: int = 512,
     iters: int = 3,
 ) -> List[ScalingPoint]:
-    """Time sharded melspectrogram on growing meshes.
+    """Measure weak scaling of the time-sharded melspectrogram.
 
-    Work per device is held constant (weak scaling): each device gets
+    Work per device is held constant: each device gets
     ``seconds_per_device`` of audio, so perfect scaling keeps per-run
-    wall time flat and samples/s grows linearly.
+    wall time flat and samples/s grows linearly with the mesh.  Run on
+    real multi-chip hardware this produces the measured companion to
+    SCALING.md's analytic efficiency model; on the CPU test mesh it
+    validates the harness (virtual devices share one socket, so absolute
+    efficiencies there are not meaningful).
+
+    Parameters
+    ----------
+    device_counts : sequence of int or None
+        mesh sizes to measure (default: powers of two up to available)
+    seconds_per_device : float
+        audio seconds per device (weak-scaling grain)
+    sr, n_fft, hop_length : analysis parameters
+    iters : int
+        timing repetitions per point (best is kept)
+
+    Returns
+    -------
+    points : list of :class:`ScalingPoint`, one per mesh size
     """
     avail = len(jax.devices())
     if device_counts is None:

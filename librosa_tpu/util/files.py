@@ -93,6 +93,13 @@ ex = example
 def list_examples() -> None:
     """Print the registry of built-in example recording keys.
 
+    Each printed key (e.g. ``trumpet``, ``brahms``) can be passed to
+    :func:`librosa_tpu.example` / :func:`librosa_tpu.ex` to obtain a
+    local path, or to :func:`librosa_tpu.loadx` to load the audio
+    directly.  This environment is offline, so the registry maps keys to
+    locally synthesized fixtures rather than downloads; the key set and
+    the print format match the reference's remote registry.
+
     Returns
     -------
     None

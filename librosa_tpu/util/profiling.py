@@ -63,6 +63,12 @@ def trace(log_dir: str):
 def annotate(name: str):
     """Context manager: a named region on the device trace timeline.
 
+    Wrap a stage of a longer pipeline so its spans group under ``name``
+    in the trace viewer when running inside :func:`trace` — e.g.
+    ``with annotate("cqt ladder"): C = lt.cqt(...)`` makes the ladder's
+    launches attributable at a glance.  Annotations nest, cost nothing
+    when no trace is active, and work on every backend.
+
     Parameters
     ----------
     name : str
@@ -72,6 +78,12 @@ def annotate(name: str):
     -------
     ctx : context manager
         a ``jax.profiler.TraceAnnotation``
+
+    Examples
+    --------
+    >>> from librosa_tpu.util import profiling
+    >>> with profiling.annotate("warmup"):
+    ...     pass
     """
     import jax
 
@@ -167,10 +179,24 @@ def dispatch_profile(fn: Callable[[], Any], *, warmup: int = 1) -> dict:
 class DeviceCeilings:
     """Measured achievable performance ceilings for one device.
 
-    Produced by :func:`calibrate`; the fields are *measured* sustained
-    rates (chained-op probes), not datasheet numbers — on the
-    tunnel-attached TPU in this environment the two differ by 5-10x,
-    so rooflines must use these.
+    Produced by :func:`calibrate` and consumed by :func:`roofline` as
+    the denominator of every utilization figure.  The fields are
+    *measured* sustained rates — each probe chains many dependent ops
+    inside ONE jitted program, so per-launch dispatch latency (which
+    dominates single-op timings over a remote link) cancels out of the
+    estimate.  They are deliberately not datasheet numbers: on the
+    tunnel-attached TPU in this environment the achievable and
+    advertised rates differ by 5–10×, and a roofline computed against
+    the datasheet would call every kernel "slow" regardless of quality.
+
+    Attributes
+    ----------
+    matmul_f32_flops : float
+        sustained ``Precision.HIGHEST`` float32 matmul FLOP/s
+    matmul_bf16_flops : float
+        sustained default-precision (bf16-multiply) matmul FLOP/s
+    hbm_bytes_per_s : float
+        sustained elementwise read+write HBM bandwidth
     """
 
     matmul_f32_flops: float      # HIGHEST-precision f32 matmul FLOP/s
@@ -268,9 +294,15 @@ def calibrate(
 class RooflineReport:
     """Timing + utilization report for one jitted function.
 
-    Produced by :func:`roofline`; ``str()`` renders a one-line summary
-    (time, achieved TF/s and GB/s with ceiling percentages, and whether
-    the op is compute- or memory-bound under the measured ceilings).
+    Produced by :func:`roofline`: wall time, achieved FLOP/s and HBM
+    bandwidth (from the XLA cost analysis of the compiled program), and
+    each as a fraction of the *measured* :class:`DeviceCeilings` — so
+    "83% compute utilization" means 83% of what this device has actually
+    been measured to sustain, not of a datasheet number.  ``bound``
+    names the limiting resource under those ceilings, telling you
+    whether further fusion (memory-bound) or better MXU shaping
+    (compute-bound) is the profitable next step.  ``str()`` renders a
+    one-line summary.
     """
 
     seconds: float
