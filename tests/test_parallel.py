@@ -291,3 +291,36 @@ def test_chroma_cqt_sharded_matches_polyphase(mesh8, rng):
         (c_r[..., :nt] ** 2).sum() / max((err**2).sum(), 1e-300)
     )
     assert snr > 120, snr
+
+
+def test_scaling_harness_covers_every_sharded_entry_point():
+    """Every *_sharded public entry point must have a scaling_report chain.
+
+    SCALING.md's comm/compute table and the measurement harness are kept
+    in lockstep: adding a sharded chain without a harness row fails here.
+    """
+    import librosa_tpu.parallel as par
+    from librosa_tpu.parallel.scaling import _chains
+
+    sharded = {
+        name[: -len("_sharded")]
+        for name in dir(par)
+        if name.endswith("_sharded") and not name.startswith("_")
+    }
+    chains = set(_chains())
+    # naming: melspectrogram_sharded -> melspectrogram, etc.
+    missing = {s for s in sharded if s not in chains}
+    assert not missing, f"sharded entry points without a scaling chain: {missing}"
+
+
+def test_scaling_report_runs_on_virtual_mesh():
+    from librosa_tpu.parallel.scaling import scaling_report
+
+    pts = scaling_report(
+        chain="melspectrogram", device_counts=[1, 2],
+        seconds_per_device=2.0, iters=1,
+    )
+    assert [p.n_devices for p in pts] == [1, 2]
+    assert pts[0].efficiency == 1.0
+    assert all(p.samples_per_s > 0 for p in pts)
+    assert all(p.chain == "melspectrogram" for p in pts)
