@@ -209,7 +209,7 @@ def _device_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
 @functools.lru_cache(maxsize=128)
 def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
                  precision, interpret, n_tracks, sig_len, lpad, reflect,
-                 legacy=False):
+                 legacy=False, pair=False):
     """Build (and cache) the jitted kernel wrapper for one configuration.
 
     The wrapper owns ALL input staging: the bulk of the signal is handed
@@ -260,11 +260,12 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
         aligned = n_tracks == 1 or phys_rows % 8 == 0
 
     prec3 = precision if isinstance(precision, tuple) else (precision,) * 3
+    sub = tt // 2 if pair else tt
     kern = functools.partial(
         _kernel, tt=tt, hop=hop_length, n_fft=n_fft, n1=n1, n2=n2,
         power=power, precision=prec3, tiles_per_track=n_tiles,
         phys_rows=phys_rows, e_start=e_start, n_edge=n_edge, A=A,
-        loff=loff, aligned=aligned,
+        loff=loff, aligned=aligned, sub=sub,
     )
     call = pl.pallas_call(
         kern,
@@ -287,7 +288,7 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, rows_buf, hop_length), jnp.float32),
-            pltpu.VMEM((tt, n2, n1), jnp.float32),
+            pltpu.VMEM((2 if pair else 1, sub, n2, n1), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -374,7 +375,7 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
             *, tt: int, hop: int, n_fft: int, n1: int, n2: int,
             power: float, precision, tiles_per_track: int,
             phys_rows: int, e_start: int, n_edge: int, A: int, loff: int,
-            aligned: bool):
+            aligned: bool, sub: int):
     """One grid step = one tile of ``tt`` frames.
 
     Frames are never assembled: frame t spans r = n_fft/hop consecutive
@@ -391,6 +392,13 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
     with a constant A − loff sublane offset.  Boundary tiles — a
     statically known set — read identical-shape buffers pre-assembled
     with the center/tail padding from ``edges_hbm``.
+
+    When ``sub < tt`` (paired mode) the tile is computed as two
+    interleaved ``sub``-frame halves: the op stream staggers one half's
+    VPU stages (frame staging/window, twiddle, |·|²) against the other
+    half's MXU dots, giving the hardware scheduler independent work to
+    overlap the ~36% serial VPU slice with MXU passes (ROOFLINE.md's
+    named residual).  Identical math; only the emission order changes.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -468,74 +476,95 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
 
     # Keep n1 = 128 in the LANES of every intermediate: tensors are laid
     # out (n2, tt, n1) so nothing pads a 16-wide axis up to 128 lanes.
-
-    # ---- assemble the windowed frame tensor in VMEM ---------------------
-    # xstack[t, t2, t1] = win[t2, t1] · y[t·hop + n1·t2 + t1]: hop-row
-    # block j of frame t is ybuf row (A − loff) + t + j (buffer row b holds
-    # logical padded row w·tt − (A − loff) + b) and covers t2 ∈ [j·q,
-    # (j+1)·q).  Staging through VMEM keeps stage A as ONE dot pair
-    # (K = n2) — per-j partial dots each cost a full MXU pass regardless
-    # of their tiny K.
-    for j in range(r):
-        xstack[:, pl.ds(j * q, q), :] = (
-            ybuf[pl.ds(j + A - loff, tt), :].reshape(tt, q, n1)
-            * win_ref[pl.ds(j * q, q), :]
-        )
-
-    # ---- stage A: contract t2: A[k2, t, t1] = Σ_{t2} W2[t2,k2]·x[t,t2,t1]
-    # Real input ⇒ conjugate symmetry in k2; only k2 ∈ [0, n2/2] is
-    # computed (kh rows) — the mirror bins are folded into the basis.
-    # cos and −sin rows ride ONE dot (c2_ref holds [c2; −s2], 2kh rows):
-    # each MXU pass is N-tile-bound here (K = n2 is tiny), so halving the
-    # dot count halves stage-A passes.
     kh = n2 // 2 + 1
-    dn_a = (((1,), (1,)), ((), ()))        # lhs (2kh, n2) × (tt, n2, n1)
-    a_both = jax.lax.dot_general(
-        c2_ref[:], xstack[:], dn_a,
-        preferred_element_type=jnp.float32, precision=precision[0],
-    )                                       # (2kh, tt, n1) = [k2|k2', t, t1]
-    ar = a_both[:kh]
-    ai = a_both[kh:]
 
-    # ---- twiddle: × W_N^{t1 k2} = cos − i·sin, over (k2, 1, t1) ---------
-    ctw = ctw_ref[:].reshape(kh, 1, n1)
-    stw = stw_ref[:].reshape(kh, 1, n1)
-    br = ar * ctw + ai * stw
-    bi = ai * ctw - ar * stw
+    def _assemble(s):
+        # xstack[s][t, t2, t1] = win[t2, t1] · y[t·hop + n1·t2 + t1]:
+        # hop-row block j of frame t is ybuf row (A − loff) + s·sub + t + j
+        # (buffer row b holds logical padded row w·tt − (A − loff) + b) and
+        # covers t2 ∈ [j·q, (j+1)·q).  Staging through VMEM keeps stage A
+        # as ONE dot pair (K = n2) — per-j partial dots each cost a full
+        # MXU pass regardless of their tiny K.
+        for j in range(r):
+            xstack[s, :, pl.ds(j * q, q), :] = (
+                ybuf[pl.ds(j + A - loff + s * sub, sub), :].reshape(sub, q, n1)
+                * win_ref[pl.ds(j * q, q), :]
+            )
 
-    # ---- stage B: contract t1 (last axis): X[k2, t, k1] -----------------
-    # All four real products in one dot: lhs [br; bi] (2kh, tt, n1),
-    # rhs [c1 | s1] (n1, 2n1); recombine by 128-aligned lane slices.
-    b_both = jnp.concatenate([br, bi], axis=0)
-    dn_b = (((2,), (0,)), ((), ()))
-    prod = jax.lax.dot_general(
-        b_both, c1_ref[:], dn_b, preferred_element_type=jnp.float32,
-        precision=precision[1],
-    )                                      # (2kh, tt, 2n1)
-    xrr = prod[:kh, :, :n1] + prod[kh:, :, n1:]    # br·c1 + bi·s1
-    xii = prod[kh:, :, :n1] - prod[:kh, :, n1:]    # bi·c1 − br·s1
+    def _stage_a(s):
+        # contract t2: A[k2, t, t1] = Σ_{t2} W2[t2,k2]·x[t,t2,t1].  Real
+        # input ⇒ conjugate symmetry in k2; only k2 ∈ [0, n2/2] is
+        # computed (kh rows) — mirror bins are folded into the basis.
+        # cos and −sin rows ride ONE dot (c2_ref holds [c2; −s2]): each
+        # MXU pass is N-tile-bound here (K = n2 is tiny), so halving the
+        # dot count halves stage-A passes.
+        dn_a = (((1,), (1,)), ((), ()))    # lhs (2kh, n2) × (sub, n2, n1)
+        return jax.lax.dot_general(
+            c2_ref[:], xstack[s], dn_a,
+            preferred_element_type=jnp.float32, precision=precision[0],
+        )                                  # (2kh, sub, n1) = [k2|k2', t, t1]
 
-    pw = xrr * xrr + xii * xii             # (kh, tt, n1)
-    if power == 1:
-        pw = jnp.sqrt(pw)
-    elif power != 2:
-        pw = pw ** (power / 2)
+    def _twiddle(a_both):
+        # × W_N^{t1 k2} = cos − i·sin, elementwise over (k2, 1, t1)
+        ar, ai = a_both[:kh], a_both[kh:]
+        ctw = ctw_ref[:].reshape(kh, 1, n1)
+        stw = stw_ref[:].reshape(kh, 1, n1)
+        br = ar * ctw + ai * stw
+        bi = ai * ctw - ar * stw
+        return jnp.concatenate([br, bi], axis=0)
 
-    # ---- basis projection, accumulated per k2 block ---------------------
-    # out[m, t] = Σ_{k2,k1} basis[k2, k1, m] · pw[k2, t, k1]: contracting
-    # basis axis 0 against pw axis 1 yields (m, tt) directly — the public
-    # (..., n_out, T) layout — with no per-tile transpose.
-    dn_p = (((0,), (1,)), ((), ()))
-    acc = jax.lax.dot_general(
-        basis_ref[0], pw[0], dn_p,
-        preferred_element_type=jnp.float32, precision=precision[2],
-    )
-    for k2 in range(1, n2 // 2 + 1):
-        acc = acc + jax.lax.dot_general(
-            basis_ref[k2], pw[k2], dn_p,
+    def _stage_b_power(b_both):
+        # contract t1 (last axis): X[k2, t, k1].  All four real products
+        # in one dot: lhs [br; bi] (2kh, sub, n1), rhs [c1 | s1] (n1, 2n1);
+        # recombine by 128-aligned lane slices, then |·|^power.
+        dn_b = (((2,), (0,)), ((), ()))
+        prod = jax.lax.dot_general(
+            b_both, c1_ref[:], dn_b, preferred_element_type=jnp.float32,
+            precision=precision[1],
+        )                                  # (2kh, sub, 2n1)
+        xrr = prod[:kh, :, :n1] + prod[kh:, :, n1:]    # br·c1 + bi·s1
+        xii = prod[kh:, :, :n1] - prod[:kh, :, n1:]    # bi·c1 − br·s1
+        pw = xrr * xrr + xii * xii         # (kh, sub, n1)
+        if power == 1:
+            pw = jnp.sqrt(pw)
+        elif power != 2:
+            pw = pw ** (power / 2)
+        return pw
+
+    def _basis(pw):
+        # out[m, t] = Σ_{k2,k1} basis[k2, k1, m] · pw[k2, t, k1]:
+        # contracting basis axis 0 against pw axis 1 yields (m, sub)
+        # directly — the public (..., n_out, T) layout, no transpose.
+        dn_p = (((0,), (1,)), ((), ()))
+        acc = jax.lax.dot_general(
+            basis_ref[0], pw[0], dn_p,
             preferred_element_type=jnp.float32, precision=precision[2],
         )
-    out_ref[:] = acc
+        for k2 in range(1, kh):
+            acc = acc + jax.lax.dot_general(
+                basis_ref[k2], pw[k2], dn_p,
+                preferred_element_type=jnp.float32, precision=precision[2],
+            )
+        return acc
+
+    if sub == tt:
+        _assemble(0)
+        out_ref[:] = _basis(_stage_b_power(_twiddle(_stage_a(0))))
+    else:
+        # Paired halves, staggered: each half's VPU stage is emitted
+        # between the other half's MXU dots so the scheduler can overlap
+        # them.  The math is identical to two sequential sub-tiles.
+        _assemble(0)                      # VPU: stage half 0
+        a0 = _stage_a(0)                  # MXU
+        _assemble(1)                      # VPU (independent of a0)
+        t0 = _twiddle(a0)                 # VPU
+        a1 = _stage_a(1)                  # MXU
+        p0 = _stage_b_power(t0)           # MXU + VPU tail
+        t1 = _twiddle(a1)                 # VPU
+        o0 = _basis(p0)                   # MXU
+        p1 = _stage_b_power(t1)           # MXU + VPU tail
+        out_ref[:, pl.ds(0, sub)] = o0
+        out_ref[:, pl.ds(sub, sub)] = _basis(p1)
 
 
 def stft_mel_pallas(
@@ -551,6 +580,7 @@ def stft_mel_pallas(
     tile_frames: int = 128,
     precision: Any = None,
     interpret: bool = False,
+    pair_tiles: bool = False,
 ) -> jax.Array:
     """Fused |STFT|^power → basis projection.  Returns (..., n_out, T).
 
@@ -564,6 +594,11 @@ def stft_mel_pallas(
     ``basis`` is (n_out, 1 + n_fft//2) — a mel filterbank, chroma map, or
     identity-like selector.  ``window`` is the length-n_fft analysis
     window.  Leading dims of ``y`` are vmapped.
+
+    ``pair_tiles`` processes two ``tile_frames`` halves per grid step
+    with their VPU and MXU stages interleaved — the ROOFLINE.md
+    serial-slice overlap experiment.  Bit-identical output; enable for
+    measurement via ``scripts/kernel_experiments.py``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -611,7 +646,9 @@ def stft_mel_pallas(
     if n_frames <= 0:
         raise ValueError("input shorter than one frame")
 
-    tt = tile_frames
+    # paired mode: the DMA/edge geometry works on double-width tiles; the
+    # kernel computes the two halves interleaved
+    tt = 2 * tile_frames if pair_tiles else tile_frames
     n_tiles = -(-n_frames // tt)
 
     if precision is None:
@@ -622,7 +659,11 @@ def stft_mel_pallas(
         precision, interpret, n_tracks, y.shape[-1], lpad,
         pad_mode == "reflect",
     )
-    if cfg[:2] in _LEGACY_CONFIGS:
+    if pair_tiles:
+        out = _cached_call(*cfg, pair=True)(
+            y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
+        )
+    elif cfg[:2] in _LEGACY_CONFIGS:
         out = _cached_call(*cfg, legacy=True)(
             y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
         )

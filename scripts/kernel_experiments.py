@@ -151,6 +151,26 @@ def main() -> None:
             print(f"[4] tile_frames={tt}: failed ({str(e)[:80]})",
                   flush=True)
 
+    # ---- 5. paired-tile VPU/MXU interleave -----------------------------
+    # ROOFLINE.md's named residual: ~5.7 µs/tile of serial VPU work
+    # (staging/window, twiddle, |·|²).  The paired kernel staggers two
+    # sub-tiles so the scheduler can hide one's VPU under the other's
+    # MXU passes.  Bit-identical output (pinned in test_pallas_stft.py).
+    for sub in (64, 128):
+        try:
+            def fn(yb, t=sub):
+                return ps.stft_mel_pallas(
+                    yb, window, basis, n_fft=N_FFT, hop_length=HOP,
+                    power=2.0, tile_frames=t, pair_tiles=True,
+                )
+
+            dt5 = _bench(fn, y)
+            print(f"[5] pair_tiles sub={sub}: {gsps(dt5):.2f} G samples/s",
+                  flush=True)
+        except Exception as e:
+            print(f"[5] pair_tiles sub={sub}: failed ({str(e)[:90]})",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()

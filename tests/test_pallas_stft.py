@@ -214,3 +214,30 @@ def test_legacy_layout_bitexact(rng):
     finally:
         P._LEGACY_CONFIGS.discard((512, 128))
     assert np.array_equal(fast, legacy)
+
+
+@pytest.mark.parametrize("shape", [(22050 * 6,), (2, 22050 * 3)])
+def test_pair_tiles_bit_identical(rng, shape):
+    """The interleaved paired-tile variant must be bit-identical.
+
+    pair_tiles only changes op emission ORDER (two sub-tiles staggered so
+    VPU stages can overlap the other half's MXU passes); any numerical
+    difference means the halves got mixed up.
+    """
+    import numpy as np
+
+    import librosa_tpu.filters as ltf
+    from librosa_tpu.ops.pallas_stft import stft_mel_pallas
+
+    mel = np.asarray(ltf.mel(sr=22050, n_fft=2048, n_mels=128))
+    win = np.hanning(2049)[:-1].astype(np.float32)
+    y = rng.randn(*shape).astype(np.float32)
+    single = np.asarray(
+        stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
+                        interpret=True)
+    )
+    paired = np.asarray(
+        stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
+                        interpret=True, pair_tiles=True)
+    )
+    np.testing.assert_array_equal(single, paired)
