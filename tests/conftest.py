@@ -22,6 +22,27 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_code_maps():
+    """Keep the process under the kernel's vm.max_map_count ceiling.
+
+    Every XLA:CPU compile mmaps JIT code segments (~6 maps for a tiny
+    program, hundreds for the fused whole-ladder programs), and the
+    suite compiles thousands — around test ~690 the process crossed
+    vm.max_map_count (65530) and LLVM's JIT segfaulted inside
+    ``backend_compile_and_load`` instead of failing cleanly.  Dropping
+    jax's executable caches between modules un-maps retired programs;
+    gated on the live map count so cheap modules don't pay recompiles.
+    """
+    yield
+    try:
+        n_maps = sum(1 for _ in open("/proc/self/maps"))
+    except OSError:
+        return
+    if n_maps > 25000:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(440)
