@@ -177,11 +177,50 @@ def _host_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _host_packed_c2(n_fft: int, n2: int, group: int):
+    """Block-diagonal stage-A matrix for the lane-packed variant.
+
+    Stage A's natural contraction depth is K = n2 (16 for n_fft=2048) —
+    1/8 of the MXU's 128-deep systolic array, so each pass wastes 7/8 of
+    its K occupancy (ROOFLINE.md's stage-A residual).  Packing ``group``
+    consecutive frames per pass fixes it: lhs = diag([c2; −s2] × group)
+    of shape (group·2kh, group·n2) contracts K = group·n2 ≈ 128 against
+    the frame tensor viewed as (tt/group, group·n2, n1) — a pure
+    reshape, since consecutive frames' t2-rows are already adjacent.
+    """
+    c2, s2, *_ = _host_tables(n_fft, n2)
+    kh = n2 // 2 + 1
+    cs2 = np.concatenate([c2.T[:kh], -s2.T[:kh]], axis=0)  # (2kh, n2)
+    bd = np.zeros((group * 2 * kh, group * n2), dtype=np.float32)
+    for b in range(group):
+        bd[b * 2 * kh: (b + 1) * 2 * kh, b * n2: (b + 1) * n2] = cs2
+    return bd
+
+
+def _pack_group(n2: int) -> int:
+    """Frames per stage-A pass: fill M (group·2kh) and K (group·n2) ≤ 128."""
+    kh = n2 // 2 + 1
+    return max(1, min(128 // (2 * kh), 128 // n2))
+
+
 _DEV_CONSTS: dict = {}
 
 # (n_fft, hop) configs where the zero-copy layout failed to lower and the
 # padded legacy layout is used instead (see stft_mel_pallas fallback).
 _LEGACY_CONFIGS: set = set()
+
+
+def _device_bd_c2(n_fft: int, n2: int, group: int):
+    """Device-resident packed stage-A matrix (tracer-safe cache)."""
+    key = ("bd", n_fft, n2, group)
+    cached = _DEV_CONSTS.get(key)
+    if cached is not None:
+        return cached
+    dev = jnp.asarray(_host_packed_c2(n_fft, n2, group))
+    if not isinstance(dev, jax.core.Tracer):
+        _DEV_CONSTS[key] = dev
+    return dev
 
 
 def _device_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
@@ -209,7 +248,7 @@ def _device_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
 @functools.lru_cache(maxsize=128)
 def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
                  precision, interpret, n_tracks, sig_len, lpad, reflect,
-                 legacy=False, pair=False):
+                 legacy=False, pair=False, pack_a=False):
     """Build (and cache) the jitted kernel wrapper for one configuration.
 
     The wrapper owns ALL input staging: the bulk of the signal is handed
@@ -261,11 +300,12 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
 
     prec3 = precision if isinstance(precision, tuple) else (precision,) * 3
     sub = tt // 2 if pair else tt
+    group = _pack_group(n2) if pack_a else 1
     kern = functools.partial(
         _kernel, tt=tt, hop=hop_length, n_fft=n_fft, n1=n1, n2=n2,
         power=power, precision=prec3, tiles_per_track=n_tiles,
         phys_rows=phys_rows, e_start=e_start, n_edge=n_edge, A=A,
-        loff=loff, aligned=aligned, sub=sub,
+        loff=loff, aligned=aligned, sub=sub, group=group,
     )
     call = pl.pallas_call(
         kern,
@@ -288,7 +328,9 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, rows_buf, hop_length), jnp.float32),
-            pltpu.VMEM((2 if pair else 1, sub, n2, n1), jnp.float32),
+            pltpu.VMEM(
+                (2 if pair else 1, sub // group, group, n2, n1), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -375,7 +417,7 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
             *, tt: int, hop: int, n_fft: int, n1: int, n2: int,
             power: float, precision, tiles_per_track: int,
             phys_rows: int, e_start: int, n_edge: int, A: int, loff: int,
-            aligned: bool, sub: int):
+            aligned: bool, sub: int, group: int = 1):
     """One grid step = one tile of ``tt`` frames.
 
     Frames are never assembled: frame t spans r = n_fft/hop consecutive
@@ -478,16 +520,21 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
     # out (n2, tt, n1) so nothing pads a 16-wide axis up to 128 lanes.
     kh = n2 // 2 + 1
 
+    G = sub // group
+
     def _assemble(s):
-        # xstack[s][t, t2, t1] = win[t2, t1] · y[t·hop + n1·t2 + t1]:
-        # hop-row block j of frame t is ybuf row (A − loff) + s·sub + t + j
-        # (buffer row b holds logical padded row w·tt − (A − loff) + b) and
-        # covers t2 ∈ [j·q, (j+1)·q).  Staging through VMEM keeps stage A
-        # as ONE dot pair (K = n2) — per-j partial dots each cost a full
-        # MXU pass regardless of their tiny K.
+        # xstack[s][g, b, t2, t1] = win[t2, t1] · y[t·hop + n1·t2 + t1]
+        # with t = g·group + b: hop-row block j of frame t is ybuf row
+        # (A − loff) + s·sub + t + j (buffer row holds logical padded row
+        # w·tt − (A − loff) + b) and covers t2 ∈ [j·q, (j+1)·q).  Staging
+        # through VMEM keeps stage A as ONE dot pair — per-j partial dots
+        # each cost a full MXU pass regardless of their tiny K.  The
+        # (g, b) split is layout-free: consecutive frames' t2-rows are
+        # already adjacent in memory.
         for j in range(r):
-            xstack[s, :, pl.ds(j * q, q), :] = (
-                ybuf[pl.ds(j + A - loff + s * sub, sub), :].reshape(sub, q, n1)
+            xstack[s, :, :, pl.ds(j * q, q), :] = (
+                ybuf[pl.ds(j + A - loff + s * sub, sub), :]
+                .reshape(G, group, q, n1)
                 * win_ref[pl.ds(j * q, q), :]
             )
 
@@ -500,9 +547,22 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
         # dot count halves stage-A passes.
         dn_a = (((1,), (1,)), ((), ()))    # lhs (2kh, n2) × (sub, n2, n1)
         return jax.lax.dot_general(
-            c2_ref[:], xstack[s], dn_a,
+            c2_ref[:], xstack[s].reshape(sub, n2, n1), dn_a,
             preferred_element_type=jnp.float32, precision=precision[0],
         )                                  # (2kh, sub, n1) = [k2|k2', t, t1]
+
+    def _stage_a_packed(s):
+        # lane-packed stage A (ROOFLINE.md residual experiment): contract
+        # K = group·n2 ≈ 128 with the block-diagonal [c2; −s2] stack, so
+        # each MXU pass carries `group` frames at full K occupancy
+        # instead of one frame at n2/128.  c2_ref holds the
+        # (group·2kh, group·n2) block-diagonal matrix in this mode.
+        dn_a = (((1,), (1,)), ((), ()))
+        a2 = jax.lax.dot_general(
+            c2_ref[:], xstack[s].reshape(G, group * n2, n1), dn_a,
+            preferred_element_type=jnp.float32, precision=precision[0],
+        )                                  # (group·2kh, G, n1)
+        return a2.reshape(group, 2 * kh, G, n1)
 
     def _twiddle(a_both):
         # × W_N^{t1 k2} = cos − i·sin, elementwise over (k2, 1, t1)
@@ -512,6 +572,32 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
         br = ar * ctw + ai * stw
         bi = ai * ctw - ar * stw
         return jnp.concatenate([br, bi], axis=0)
+
+    def _packed_tail(a4):
+        # twiddle → stage B → |·|^p in the packed (group, ·, G, n1)
+        # layout, then ONE relayout back to (kh, sub, n1) for the basis —
+        # the transpose is the experiment's measured cost (ROOFLINE.md
+        # judged it against the stage-A pass saving; this measures it).
+        ar, ai = a4[:, :kh], a4[:, kh:]
+        ctw = ctw_ref[:].reshape(1, kh, 1, n1)
+        stw = stw_ref[:].reshape(1, kh, 1, n1)
+        br = ar * ctw + ai * stw
+        bi = ai * ctw - ar * stw
+        b4 = jnp.concatenate([br, bi], axis=1)     # (group, 2kh, G, n1)
+        dn_b = (((3,), (0,)), ((), ()))
+        prod = jax.lax.dot_general(
+            b4, c1_ref[:], dn_b, preferred_element_type=jnp.float32,
+            precision=precision[1],
+        )                                          # (group, 2kh, G, 2n1)
+        xrr = prod[:, :kh, :, :n1] + prod[:, kh:, :, n1:]
+        xii = prod[:, kh:, :, :n1] - prod[:, :kh, :, n1:]
+        pw = xrr * xrr + xii * xii                 # (group, kh, G, n1)
+        if power == 1:
+            pw = jnp.sqrt(pw)
+        elif power != 2:
+            pw = pw ** (power / 2)
+        # t = g·group + b: bring (G, group) adjacent and merge to sub
+        return jnp.transpose(pw, (1, 2, 0, 3)).reshape(kh, sub, n1)
 
     def _stage_b_power(b_both):
         # contract t1 (last axis): X[k2, t, k1].  All four real products
@@ -547,7 +633,12 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
             )
         return acc
 
-    if sub == tt:
+    if group > 1:
+        # lane-packed stage A (single-tile only; the relayout already
+        # restructures the op stream, so pairing is kept orthogonal)
+        _assemble(0)
+        out_ref[:] = _basis(_packed_tail(_stage_a_packed(0)))
+    elif sub == tt:
         _assemble(0)
         out_ref[:] = _basis(_stage_b_power(_twiddle(_stage_a(0))))
     else:
@@ -581,6 +672,7 @@ def stft_mel_pallas(
     precision: Any = None,
     interpret: bool = False,
     pair_tiles: bool = False,
+    pack_a: bool = False,
 ) -> jax.Array:
     """Fused |STFT|^power → basis projection.  Returns (..., n_out, T).
 
@@ -597,7 +689,12 @@ def stft_mel_pallas(
 
     ``pair_tiles`` processes two ``tile_frames`` halves per grid step
     with their VPU and MXU stages interleaved — the ROOFLINE.md
-    serial-slice overlap experiment.  Bit-identical output; enable for
+    serial-slice overlap experiment.  ``pack_a`` contracts stage A with
+    a block-diagonal matrix carrying ~7 frames per MXU pass (K: 16→112)
+    at the cost of one in-VMEM relayout after the power stage — the
+    ROOFLINE.md stage-A occupancy experiment (requires ``tile_frames``
+    divisible by the pack group, e.g. 112; mutually exclusive with
+    ``pair_tiles``).  Both are numerically exact variants; enable for
     measurement via ``scripts/kernel_experiments.py``.
     """
     from jax.experimental import pallas as pl
@@ -659,7 +756,20 @@ def stft_mel_pallas(
         precision, interpret, n_tracks, y.shape[-1], lpad,
         pad_mode == "reflect",
     )
-    if pair_tiles:
+    if pack_a:
+        if pair_tiles:
+            raise ValueError("pack_a and pair_tiles are mutually exclusive")
+        g = _pack_group(n2)
+        if tt % g or tt % 8:
+            raise ValueError(
+                f"pack_a needs tile_frames divisible by {g} and 8 "
+                f"(e.g. {8 * g}); got {tt}"
+            )
+        out = _cached_call(*cfg, pack_a=True)(
+            y, win, _device_bd_c2(n_fft, n2, g), ctw_d, stw_d, c1s1_d,
+            remapped_d,
+        )
+    elif pair_tiles:
         out = _cached_call(*cfg, pair=True)(
             y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
         )

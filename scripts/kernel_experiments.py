@@ -171,6 +171,27 @@ def main() -> None:
             print(f"[5] pair_tiles sub={sub}: failed ({str(e)[:90]})",
                   flush=True)
 
+    # ---- 6. lane-packed stage A ----------------------------------------
+    # ROOFLINE.md's other named residual: stage A contracts K=16 of the
+    # MXU's 128, wasting 7/8 of each pass.  pack_a contracts a
+    # block-diagonal [c2; −s2] stack carrying 7 frames per pass (K=112)
+    # at the cost of one in-VMEM relayout after |·|² — this measures
+    # which effect wins (the round-2 judgment call, now with data).
+    for tf in (56, 112):
+        try:
+            def fn(yb, t=tf):
+                return ps.stft_mel_pallas(
+                    yb, window, basis, n_fft=N_FFT, hop_length=HOP,
+                    power=2.0, tile_frames=t, pack_a=True,
+                )
+
+            dt6 = _bench(fn, y)
+            print(f"[6] pack_a tile={tf}: {gsps(dt6):.2f} G samples/s",
+                  flush=True)
+        except Exception as e:
+            print(f"[6] pack_a tile={tf}: failed ({str(e)[:90]})",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -241,3 +241,34 @@ def test_pair_tiles_bit_identical(rng, shape):
                         interpret=True, pair_tiles=True)
     )
     np.testing.assert_array_equal(single, paired)
+
+
+def test_pack_a_matches_standard_kernel(rng):
+    """Lane-packed stage A must match at f32-reassociation level.
+
+    The block-diagonal dot accumulates in a different order, so exact
+    bit-identity is not expected — but anything beyond ~1e-6 relative
+    means the frame packing or the post-power relayout is misindexed.
+    """
+    import numpy as np
+
+    import librosa_tpu.filters as ltf
+    from librosa_tpu.ops.pallas_stft import stft_mel_pallas
+
+    mel = np.asarray(ltf.mel(sr=22050, n_fft=2048, n_mels=128))
+    win = np.hanning(2049)[:-1].astype(np.float32)
+    y = rng.randn(22050 * 4).astype(np.float32)
+    std = np.asarray(
+        stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
+                        interpret=True)
+    )
+    packed = np.asarray(
+        stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
+                        interpret=True, pack_a=True, tile_frames=112)
+    )
+    assert std.shape == packed.shape
+    rel = np.abs(std - packed).max() / np.abs(std).max()
+    assert rel < 1e-6, rel
+    with pytest.raises(ValueError):
+        stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
+                        interpret=True, pack_a=True, pair_tiles=True)
