@@ -62,7 +62,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["stft_mel_pallas", "pallas_supported"]
+__all__ = [
+    "stft_mel_pallas", "pallas_supported", "set_kernel_variant",
+    "get_kernel_variant",
+]
+
+# Production kernel variant: 'default' (single tile), 'pair' (two
+# interleaved sub-tiles), or 'pack' (lane-packed stage A).  The two
+# alternates are numerically exact restructurings whose payoff is
+# hardware-scheduler dependent; bench.py measures all three and adopts
+# the winner (ROOFLINE.md documents both experiments).
+import os as _os
+
+_VARIANT = _os.environ.get("LIBROSA_TPU_KERNEL_VARIANT", "default")
+
+
+def set_kernel_variant(name: str) -> None:
+    """Select the fused-kernel structure used by the production path.
+
+    Parameters
+    ----------
+    name : {'default', 'pair', 'pack'}
+        'default' — one 128-frame tile per grid step;
+        'pair' — two interleaved sub-tiles (VPU/MXU overlap experiment);
+        'pack' — lane-packed stage A (7 frames per MXU pass).
+
+    All three compute the same transform (exactly for 'pair'; to f32
+    reassociation for 'pack').  Explicit ``pair_tiles``/``pack_a``
+    arguments to :func:`stft_mel_pallas` override this setting.  The
+    initial value comes from ``LIBROSA_TPU_KERNEL_VARIANT``.
+    """
+    global _VARIANT
+    if name not in ("default", "pair", "pack"):
+        raise ValueError(f"unknown kernel variant: {name!r}")
+    _VARIANT = name
+
+
+def get_kernel_variant() -> str:
+    """Return the configured production kernel variant name.
+
+    One of ``'default'``, ``'pair'``, or ``'pack'`` — see
+    :func:`set_kernel_variant` for what each selects.  bench.py records
+    the winning variant in its JSON line so the recorded throughput is
+    reproducible from configuration alone.
+    """
+    return _VARIANT
 
 
 def _factor(n_fft: int) -> tuple[int, int]:
@@ -671,8 +715,8 @@ def stft_mel_pallas(
     tile_frames: int = 128,
     precision: Any = None,
     interpret: bool = False,
-    pair_tiles: bool = False,
-    pack_a: bool = False,
+    pair_tiles: Any = None,
+    pack_a: Any = None,
 ) -> jax.Array:
     """Fused |STFT|^power → basis projection.  Returns (..., n_out, T).
 
@@ -705,6 +749,16 @@ def stft_mel_pallas(
             f"pallas stft kernel does not support n_fft={n_fft}, "
             f"hop={hop_length}"
         )
+
+    # resolve the configured variant unless the caller chose explicitly
+    if pair_tiles is None and pack_a is None:
+        pair_tiles = _VARIANT == "pair"
+        pack_a = _VARIANT == "pack"
+        if pack_a and tile_frames == 128:
+            g = _pack_group(_factor(n_fft)[1])
+            tile_frames = max(8, (128 // (8 * g)) * 8 * g) if g > 1 else 128
+    pair_tiles = bool(pair_tiles)
+    pack_a = bool(pack_a)
 
     y = jnp.asarray(y, dtype=jnp.float32)
     lead_shape = y.shape[:-1]
