@@ -228,7 +228,11 @@ def stream(
     yield_size = (block_length - 1) * hop_length + frame_length
     advance = block_length * hop_length
 
-    reader = audio_io.AudioReader(path)
+    # an already-open AudioReader may be passed in place of a path (the
+    # reference accepts an open soundfile.SoundFile the same way); the
+    # caller keeps ownership and the handle is left open on exit
+    caller_owns_reader = isinstance(path, audio_io.AudioReader)
+    reader = path if caller_owns_reader else audio_io.AudioReader(path)
     try:
         sr_native = reader.sr
         needs_resampling = sr is not None and sr != sr_native
@@ -327,7 +331,8 @@ def stream(
             yield _emit(block)
             pos += advance
     finally:
-        reader.close()
+        if not caller_owns_reader:
+            reader.close()
 
 
 def get_samplerate(path: Any) -> int:

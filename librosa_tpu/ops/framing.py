@@ -31,6 +31,14 @@ def frame_signal(y: jax.Array, *, frame_length: int, hop_length: int) -> jax.Arr
     program; this path avoids both.  Irregular hops fall back to a gather.
     """
     n = y.shape[-1]
+    if n < frame_length:
+        # reference behavior (util/utils.py:214): a clean error instead of
+        # the shape mismatch the slice arithmetic below would produce
+        from ..util.exceptions import ParameterError
+
+        raise ParameterError(
+            f"Input is too short (n={n:d}) for frame_length={frame_length:d}"
+        )
     n_frames = 1 + (n - frame_length) // hop_length
 
     if frame_length % hop_length == 0:

@@ -267,3 +267,29 @@ class TestIOSurface:
         n = min(len(y), len(ref))
         np.testing.assert_allclose(y[:n], ref[:n], atol=1e-7)
         rs.close()
+
+
+def test_stream_accepts_open_reader(long_wav):
+    """An already-open AudioReader streams and stays open (caller owns it).
+
+    Mirrors the reference's contract for user-provided SoundFile handles
+    (librosa/core/audio.py:530): stream() must not close what it did not
+    open, so one handle can feed several passes.
+    """
+    path, _ = long_wav
+    y_full, _ = lt.load(path, sr=None)
+    with lt_io.AudioReader(path) as reader:
+        blocks = list(
+            lt.stream(reader, block_length=8, frame_length=1024,
+                      hop_length=512, sr=None)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(blocks[0]), np.asarray(y_full)[: blocks[0].shape[-1]]
+        )
+        # still open: a second pass from the top works on the same handle
+        reader.seek(0)
+        again = next(
+            lt.stream(reader, block_length=8, frame_length=1024,
+                      hop_length=512, sr=None)
+        )
+        np.testing.assert_array_equal(np.asarray(again), np.asarray(blocks[0]))
