@@ -182,7 +182,7 @@ def main() -> None:
         from librosa_tpu.ops import pallas_stft as _ps
 
         variant_results["default"] = round(samples_per_s)
-        for name in ("pair", "pack"):
+        for name in ("pair", "pack", "pair_pack"):
             try:
                 _ps.set_kernel_variant(name)
 

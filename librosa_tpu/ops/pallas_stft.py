@@ -82,10 +82,11 @@ def set_kernel_variant(name: str) -> None:
 
     Parameters
     ----------
-    name : {'default', 'pair', 'pack'}
+    name : {'default', 'pair', 'pack', 'pair_pack'}
         'default' — one 128-frame tile per grid step;
         'pair' — two interleaved sub-tiles (VPU/MXU overlap experiment);
-        'pack' — lane-packed stage A (7 frames per MXU pass).
+        'pack' — lane-packed stage A (7 frames per MXU pass);
+        'pair_pack' — both combined (packed dots, interleaved halves).
 
     All three compute the same transform (exactly for 'pair'; to f32
     reassociation for 'pack').  Explicit ``pair_tiles``/``pack_a``
@@ -93,7 +94,7 @@ def set_kernel_variant(name: str) -> None:
     initial value comes from ``LIBROSA_TPU_KERNEL_VARIANT``.
     """
     global _VARIANT
-    if name not in ("default", "pair", "pack"):
+    if name not in ("default", "pair", "pack", "pair_pack"):
         raise ValueError(f"unknown kernel variant: {name!r}")
     _VARIANT = name
 
@@ -617,17 +618,21 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
         bi = ai * ctw - ar * stw
         return jnp.concatenate([br, bi], axis=0)
 
-    def _packed_tail(a4):
-        # twiddle → stage B → |·|^p in the packed (group, ·, G, n1)
-        # layout, then ONE relayout back to (kh, sub, n1) for the basis —
-        # the transpose is the experiment's measured cost (ROOFLINE.md
-        # judged it against the stage-A pass saving; this measures it).
+    def _twiddle_packed(a4):
+        # twiddle in the packed (group, 2kh, G, n1) layout — elementwise,
+        # so the frame packing is transparent to it
         ar, ai = a4[:, :kh], a4[:, kh:]
         ctw = ctw_ref[:].reshape(1, kh, 1, n1)
         stw = stw_ref[:].reshape(1, kh, 1, n1)
         br = ar * ctw + ai * stw
         bi = ai * ctw - ar * stw
-        b4 = jnp.concatenate([br, bi], axis=1)     # (group, 2kh, G, n1)
+        return jnp.concatenate([br, bi], axis=1)   # (group, 2kh, G, n1)
+
+    def _stage_b_power_packed(b4):
+        # stage B contracts t1 (the lane axis), insensitive to the frame
+        # grouping; |·|^p then ONE relayout back to (kh, sub, n1) for the
+        # basis — the transpose is the pack experiment's measured cost
+        # (ROOFLINE.md judged it against the stage-A pass saving).
         dn_b = (((3,), (0,)), ((), ()))
         prod = jax.lax.dot_general(
             b4, c1_ref[:], dn_b, preferred_element_type=jnp.float32,
@@ -642,6 +647,9 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
             pw = pw ** (power / 2)
         # t = g·group + b: bring (G, group) adjacent and merge to sub
         return jnp.transpose(pw, (1, 2, 0, 3)).reshape(kh, sub, n1)
+
+    def _packed_tail(a4):
+        return _stage_b_power_packed(_twiddle_packed(a4))
 
     def _stage_b_power(b_both):
         # contract t1 (last axis): X[k2, t, k1].  All four real products
@@ -677,11 +685,23 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
             )
         return acc
 
-    if group > 1:
-        # lane-packed stage A (single-tile only; the relayout already
-        # restructures the op stream, so pairing is kept orthogonal)
+    if group > 1 and sub == tt:
+        # lane-packed stage A, single tile per grid step
         _assemble(0)
         out_ref[:] = _basis(_packed_tail(_stage_a_packed(0)))
+    elif group > 1:
+        # packed + paired: lane-packed dots, interleaved across halves
+        _assemble(0)                      # VPU: stage half 0
+        a0 = _stage_a_packed(0)           # MXU (K≈112)
+        _assemble(1)                      # VPU (independent of a0)
+        t0 = _twiddle_packed(a0)          # VPU
+        a1 = _stage_a_packed(1)           # MXU
+        p0 = _stage_b_power_packed(t0)    # MXU + VPU tail + relayout
+        t1 = _twiddle_packed(a1)          # VPU
+        o0 = _basis(p0)                   # MXU
+        p1 = _stage_b_power_packed(t1)    # MXU + VPU tail + relayout
+        out_ref[:, pl.ds(0, sub)] = o0
+        out_ref[:, pl.ds(sub, sub)] = _basis(p1)
     elif sub == tt:
         _assemble(0)
         out_ref[:] = _basis(_stage_b_power(_twiddle(_stage_a(0))))
@@ -752,8 +772,8 @@ def stft_mel_pallas(
 
     # resolve the configured variant unless the caller chose explicitly
     if pair_tiles is None and pack_a is None:
-        pair_tiles = _VARIANT == "pair"
-        pack_a = _VARIANT == "pack"
+        pair_tiles = _VARIANT in ("pair", "pair_pack")
+        pack_a = _VARIANT in ("pack", "pair_pack")
         if pack_a and tile_frames == 128:
             g = _pack_group(_factor(n_fft)[1])
             tile_frames = max(8, (128 // (8 * g)) * 8 * g) if g > 1 else 128
@@ -811,15 +831,14 @@ def stft_mel_pallas(
         pad_mode == "reflect",
     )
     if pack_a:
-        if pair_tiles:
-            raise ValueError("pack_a and pair_tiles are mutually exclusive")
         g = _pack_group(n2)
-        if tt % g or tt % 8:
+        sub_check = tt // 2 if pair_tiles else tt
+        if sub_check % g or tt % 8:
             raise ValueError(
-                f"pack_a needs tile_frames divisible by {g} and 8 "
-                f"(e.g. {8 * g}); got {tt}"
+                f"pack_a needs (sub-)tile frames divisible by {g} and the "
+                f"tile by 8 (e.g. tile_frames={8 * g}); got {tt}"
             )
-        out = _cached_call(*cfg, pack_a=True)(
+        out = _cached_call(*cfg, pack_a=True, pair=pair_tiles)(
             y, win, _device_bd_c2(n_fft, n2, g), ctw_d, stw_d, c1s1_d,
             remapped_d,
         )

@@ -192,6 +192,19 @@ def main() -> None:
             print(f"[6] pack_a tile={tf}: failed ({str(e)[:90]})",
                   flush=True)
 
+    # ---- 7. combined pair + pack ----------------------------------------
+    try:
+        def fn(yb):
+            return ps.stft_mel_pallas(
+                yb, window, basis, n_fft=N_FFT, hop_length=HOP, power=2.0,
+                tile_frames=112, pack_a=True, pair_tiles=True,
+            )
+
+        dt7 = _bench(fn, y)
+        print(f"[7] pair+pack: {gsps(dt7):.2f} G samples/s", flush=True)
+    except Exception as e:
+        print(f"[7] pair+pack: failed ({str(e)[:90]})", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -269,6 +269,14 @@ def test_pack_a_matches_standard_kernel(rng):
     assert std.shape == packed.shape
     rel = np.abs(std - packed).max() / np.abs(std).max()
     assert rel < 1e-6, rel
-    with pytest.raises(ValueError):
+    # combined pair+pack variant (interleaved packed halves)
+    both = np.asarray(
         stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
-                        interpret=True, pack_a=True, pair_tiles=True)
+                        interpret=True, pack_a=True, pair_tiles=True,
+                        tile_frames=112)
+    )
+    np.testing.assert_array_equal(both, packed)
+    with pytest.raises(ValueError):
+        # sub-tile not divisible by the pack group
+        stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
+                        interpret=True, pack_a=True, tile_frames=100)
