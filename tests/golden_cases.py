@@ -277,6 +277,17 @@ def _(L, s):
     return _np({"S": L.iirt(s["chirp"], sr=SR, res_type="polyphase")})
 
 
+# 'ba' is realized as cascaded device biquads (the factored form of the
+# same transfer function); agreement with the reference's filtfilt(b, a)
+# is bounded by float64 pole/zero factorization of the order-8 elliptic
+# design — measured 128.8 dB, so the 20-dB discipline puts this at 108.
+@case("iirt_ba", compare=_snr_compare(108))
+def _(L, s):
+    return _np({
+        "S": L.iirt(s["chirp"], sr=SR, res_type="polyphase", flayout="ba")
+    })
+
+
 @case("fmt", compare=_snr_compare(110))
 def _(L, s):
     return _np({"m": L.fmt(s["tone"][:4096])})
