@@ -681,6 +681,27 @@ def _upfirdn_matrix(h_key: tuple, up: int, down: int):
     return F, L, W
 
 
+_UPFIRDN_DEV: dict = {}
+
+
+def _upfirdn_device_F(h_key: tuple, up: int, down: int, F_np: np.ndarray):
+    """Device-resident polyphase matrix (tracer-guarded cache).
+
+    Without this, every eager ``resample_poly`` call re-uploads F
+    (hundreds of KB for common rate pairs) over the ~22 ms/dispatch
+    device tunnel; with it, the constant is transferred once per
+    filter configuration.  Same pattern as ``pallas_stft._DEV_CONSTS``.
+    """
+    key = (hash(h_key), up, down)
+    cached = _UPFIRDN_DEV.get(key)
+    if cached is not None:
+        return cached
+    dev = jnp.asarray(F_np)
+    if not isinstance(dev, jax.core.Tracer):
+        _UPFIRDN_DEV[key] = dev
+    return dev
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("down", "W", "q_blocks", "lpad", "rpad", "lo", "hi"),
@@ -723,6 +744,7 @@ def _upfirdn_conv(
     """
     h_key = tuple(np.asarray(h, dtype=np.float32).tolist())
     F, L, W = _upfirdn_matrix(h_key, up, down)
+    F = _upfirdn_device_F(h_key, up, down, F)
 
     M = _upfirdn_len(h.shape[0], x.shape[-1], up, down)
     q_blocks = -(-M // up)

@@ -334,20 +334,45 @@ def vqt(
     >>> V.shape
     (60, 44)
     """
+    return _vqt_dispatch(
+        y, magnitude=False, sr=sr, hop_length=hop_length, fmin=fmin,
+        n_bins=n_bins, intervals=intervals, gamma=gamma,
+        bins_per_octave=bins_per_octave, tuning=tuning,
+        filter_scale=filter_scale, norm=norm, sparsity=sparsity,
+        window=window, scale=scale, pad_mode=pad_mode, res_type=res_type,
+        dtype=dtype,
+    )
+
+
+def _vqt_dispatch(y, *, magnitude, intervals, bins_per_octave, tuning,
+                  sr, res_type, **params):
+    """Shared VQT entry: tuning estimation, config hashing, jit routing.
+
+    ``magnitude=True`` folds ``|·|`` into the producing program so the
+    array that crosses the program boundary is real — the axon runtime
+    rejects complex operands entering a matmul-containing program from
+    another program's output (see ``_axon_compat``), and chroma callers
+    only consume the modulus anyway.
+    """
     y = jnp.asarray(y)
 
     if not isinstance(intervals, str):
         # hashable form, so the config can key the jit cache below
         intervals = tuple(float(v) for v in np.asarray(intervals))
+        # array intervals define the bin grid, so they also set the
+        # tuning-estimation resolution (reference constantq.py:978-986)
+        bins_per_octave = len(intervals)
     if tuning is None:
         tuning = estimate_tuning(y=y, sr=sr, bins_per_octave=bins_per_octave)
 
     cfg = dict(
-        sr=sr, hop_length=hop_length, fmin=fmin, n_bins=n_bins,
-        intervals=intervals, gamma=gamma, bins_per_octave=bins_per_octave,
-        tuning=float(tuning), filter_scale=filter_scale, norm=norm,
-        sparsity=sparsity, window=window, scale=scale, pad_mode=pad_mode,
-        res_type=res_type, dtype=dtype,
+        sr=sr, hop_length=params["hop_length"], fmin=params["fmin"],
+        n_bins=params["n_bins"], intervals=intervals, gamma=params["gamma"],
+        bins_per_octave=bins_per_octave, tuning=float(tuning),
+        filter_scale=params["filter_scale"], norm=params["norm"],
+        sparsity=params["sparsity"], window=params["window"],
+        scale=params["scale"], pad_mode=params["pad_mode"],
+        res_type=res_type, dtype=params["dtype"], magnitude=magnitude,
     )
     if _cfg_jittable(res_type, cfg.values()):
         # device res_type + hashable config: the ENTIRE transform — early
@@ -394,6 +419,7 @@ def _vqt_body(
     pad_mode,
     res_type,
     dtype,
+    magnitude=False,
 ):
     """Traceable VQT body (host planning at trace time, device compute)."""
     if not isinstance(intervals, str):
@@ -544,7 +570,7 @@ def _vqt_body(
     plan = tuple((t[1], t[2]) for t in vqt_resp)
     return _vqt_ladder_core(
         ys, bases, jnp.asarray(scales), plan=plan, n_bins=n_bins,
-        pad_mode=pad_mode, dtype=jnp.dtype(dtype).name,
+        pad_mode=pad_mode, dtype=jnp.dtype(dtype).name, magnitude=magnitude,
     )
 
 
@@ -553,15 +579,17 @@ _vqt_jit = functools.partial(
     static_argnames=(
         "sr", "hop_length", "fmin", "n_bins", "intervals", "gamma",
         "bins_per_octave", "tuning", "filter_scale", "norm", "sparsity",
-        "window", "scale", "pad_mode", "res_type", "dtype",
+        "window", "scale", "pad_mode", "res_type", "dtype", "magnitude",
     ),
 )(_vqt_body)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "n_bins", "pad_mode", "dtype")
+    jax.jit,
+    static_argnames=("plan", "n_bins", "pad_mode", "dtype", "magnitude"),
 )
-def _vqt_ladder_core(ys, bases, scales, *, plan, n_bins, pad_mode, dtype):
+def _vqt_ladder_core(ys, bases, scales, *, plan, n_bins, pad_mode, dtype,
+                     magnitude=False):
     """All octave responses + trim/stack + scaling as ONE program."""
     from .spectrum import _mats_arg, _stft_core, _win_device
 
@@ -581,7 +609,11 @@ def _vqt_ladder_core(ys, bases, scales, *, plan, n_bins, pad_mode, dtype):
 
     V = _trim_stack(resps, n_bins, jnp.dtype(dtype))
     sc = util.expand_to(scales.astype(V.real.dtype), ndim=V.ndim, axes=-2)
-    return V * sc
+    V = V * sc
+    # |·| folded here keeps the program's OUTPUT real for magnitude-only
+    # consumers (chroma) — complex outputs may not re-enter matmul programs
+    # across an eager boundary on the axon backend
+    return jnp.abs(V) if magnitude else V
 
 
 def cqt(

@@ -822,19 +822,44 @@ def chroma_cqt(
 
     take_abs = False
     if C is None:
-        if cqt_mode not in cqt_func:
+        if cqt_mode == "full":
+            # |·| folds into the CQT ladder program itself: the array
+            # crossing into the projection matmul program must be real on
+            # the axon backend (complex inter-program operands are rejected)
+            C = constantq._vqt_dispatch(
+                y,
+                magnitude=True,
+                sr=sr,
+                hop_length=hop_length,
+                fmin=fmin,
+                n_bins=n_octaves * bins_per_octave,
+                intervals="equal",
+                gamma=0,
+                bins_per_octave=bins_per_octave,
+                tuning=tuning,
+                filter_scale=1,
+                norm=1,
+                sparsity=0.01,
+                window="hann",
+                scale=True,
+                pad_mode="constant",
+                res_type="soxr_hq",
+                dtype=None,
+            )
+        elif cqt_mode == "hybrid":
+            # hybrid_cqt is already magnitude-valued (real)
+            take_abs = True
+            C = cqt_func[cqt_mode](
+                y,
+                sr=sr,
+                hop_length=hop_length,
+                fmin=fmin,
+                n_bins=n_octaves * bins_per_octave,
+                bins_per_octave=bins_per_octave,
+                tuning=tuning,
+            )
+        else:
             raise ParameterError(f"Invalid cqt_mode: {cqt_mode}")
-        # leave the transform complex; |·| folds into the projection program
-        take_abs = True
-        C = cqt_func[cqt_mode](
-            y,
-            sr=sr,
-            hop_length=hop_length,
-            fmin=fmin,
-            n_bins=n_octaves * bins_per_octave,
-            bins_per_octave=bins_per_octave,
-            tuning=tuning,
-        )
     else:
         C = jnp.asarray(C)
 
@@ -990,14 +1015,14 @@ def chroma_vqt(
     if fmin is None:
         fmin = note_to_hz("C1")
 
-    take_abs = False
     if V is None:
         if intervals is None:
             raise ParameterError("intervals must be provided to compute VQT chroma")
-        # leave the transform complex; |·| folds into the projection program
-        take_abs = True
-        V = constantq.vqt(
+        # |·| folds into the VQT program itself: the array crossing into
+        # the projection matmul program must be real on the axon backend
+        V = constantq._vqt_dispatch(
             y,
+            magnitude=True,
             sr=sr,
             hop_length=hop_length,
             fmin=fmin,
@@ -1005,6 +1030,15 @@ def chroma_vqt(
             gamma=gamma,
             n_bins=n_octaves * bins_per_octave,
             bins_per_octave=bins_per_octave,
+            tuning=0.0,
+            filter_scale=1,
+            norm=1,
+            sparsity=0.01,
+            window="hann",
+            scale=True,
+            pad_mode="constant",
+            res_type="soxr_hq",
+            dtype=None,
         )
     else:
         V = jnp.asarray(V)
@@ -1020,7 +1054,7 @@ def chroma_vqt(
         V, jnp.asarray(np.asarray(cq_to_chr, dtype=real_dtype)),
         threshold=None if threshold is None else float(threshold),
         norm=None if norm is None else float(norm),
-        take_abs=take_abs,
+        take_abs=False,
     )
 
 

@@ -250,6 +250,16 @@ def read_audio(
     with AudioReader(path) as reader:
         sr = reader.sr
         start = int(np.round(sr * offset)) if offset else 0
+        if start < 0:
+            # negative offset counts back from the end of the file
+            # (reference __soundfile_load seeks with whence=SEEK_END,
+            # core/audio.py:188)
+            if reader.frames is None:
+                raise ParameterError(
+                    "negative offset requires a container that declares "
+                    "its length"
+                )
+            start = max(0, reader.frames + start)
         if start:
             reader.seek(start)
         if duration is not None:

@@ -276,6 +276,10 @@ class StreamResampler:
         if squeeze:
             block = block[:, None]
         n_in = block.shape[0]
+        if n_in == 0 and not last:
+            # soxr interprets a NULL input pointer as end-of-stream; an
+            # empty mid-stream chunk must be a no-op, not a filter flush
+            return block[:, 0] if squeeze else block
 
         pieces = []
         fed = 0

@@ -255,6 +255,11 @@ _DEV_CONSTS: dict = {}
 # padded legacy layout is used instead (see stft_mel_pallas fallback).
 _LEGACY_CONFIGS: set = set()
 
+# (n_fft, hop) configs where a pair/pack kernel variant failed to lower;
+# subsequent calls skip the variant and use the protected default path
+# (a failed op poisons the axon device ~1-2 min, so latch after one try).
+_FAILED_VARIANTS: set = set()
+
 
 def _device_bd_c2(n_fft: int, n2: int, group: int):
     """Device-resident packed stage-A matrix (tracer-safe cache)."""
@@ -830,47 +835,75 @@ def stft_mel_pallas(
         precision, interpret, n_tracks, y.shape[-1], lpad,
         pad_mode == "reflect",
     )
-    if pack_a:
-        g = _pack_group(n2)
-        sub_check = tt // 2 if pair_tiles else tt
-        if sub_check % g or tt % 8:
-            raise ValueError(
-                f"pack_a needs (sub-)tile frames divisible by {g} and the "
-                f"tile by 8 (e.g. tile_frames={8 * g}); got {tt}"
-            )
-        out = _cached_call(*cfg, pack_a=True, pair=pair_tiles)(
-            y, win, _device_bd_c2(n_fft, n2, g), ctw_d, stw_d, c1s1_d,
-            remapped_d,
-        )
-    elif pair_tiles:
-        out = _cached_call(*cfg, pair=True)(
-            y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
-        )
-    elif cfg[:2] in _LEGACY_CONFIGS:
-        out = _cached_call(*cfg, legacy=True)(
-            y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
-        )
-    else:
+    out = None
+    if (pack_a or pair_tiles) and cfg[:2] not in _FAILED_VARIANTS:
+        if pack_a:
+            g = _pack_group(n2)
+            sub_check = tt // 2 if pair_tiles else tt
+            if sub_check % g or tt % 8:
+                raise ValueError(
+                    f"pack_a needs (sub-)tile frames divisible by {g} and "
+                    f"the tile by 8 (e.g. tile_frames={8 * g}); got {tt}"
+                )
         try:
-            out = _cached_call(*cfg)(
-                y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
-            )
+            if pack_a:
+                out = _cached_call(*cfg, pack_a=True, pair=pair_tiles)(
+                    y, win, _device_bd_c2(n_fft, n2, g), ctw_d, stw_d,
+                    c1s1_d, remapped_d,
+                )
+            else:
+                out = _cached_call(*cfg, pair=True)(
+                    y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
+                )
         except Exception as e:
-            # Insurance against a Mosaic toolchain rejecting the
-            # zero-copy DMA structure: retry with the proven padded
-            # layout (slower by one full HBM round trip) rather than
-            # losing the kernel entirely to the XLA fallback.
+            # A variant the toolchain rejects (e.g. tt=256 scratch or the
+            # packed reshape) must not take melspectrogram/mfcc down with
+            # it: latch the failure and drop to the protected default path.
             import warnings
 
             warnings.warn(
-                f"zero-copy pallas stft layout failed ({e!r}); "
-                "falling back to the padded-input kernel layout",
+                f"pallas stft kernel variant "
+                f"{'pack' if pack_a else 'pair'} failed ({e!r}); "
+                "falling back to the default kernel layout",
                 stacklevel=2,
             )
-            _LEGACY_CONFIGS.add(cfg[:2])
+            _FAILED_VARIANTS.add(cfg[:2])
+            out = None
+    if out is None:
+        if pair_tiles or pack_a:
+            # recompute the single-tile geometry the default path expects
+            tt = tile_frames
+            n_tiles = -(-n_frames // tt)
+            cfg = (
+                n_fft, hop_length, n1, n2, tt, n_tiles, n_out, float(power),
+                precision, interpret, n_tracks, y.shape[-1], lpad,
+                pad_mode == "reflect",
+            )
+        if cfg[:2] in _LEGACY_CONFIGS:
             out = _cached_call(*cfg, legacy=True)(
                 y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
             )
+        else:
+            try:
+                out = _cached_call(*cfg)(
+                    y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
+                )
+            except Exception as e:
+                # Insurance against a Mosaic toolchain rejecting the
+                # zero-copy DMA structure: retry with the proven padded
+                # layout (slower by one full HBM round trip) rather than
+                # losing the kernel entirely to the XLA fallback.
+                import warnings
+
+                warnings.warn(
+                    f"zero-copy pallas stft layout failed ({e!r}); "
+                    "falling back to the padded-input kernel layout",
+                    stacklevel=2,
+                )
+                _LEGACY_CONFIGS.add(cfg[:2])
+                out = _cached_call(*cfg, legacy=True)(
+                    y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
+                )
     if not lead_shape:
         return out[:, :n_frames]
     # (n_out, n_tracks·n_tiles·tt) → (..., n_out, n_frames)

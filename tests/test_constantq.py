@@ -68,6 +68,37 @@ def test_vqt_sweep_tracks_freq(sweep):
     assert freqs[peaks[t // 4]] < freqs[peaks[3 * t // 4]]
 
 
+def test_vqt_array_intervals_set_tuning_resolution(tone_440):
+    # array intervals define the bin grid, so tuning estimation must run
+    # at len(intervals) bins per octave, not the caller's bins_per_octave
+    # default (reference constantq.py:978-986)
+    ivals = [1.0, 9 / 8, 5 / 4, 4 / 3, 3 / 2, 5 / 3, 15 / 8]
+    t = lt.estimate_tuning(y=tone_440, sr=22050, bins_per_octave=len(ivals))
+    V_auto = np.asarray(
+        lt.vqt(tone_440, sr=22050, n_bins=21, intervals=ivals, tuning=None,
+               res_type="polyphase")
+    )
+    V_expl = np.asarray(
+        lt.vqt(tone_440, sr=22050, n_bins=21, intervals=ivals, tuning=t,
+               res_type="polyphase")
+    )
+    np.testing.assert_array_equal(V_auto, V_expl)
+
+
+def test_chroma_magnitude_folded_path(tone_440):
+    # the chroma callers fold |.| into the CQT/VQT program itself (the
+    # axon backend rejects complex operands entering another program's
+    # matmul); the result must equal projecting an explicit magnitude
+    C = np.abs(np.asarray(lt.cqt(tone_440, sr=22050, n_bins=84,
+                                 bins_per_octave=12, tuning=0.0)))
+    via_C = np.asarray(lt.feature.chroma_cqt(C=C, sr=22050,
+                                             bins_per_octave=12))
+    via_y = np.asarray(lt.feature.chroma_cqt(y=tone_440, sr=22050,
+                                             n_octaves=7, tuning=0.0,
+                                             bins_per_octave=12))
+    np.testing.assert_allclose(via_y, via_C, atol=1e-6)
+
+
 def test_pseudo_cqt(tone_440):
     C = np.asarray(lt.pseudo_cqt(tone_440, sr=22050, n_bins=84))
     assert C.shape[0] == 84

@@ -280,3 +280,53 @@ def test_pack_a_matches_standard_kernel(rng):
         # sub-tile not divisible by the pack group
         stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
                         interpret=True, pack_a=True, tile_frames=100)
+
+
+def test_variant_failure_falls_back_and_latches(rng, monkeypatch):
+    """A variant the toolchain rejects must not take the kernel down.
+
+    If Mosaic rejects a pair/pack layout, the call retries with the
+    protected default path (recomputing the single-tile geometry) and
+    latches the config in ``_FAILED_VARIANTS`` so later calls skip the
+    variant without re-poisoning the device.
+    """
+    import warnings
+
+    import librosa_tpu.filters as ltf
+    from librosa_tpu.ops import pallas_stft as P
+
+    mel = np.asarray(ltf.mel(sr=22050, n_fft=2048, n_mels=128))
+    win = np.hanning(2049)[:-1].astype(np.float32)
+    y = rng.randn(22050 * 2).astype(np.float32)
+    default = np.asarray(
+        P.stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
+                          interpret=True)
+    )
+
+    real = P._cached_call
+
+    def reject_variants(*cfg, **kw):
+        if kw.get("pair") or kw.get("pack_a"):
+            raise RuntimeError("synthetic Mosaic rejection")
+        return real(*cfg, **kw)
+
+    monkeypatch.setattr(P, "_cached_call", reject_variants)
+    P._FAILED_VARIANTS.discard((2048, 512))
+    try:
+        with pytest.warns(UserWarning, match="variant"):
+            out = np.asarray(
+                P.stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
+                                  interpret=True, pair_tiles=True)
+            )
+        np.testing.assert_array_equal(out, default)
+        assert (2048, 512) in P._FAILED_VARIANTS
+        # latched: the second call goes straight to the default path
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out2 = np.asarray(
+                P.stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
+                                  interpret=True, pair_tiles=True)
+            )
+        np.testing.assert_array_equal(out2, default)
+    finally:
+        P._FAILED_VARIANTS.discard((2048, 512))

@@ -268,6 +268,40 @@ class TestIOSurface:
         np.testing.assert_allclose(y[:n], ref[:n], atol=1e-7)
         rs.close()
 
+    def test_soxr_stream_empty_chunk_is_noop(self):
+        # an empty mid-stream chunk must not flush the filter (soxr treats
+        # a NULL input pointer as end-of-stream; regression for the ctypes
+        # binding passing NULL for zero-length blocks)
+        from librosa_tpu.io import _soxr
+
+        if not _soxr.available():
+            pytest.skip("libsoxr not present")
+        x = np.random.RandomState(1).randn(20000).astype(np.float32)
+        rs = _soxr.StreamResampler(44100, 22050, channels=1)
+        parts = [rs.process(x[:10000])]
+        mid = rs.process(np.empty(0, np.float32))  # must be a no-op
+        assert mid.shape[0] == 0
+        parts.append(rs.process(x[10000:]))
+        parts.append(rs.process(np.empty(0, np.float32), last=True))
+        y = np.concatenate(parts)
+        rs2 = _soxr.StreamResampler(44100, 22050, channels=1)
+        ref = np.concatenate(
+            [rs2.process(x), rs2.process(np.empty(0, np.float32), last=True)]
+        )
+        np.testing.assert_array_equal(y, ref)
+        rs.close(), rs2.close()
+
+    def test_read_audio_negative_offset_reads_tail(self, long_wav):
+        # negative offset counts back from the end of the file, matching
+        # the reference's SEEK_END semantics (core/audio.py:188)
+        path, _ = long_wav
+        full, _ = lt_io.read_audio(path)
+        tail, sr = lt_io.read_audio(path, offset=-1.0, duration=1.0)
+        assert sr == SR and tail.shape == (SR,)
+        np.testing.assert_array_equal(tail, full[-SR:])
+        y_load, _ = lt.load(path, sr=None, offset=-1.0, duration=1.0)
+        np.testing.assert_array_equal(np.asarray(y_load), tail)
+
 
 def test_stream_accepts_open_reader(long_wav):
     """An already-open AudioReader streams and stays open (caller owns it).
