@@ -284,22 +284,29 @@ def _beat_tracker(
 
     tv = frames_per_beat.shape[-1] > 1
 
-    # Tiny sequential DPs are faster on host than as device scans (a
-    # T-step lax.scan pays per-step launch latency; onset envelopes are
-    # only ~40 frames/s).  Use numpy for the common single-envelope case,
-    # the vmapped device scan for batches.
+    # The DP is a strictly sequential scalar recurrence on a ~40 frame/s
+    # envelope: it runs on the host (native C++ when built — ~40 ns/frame
+    # vs ~25 µs/frame for the Python loop), the vmapped device scan only
+    # for batches where one program amortizes across rows.
     if localscore.ndim == 1:
-        backlink, cumscore = _beat_dp_host(
-            np.asarray(localscore, dtype=np.float64),
-            np.asarray(
-                np.broadcast_to(
-                    frames_per_beat,
-                    localscore.shape if tv else (1,),
-                ),
-                dtype=np.float64,
+        fpb_host = np.asarray(
+            np.broadcast_to(
+                frames_per_beat,
+                localscore.shape if tv else (1,),
             ),
-            float(tightness),
+            dtype=np.float64,
         )
+        ls_host = np.asarray(localscore, dtype=np.float64)
+        try:
+            from ._native import beat_dp as _native_dp
+        except Exception:  # pragma: no cover - native build unavailable
+            _native_dp = None
+        if _native_dp is not None:
+            backlink, cumscore = _native_dp(ls_host, fpb_host, float(tightness))
+        else:
+            backlink, cumscore = _beat_dp_host(
+                ls_host, fpb_host, float(tightness)
+            )
         tail = int(np.atleast_1d(_last_beat(cumscore)).reshape(-1)[0])
         beats = np.zeros_like(localscore, dtype=bool)
         _fill_beats_from_backlink(beats, backlink, tail)

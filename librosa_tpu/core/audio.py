@@ -958,6 +958,38 @@ def _resample_sinc(
     )
 
 
+def _device_res_type(y: Any, res_type: str, orig_sr: float = 2,
+                     target_sr: float = 1) -> str:
+    """Substitute a device resampler for host-soxr qualities when ``y``
+    cannot (tracer) or should not (accelerator-resident) round-trip to
+    the host.
+
+    libsoxr runs on the host, so a ``soxr_*`` quality forces a
+    device→host pull and a host→device push of the full signal.  Over a
+    remote-device link those transfers dwarf everything else: measured on
+    the axon tunnel, pulling a 30 s signal costs ~145 ms and pushing the
+    CQT downsample ladder back ~410 ms, while the all-device polyphase
+    CQT runs in ~58 ms total.  Host arrays on a local CPU backend keep
+    exact soxr semantics (reference parity — the goldens are harvested
+    there); accelerator-resident arrays and tracers (host code cannot run
+    under ``jit`` at all) take the device polyphase path for integer
+    rates and windowed-sinc otherwise.
+    """
+    if not str(res_type).startswith("soxr"):
+        return res_type
+    on_device = isinstance(y, jax.core.Tracer)
+    if not on_device and isinstance(y, jax.Array):
+        try:
+            on_device = any(d.platform != "cpu" for d in y.devices())
+        except Exception:
+            on_device = False
+    if not on_device:
+        return res_type
+    if int(orig_sr) == orig_sr and int(target_sr) == target_sr:
+        return "polyphase"
+    return "kaiser_best"
+
+
 def resample(
     y: Any,
     *,
@@ -1024,6 +1056,10 @@ def resample(
 
     if orig_sr == target_sr:
         return y
+
+    # accelerator-resident / traced inputs: host soxr would force a
+    # device round trip (or cannot run at all) — use the device kernels
+    res_type = _device_res_type(y, res_type, orig_sr, target_sr)
 
     ratio = float(target_sr) / orig_sr
     n_samples = int(np.ceil(y.shape[axis] * ratio))

@@ -355,6 +355,10 @@ def _vqt_dispatch(y, *, magnitude, intervals, bins_per_octave, tuning,
     only consume the modulus anyway.
     """
     y = jnp.asarray(y)
+    # On accelerator-resident input the host-soxr ladder pays ~0.5 s of
+    # tunnel transfers per call (see audio._device_res_type); substitute
+    # the device ladder so the whole transform stays one fused program.
+    res_type = audio._device_res_type(y, res_type)
 
     if not isinstance(intervals, str):
         # hashable form, so the config can key the jit cache below
@@ -876,6 +880,7 @@ def hybrid_cqt(
     (84, 44)
     """
     y = jnp.asarray(y)
+    res_type = audio._device_res_type(y, res_type)
     if fmin is None:
         fmin = note_to_hz("C1")
     if tuning is None:
@@ -1080,6 +1085,7 @@ def icqt(
     True
     """
     C = jnp.asarray(C)
+    res_type = audio._device_res_type(C, res_type)
     cfg = dict(
         sr=sr, hop_length=hop_length, fmin=fmin,
         bins_per_octave=bins_per_octave, tuning=tuning,

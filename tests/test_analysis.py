@@ -314,3 +314,24 @@ def test_effects_hpss_stft_params(tone_440):
     # harmonic/percussive shortcuts accept the same params
     h = lt.effects.harmonic(tone_440, n_fft=512, hop_length=128, margin=2.0)
     assert np.asarray(h).shape == np.asarray(tone_440).shape
+
+
+def test_native_beat_dp_matches_python():
+    """The C++ beat DP (``_native/hostdp.cpp``) is the production path for
+    single envelopes; it must reproduce the Python recurrence exactly
+    (backlinks bit-identical; cumscore to vectorized-vs-scalar-log ulp)."""
+    from librosa_tpu._native import beat_dp
+    from librosa_tpu.beat import _beat_dp_host
+
+    rng = np.random.RandomState(17)
+    for T, tv in [(1, False), (5, False), (700, False), (300, True)]:
+        ls = np.abs(rng.randn(T))
+        fpb = (
+            np.round(43.0 + 4.0 * rng.rand(T))
+            if tv
+            else np.array([43.0])
+        )
+        b_py, c_py = _beat_dp_host(ls, fpb.astype(np.float64), 100.0)
+        b_c, c_c = beat_dp(ls, fpb, 100.0)
+        assert np.array_equal(b_py, b_c)
+        assert np.allclose(c_py, c_c, rtol=1e-12, atol=1e-12)

@@ -237,3 +237,45 @@ def test_resample_fft_matmul_backend(rng):
         assert np.abs(ours[:m] - ref[:m]).max() / np.abs(ref).max() < 1e-5
     finally:
         F.set_stft_backend(old)
+
+
+def test_device_res_type_substitution(tone_440):
+    """Host-soxr qualities substitute device resamplers for traced inputs
+    (host code cannot run under jit) and accelerator-resident arrays;
+    host/CPU arrays keep exact soxr semantics (audio._device_res_type)."""
+    import jax
+    import jax.numpy as jnp
+
+    from librosa_tpu.core.audio import _device_res_type
+
+    y = np.asarray(tone_440, dtype=np.float32)
+    # host numpy / CPU-backend arrays: unchanged
+    assert _device_res_type(y, "soxr_hq") == "soxr_hq"
+    assert _device_res_type(jnp.asarray(y), "soxr_hq") == "soxr_hq"
+    # non-soxr modes always pass through
+    assert _device_res_type(y, "polyphase") == "polyphase"
+
+    # under jit the input is a tracer: integer ratios -> polyphase
+    seen = {}
+
+    def body(yy):
+        seen["rt"] = _device_res_type(yy, "soxr_hq")
+        seen["rt_frac"] = _device_res_type(yy, "soxr_hq", 22050, 16000.5)
+        return yy
+
+    jax.jit(body)(jnp.asarray(y))
+    assert seen["rt"] == "polyphase"
+    assert seen["rt_frac"] == "kaiser_best"
+
+    # end to end: default-res_type cqt now traces (previously the host
+    # soxr ladder made the default config un-jittable)
+    C = jax.jit(
+        lambda yy: jnp.abs(lt.cqt(yy, sr=22050, n_bins=48, tuning=0.0))
+    )(jnp.asarray(y))
+    ref = np.abs(
+        np.asarray(
+            lt.cqt(np.asarray(y), sr=22050, n_bins=48, tuning=0.0,
+                   res_type="polyphase")
+        )
+    )
+    assert np.allclose(np.asarray(C), ref, rtol=1e-4, atol=1e-5)
