@@ -244,9 +244,19 @@ def _host_packed_c2(n_fft: int, n2: int, group: int):
 
 
 def _pack_group(n2: int) -> int:
-    """Frames per stage-A pass: fill M (group·2kh) and K (group·n2) ≤ 128."""
-    kh = n2 // 2 + 1
-    return max(1, min(128 // (2 * kh), 128 // n2))
+    """Frames per stage-A pass: fill K (group·n2) up to 128.
+
+    The group must divide 128 so the frame tile can stay 128 wide — the
+    output BlockSpec's last dimension must be 128-divisible (Mosaic
+    rejects e.g. the 112-frame tile a group of 7 would force; that
+    variant failed to lower on hardware).  Letting M = group·2kh exceed
+    128 costs one extra M-tile per pass but keeps the ~8× stage-A pass
+    reduction from full K occupancy.
+    """
+    g = max(1, min(128 // n2, 128))
+    while g > 1 and 128 % g:
+        g -= 1
+    return g
 
 
 _DEV_CONSTS: dict = {}
