@@ -90,6 +90,13 @@ def beat_dp(localscore: np.ndarray, fpb: np.ndarray,
     localscore = np.ascontiguousarray(localscore, dtype=np.float64)
     fpb = np.ascontiguousarray(fpb, dtype=np.float64)
     T = localscore.shape[0]
+    if fpb.shape[0] not in (1, T):
+        # Time-varying mode indexes fpb[i] for every frame; anything
+        # between scalar and per-frame would read out of bounds natively.
+        raise ValueError(
+            f"frames_per_beat must have length 1 or {T} (= len(localscore)); "
+            f"got {fpb.shape[0]}"
+        )
     backlink = np.empty(T, dtype=np.int64)
     cumscore = np.empty(T, dtype=np.float64)
     _lib.lt_beat_dp(

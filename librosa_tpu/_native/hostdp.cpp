@@ -16,7 +16,10 @@
 extern "C" void lt_beat_dp(const double *localscore, long T,
                            const double *fpb, int tv, double tightness,
                            int64_t *backlink, double *cumscore) {
-  double score_thresh = 0.0;
+  if (T <= 0) return;
+  // True max like localscore.max(): envelopes can be all-negative, so the
+  // running max must start below any value, not at zero.
+  double score_thresh = -HUGE_VAL;
   for (long i = 0; i < T; ++i)
     if (localscore[i] > score_thresh) score_thresh = localscore[i];
   score_thresh *= 0.01;
@@ -32,6 +35,9 @@ extern "C" void lt_beat_dp(const double *localscore, long T,
     const double half = f * 0.5;
     double rounded = std::nearbyint(half);  // ties-to-even in default mode
     long hi = i - (long)rounded + 1;
+    // Only d = i - loc >= 1 candidates are valid (d == 0 would read
+    // cumscore[i] before it is written — an uninitialized value).
+    if (hi > i) hi = i;
 
     double best_score = -HUGE_VAL;
     long best_loc = -1;

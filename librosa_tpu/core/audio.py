@@ -103,16 +103,21 @@ def load(
     >>> sr
     22050
     """
-    y, sr_native = audio_io.read_audio(
+    y, native_rate = audio_io.read_audio(
         path, offset=offset, duration=duration, dtype=dtype
     )
+    out_rate = native_rate if sr is None else sr
+    stages = []
     if mono:
-        y = np.asarray(to_mono(y))
-    if sr is not None:
-        y = np.asarray(resample(y, orig_sr=sr_native, target_sr=sr, res_type=res_type))
-    else:
-        sr = sr_native
-    return np.asarray(y, dtype=dtype), sr
+        stages.append(lambda x: to_mono(x))
+    if out_rate != native_rate:
+        stages.append(
+            lambda x: resample(x, orig_sr=native_rate, target_sr=out_rate,
+                               res_type=res_type)
+        )
+    for stage in stages:
+        y = np.asarray(stage(y))
+    return np.asarray(y, dtype=dtype), out_rate
 
 
 def loadx(
@@ -406,21 +411,20 @@ def get_duration(
     Parity: reference core/audio.py:1182.
     """
     if path is not None:
-        sr_f, _, n_frames = audio_io.get_info(path)
-        return float(n_frames) / sr_f
-
-    if y is None:
-        if S is None:
-            raise ParameterError(
-                "At least one of (y, sr), S, or path must be provided"
-            )
-        n_frames = np.shape(S)[-1]
-        n_samples = n_fft + hop_length * (n_frames - 1)
-        if center:
-            n_samples = n_samples - 2 * int(n_fft // 2)
-    else:
-        n_samples = np.shape(y)[-1]
-    return float(n_samples) / sr
+        native_sr, _, n_frames = audio_io.get_info(path)
+        return float(n_frames) / native_sr
+    if y is not None:
+        return np.shape(y)[-1] / float(sr)
+    if S is None:
+        raise ParameterError(
+            "get_duration needs a signal (y), a spectrogram (S), or a path"
+        )
+    # invert the framing arithmetic: n frames cover n_fft + hop*(n-1)
+    # samples, minus the reflection padding when frames were centered
+    span = n_fft + hop_length * (np.shape(S)[-1] - 1)
+    if center:
+        span -= (n_fft // 2) * 2
+    return span / float(sr)
 
 
 # ---------------------------------------------------------------------------
@@ -520,43 +524,37 @@ def to_stereo(
 
     Parity: reference core/audio.py:743.
     """
-    onesided = True
     if left is None and right is None:
-        raise ParameterError("At least one of 'left' or 'right' must be provided")
-    elif left is None:
-        left = jnp.zeros_like(jnp.asarray(right))
-    elif right is None:
-        right = jnp.zeros_like(jnp.asarray(left))
-    else:
-        onesided = False
-
-    left = jnp.asarray(left)
-    right = jnp.asarray(right)
-    size = (
-        max(left.shape[-1], right.shape[-1])
-        if pad
-        else min(left.shape[-1], right.shape[-1])
-    )
-    left = util.fix_length(left, size=size, axis=-1)
-    right = util.fix_length(right, size=size, axis=-1)
+        raise ParameterError(
+            "to_stereo() needs at least one channel (left= or right=)"
+        )
+    both_given = left is not None and right is not None
+    # a missing side contributes silence shaped like its partner
+    sides = [
+        jnp.zeros_like(jnp.asarray(right)) if left is None else jnp.asarray(left),
+        jnp.zeros_like(jnp.asarray(left)) if right is None else jnp.asarray(right),
+    ]
+    lengths = [s.shape[-1] for s in sides]
+    size = max(lengths) if pad else min(lengths)
+    sides = [util.fix_length(s, size=size, axis=-1) for s in sides]
 
     if downmix:
-        return jnp.stack([to_mono(left, norm=norm), to_mono(right, norm=norm)])
+        return jnp.stack([to_mono(s, norm=norm) for s in sides])
 
-    def chan(x: jax.Array, idx: int) -> jax.Array:
+    def _as_channel(x: jax.Array, slot: int) -> jax.Array:
+        if x.ndim == 2 and x.shape[0] == 2:
+            return x  # already stereo: contributes to both rows
         if x.ndim == 1:
-            base = jnp.zeros((2, size), dtype=x.dtype)
-            return base.at[idx].set(x)
-        elif x.ndim == 2 and x.shape[0] == 2:
-            return x
+            rows = [x, jnp.zeros_like(x)]
+            return jnp.stack(rows if slot == 0 else rows[::-1])
         raise ParameterError(
-            f"input has unsupported shape {x.shape} for downmix=False"
+            f"downmix=False accepts mono or (2, n) inputs; got shape {x.shape}"
         )
 
-    output = chan(left, 0) + chan(right, 1)
-    if norm and not onesided:
-        output = output / 2
-    return output
+    mixed = _as_channel(sides[0], 0) + _as_channel(sides[1], 1)
+    if norm and both_given:
+        mixed = mixed / 2
+    return mixed
 
 
 def to_multi(
@@ -985,9 +983,28 @@ def _device_res_type(y: Any, res_type: str, orig_sr: float = 2,
             on_device = False
     if not on_device:
         return res_type
-    if int(orig_sr) == orig_sr and int(target_sr) == target_sr:
-        return "polyphase"
-    return "kaiser_best"
+    sub = (
+        "polyphase"
+        if int(orig_sr) == orig_sr and int(target_sr) == target_sr
+        else "kaiser_best"
+    )
+    _warn_soxr_substitution(res_type, sub)
+    return sub
+
+
+@functools.lru_cache(maxsize=None)
+def _warn_soxr_substitution(requested: str, substituted: str) -> None:
+    """One-time (per requested/substituted pair) notice that a host-soxr
+    quality was replaced by a device resampler for an accelerator-resident
+    input.  lru_cache makes repeat calls free; tracers never reach here
+    twice with new pairs, so this cannot grow unbounded."""
+    warnings.warn(
+        f"res_type={requested!r} runs on the host (libsoxr); the input is "
+        f"accelerator-resident, so the device {substituted!r} resampler is "
+        "used instead (numerically different filter). Move the array to "
+        "host memory (np.asarray) to force exact soxr semantics.",
+        stacklevel=3,
+    )
 
 
 def resample(
@@ -1017,7 +1034,11 @@ def resample(
           (``scipy.signal.resample_poly`` parity; integer rates only)
         - ``'fft'``/``'scipy'`` — Fourier resampling (composite-length
           Cooley-Tukey matmul FFT on TPU)
-        - ``'soxr_hq/vhq/mq/lq/qq'`` — host libsoxr (reference default)
+        - ``'soxr_hq/vhq/mq/lq/qq'`` — host libsoxr (reference default).
+          Applies to host arrays only: when ``y`` is accelerator-resident
+          or traced (under ``jit``), a device resampler (``polyphase`` for
+          integer rates, else ``kaiser_best``) is substituted — the
+          round-trip would dominate — and a one-time warning is emitted.
         - ``'kaiser_best'``/``'kaiser_fast'`` — windowed-sinc polyphase
         - ``'linear'``/``'zero_order_hold'`` — device gather interpolation
           (non-bandlimited), arbitrary ratios
@@ -1403,43 +1424,50 @@ def clicks(
     y : jax.Array
         the click signal
     """
-    if times is None:
-        if frames is None:
-            raise ParameterError('either "times" or "frames" must be provided')
-        positions = frames_to_samples(frames, hop_length=hop_length)
+    if times is not None:
+        marks = time_to_samples(times, sr=sr)
+    elif frames is not None:
+        marks = frames_to_samples(frames, hop_length=hop_length)
     else:
-        positions = time_to_samples(times, sr=sr)
+        raise ParameterError(
+            "clicks() needs event locations: pass times= or frames="
+        )
 
-    if click is not None:
+    if click is None:
+        click = _exp_decay_blip(sr, click_freq, click_duration)
+    else:
         click = np.asarray(click)
         if not np.issubdtype(click.dtype, np.floating):
-            raise ParameterError("click must be floating-point")
-    else:
-        if click_duration <= 0:
-            raise ParameterError("click_duration must be strictly positive")
-        if click_freq <= 0:
-            raise ParameterError("click_freq must be strictly positive")
-        angular_freq = 2 * np.pi * click_freq / float(sr)
-        click = np.logspace(0, -10, num=int(sr * click_duration), base=2.0)
-        click *= np.sin(angular_freq * np.arange(len(click)))
+            raise ParameterError("a custom click waveform must be float")
 
+    blip_len = click.shape[-1]
     if length is None:
-        length = positions.max() + click.shape[-1]
+        length = int(np.max(marks)) + blip_len
+    elif length < 1:
+        raise ParameterError(
+            f"output length must be at least 1 sample; got {length}"
+        )
     else:
-        if length < 1:
-            raise ParameterError("length must be a positive integer")
-        positions = positions[positions < length]
+        marks = marks[marks < length]
 
-    shape = list(click.shape)
-    shape[-1] = length
-    click_signal = np.zeros(shape, dtype=np.float32)
-    for start in positions:
-        end = start + click.shape[-1]
-        if end >= length:
-            click_signal[..., start:] += click[..., : length - start]
-        else:
-            click_signal[..., start:end] += click
-    return click_signal
+    # Render onto a canvas with blip_len slack so every placement is a
+    # full-width slice add (no per-event boundary branch), then trim.
+    canvas = np.zeros(click.shape[:-1] + (length + blip_len,),
+                      dtype=np.float32)
+    for at in np.atleast_1d(marks):
+        canvas[..., at : at + blip_len] += click
+    return canvas[..., :length]
+
+
+def _exp_decay_blip(sr: float, freq: float, seconds: float) -> np.ndarray:
+    """Default metronome blip: a sinusoid under a 60 dB exponential decay."""
+    if seconds <= 0:
+        raise ParameterError(f"click_duration={seconds} must be > 0 seconds")
+    if freq <= 0:
+        raise ParameterError(f"click_freq={freq} must be > 0 Hz")
+    n = int(sr * seconds)
+    fade = np.exp2(np.linspace(0.0, -10.0, num=n))
+    return fade * np.sin((2 * np.pi * freq / sr) * np.arange(n))
 
 
 def tone(
@@ -1473,14 +1501,24 @@ def tone(
         the synthesized tone
     """
     if frequency is None:
-        raise ParameterError('"frequency" must be provided')
-    if length is None:
-        if duration is None:
-            raise ParameterError('either "length" or "duration" must be provided')
-        length = int(duration * sr)
-    if phi is None:
-        phi = -np.pi * 0.5
-    return np.cos(2 * np.pi * frequency * np.arange(length) / sr + phi)
+        raise ParameterError("tone() needs a frequency in Hz")
+    n = _resolve_sample_count(length, duration, sr, who="tone")
+    # default phase -pi/2 starts the waveform at zero, rising
+    start_phase = -0.5 * np.pi if phi is None else phi
+    omega = 2.0 * np.pi * frequency / sr
+    return np.cos(omega * np.arange(n) + start_phase)
+
+
+def _resolve_sample_count(length, duration, sr: float, *, who: str) -> int:
+    """Turn a (length | duration) pair into a sample count."""
+    if length is not None:
+        return int(length)
+    if duration is None:
+        raise ParameterError(
+            f"{who}() needs a size: pass length= (samples) or "
+            "duration= (seconds)"
+        )
+    return int(duration * sr)
 
 
 def chirp(
@@ -1515,27 +1553,36 @@ def chirp(
     y : jax.Array
         the synthesized chirp
     """
-    import scipy.signal
-
     if fmin is None or fmax is None:
-        raise ParameterError('both "fmin" and "fmax" must be provided')
-    period = 1.0 / sr
-    if length is None:
-        if duration is None:
-            raise ParameterError('either "length" or "duration" must be provided')
+        raise ParameterError("chirp() needs both endpoint frequencies "
+                             "(fmin and fmax)")
+    if length is not None:
+        duration = length / sr
+    elif duration is None:
+        raise ParameterError(
+            "chirp() needs a size: pass length= (samples) or "
+            "duration= (seconds)"
+        )
+    start_phase = -0.5 * np.pi if phi is None else phi
+
+    # Phase = 2π ∫ f(t) dt, integrated in closed form for each sweep law
+    # (same math as scipy.signal.chirp's linear/logarithmic methods, which
+    # the reference delegates to — implemented here so synthesis has no
+    # scipy dependency).
+    t = np.arange(int(duration * sr)) / sr
+    if linear:
+        # f(t) = fmin + (fmax - fmin) * t / T
+        ramp_rate = (fmax - fmin) / duration
+        angle = 2 * np.pi * (fmin * t + 0.5 * ramp_rate * t * t)
+    elif fmin == fmax:
+        angle = 2 * np.pi * fmin * t
     else:
-        duration = period * length
-    if phi is None:
-        phi = -np.pi * 0.5
-    method = "linear" if linear else "logarithmic"
-    return scipy.signal.chirp(
-        np.arange(int(duration * sr)) / sr,
-        fmin,
-        duration,
-        fmax,
-        method=method,
-        phi=phi / np.pi * 180,
-    )
+        # f(t) = fmin * (fmax/fmin)^(t/T)
+        growth = fmax / fmin
+        angle = (2 * np.pi * fmin * duration / np.log(growth)) * (
+            np.power(growth, t / duration) - 1.0
+        )
+    return np.cos(angle + start_phase)
 
 
 # ---------------------------------------------------------------------------

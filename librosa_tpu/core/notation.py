@@ -176,7 +176,9 @@ def mela_to_degrees(mela: Union[str, int]) -> np.ndarray:
     elif 0 < mela <= 72:
         index = int(mela) - 1
     else:
-        raise ParameterError(f"mela={mela} must be in range [1, 72]")
+        raise ParameterError(
+            f"melakarta index {mela} is outside the system (1..72)"
+        )
 
     # mela = 36 * chakra_half + 6 * lower_pair + upper_pair
     ri, ga = _MELA_PAIRS[index % 36 // 6]
@@ -221,33 +223,44 @@ def mela_to_svara(
 
     Parity: reference core/notation.py:299.
     """
-    svara_map = [
-        "Sa", "Ri₁", "", "", "Ga₃", "Ma₁", "Ma₂", "Pa",
-        "Dha₁", "", "", "Ni₃",
-    ]
-
     if isinstance(mela, str):
-        mela_idx = MELAKARTA_MAP[mela.lower()] - 1
+        index = MELAKARTA_MAP[mela.lower()] - 1
     elif 0 < mela <= 72:
-        mela_idx = mela - 1
+        index = int(mela) - 1
     else:
-        raise ParameterError(f"mela={mela} must be in range [1, 72]")
+        raise ParameterError(
+            f"melakarta index {mela} is outside the system (1..72)"
+        )
 
-    lower = mela_idx % 36
-    svara_map[2] = "Ga₁" if lower < 6 else "Ri₂"
-    svara_map[3] = "Ga₂" if lower < 30 else "Ri₃"
+    # The four ambiguous chromatic slots are decided by which subset of
+    # {Ri, Ga} x {Dha, Ni} slots the mela's pair structure occupies
+    # (see mela_to_degrees for the pair decoding).
+    ri, ga = _MELA_PAIRS[index % 36 // 6]
+    dha, ni = _MELA_PAIRS[index % 6]
+    names = {
+        0: "Sa", 1: "Ri₁", 4: "Ga₃", 5: "Ma₁", 6: "Ma₂", 7: "Pa",
+        8: "Dha₁", 11: "Ni₃",
+        # slot 2 is Ga₁ only in the (Ri₁, Ga₁) chakras; otherwise Ri₂
+        2: "Ga₁" if (ri, ga) == (0, 1) else "Ri₂",
+        # slot 3 is Ri₃ only in the (Ri₃, Ga₃) chakras; otherwise Ga₂
+        3: "Ri₃" if (ri, ga) == (2, 3) else "Ga₂",
+        9: "Ni₁" if (dha, ni) == (0, 1) else "Dha₂",
+        10: "Dha₃" if (dha, ni) == (2, 3) else "Ni₂",
+    }
 
-    upper = mela_idx % 6
-    svara_map[9] = "Ni₁" if upper == 0 else "Dha₂"
-    svara_map[10] = "Dha₃" if upper == 5 else "Ni₂"
+    def _style(name: str) -> str:
+        if abbr:
+            # initial letter, keeping any subscript variant digit
+            name = name[0] + (name[-1] if name[-1] in "₁₂₃" else "")
+        if not unicode:
+            # subscript digits map linearly onto ASCII digits
+            name = "".join(
+                chr(ord(c) - ord("₀") + ord("0")) if "₀" <= c <= "₉" else c
+                for c in name
+            )
+        return name
 
-    if abbr:
-        t_abbr = str.maketrans({"a": "", "h": "", "i": ""})
-        svara_map = [s.translate(t_abbr) for s in svara_map]
-    if not unicode:
-        t_uni = str.maketrans({"₁": "1", "₂": "2", "₃": "3"})
-        svara_map = [s.translate(t_uni) for s in svara_map]
-    return list(svara_map)
+    return [_style(names[pc]) for pc in range(12)]
 
 
 def list_mela() -> Dict[str, int]:
@@ -302,20 +315,21 @@ def list_thaat() -> List[str]:
     return list(THAAT_MAP.keys())
 
 
+# Naturals laid out on a 12-semitone ruler: the string index of each
+# letter IS its pitch class (dots mark the black keys).
+_SEMITONE_RULER = "C.D.EF.G.A.B"
+
+
 def _note_to_degree(key: Any) -> Any:
+    """Pitch class of a spelled note (letter + accidental string)."""
     if not isinstance(key, str):
         return np.array([_note_to_degree(n) for n in key])
-    match = NOTE_RE.match(key)
-    if not match:
-        raise ParameterError(f"Improper key format: {key:s}")
-    letter = match.group("note").upper()
-    accidental = match.group("accidental")
-    pitch_map = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
-    counter = Counter(accidental)
-    return (
-        pitch_map[letter]
-        + sum(ACC_MAP[acc] * counter[acc] for acc in ACC_MAP)
-    ) % 12
+    parsed = NOTE_RE.match(key)
+    if parsed is None:
+        raise ParameterError(f"Cannot parse note name: {key!r}")
+    natural = _SEMITONE_RULER.index(parsed.group("note").upper())
+    chroma = natural + sum(ACC_MAP[c] for c in parsed.group("accidental"))
+    return chroma % 12
 
 
 def _simplify_note(key: Any, additional_acc: str = "", unicode: bool = True):
@@ -464,26 +478,26 @@ def key_to_degrees(key: str) -> np.ndarray:
 
     Parity: reference core/notation.py:872.
     """
-    notes = dict(
-        maj=np.array([0, 2, 4, 5, 7, 9, 11]),
-        min=np.array([0, 2, 3, 5, 7, 8, 10]),
+    parsed = KEY_RE.match(key)
+    if parsed is None:
+        raise ParameterError(f"Cannot parse key specification: {key!r}")
+
+    if parsed.group("mode") or not parsed.group("scale"):
+        # a church mode is its parent major scale rotated to a new tonic
+        rotation = OFFSET_DICT[parsed.group("mode")[:3]]
+        return np.roll(key_to_degrees(_mode_to_key(key)), -rotation)
+
+    # Whole/half-step walk from the tonic (W-W-H-W-W-W for major,
+    # W-H-W-W-H-W for natural minor); the 7th degree closes the octave.
+    if parsed.group("scale")[:3].lower() == "maj":
+        walk = (2, 2, 1, 2, 2, 2)
+    else:
+        walk = (2, 1, 2, 2, 1, 2)
+    start = _note_to_degree(
+        parsed.group("tonic").upper() + parsed.group("accidental")
     )
-    match = KEY_RE.match(key)
-    if not match:
-        raise ParameterError(f"Improper key format: {key:s}")
-
-    if match.group("mode") or not match.group("scale"):
-        equiv = _mode_to_key(key)
-        offset = OFFSET_DICT[match.group("mode")[:3]]
-        return np.roll(key_to_degrees(equiv), -offset)
-
-    pitch_map = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
-    tonic = match.group("tonic").upper()
-    accidental = match.group("accidental")
-    counts = Counter(accidental)
-    offset = sum(ACC_MAP[acc] * counts[acc] for acc in ACC_MAP)
-    scale = match.group("scale")[:3].lower()
-    return (notes[scale] + pitch_map[tonic] + offset) % 12
+    degrees = start + np.concatenate(([0], np.cumsum(walk)))
+    return degrees % 12
 
 
 def fifths_to_note(*, unison: str, fifths: int, unicode: bool = True) -> str:
@@ -521,27 +535,31 @@ def fifths_to_note(*, unison: str, fifths: int, unicode: bool = True) -> str:
 
     Parity: reference core/notation.py:942.
     """
-    COFMAP = "FCGDAEB"
-    if unicode:
-        acc_map_inv = {1: "♯", 2: "𝄪", -1: "♭", -2: "𝄫", 0: ""}
-    else:
-        acc_map_inv = {1: "#", 2: "##", -1: "b", -2: "bb", 0: ""}
+    parsed = NOTE_RE.match(unison)
+    if parsed is None:
+        raise ParameterError(f"Cannot parse note name: {unison!r}")
 
-    match = NOTE_RE.match(unison)
-    if not match:
-        raise ParameterError(f"Improper note format: {unison:s}")
+    # Everything is a single line-of-fifths position: the unison letter,
+    # plus 7 positions per accidental on it, plus the requested walk.
+    pos = (
+        _FIFTHS_POS[parsed.group("note").upper()]
+        + 7 * sum(ACC_MAP[c] for c in parsed.group("accidental"))
+        + fifths
+    )
+    letter = _FIFTHS_LETTERS[(pos + 1) % 7]
+    return letter + _accidental_run((pos + 1) // 7, unicode=unicode)
 
-    pitch = match.group("note").upper()
-    offset = int(np.sum([ACC_MAP[o] for o in match.group("accidental")]))
 
-    circle_idx = COFMAP.index(pitch)
-    raw_output = COFMAP[(circle_idx + fifths) % 7]
-    acc_index = offset + (circle_idx + fifths) // 7
-
-    acc_str = acc_map_inv[int(np.sign(acc_index)) * 2] * int(
-        abs(acc_index) // 2
-    ) + acc_map_inv[int(np.sign(acc_index))] * int(abs(acc_index) % 2)
-    return raw_output + acc_str
+def _accidental_run(count: int, *, unicode: bool = True) -> str:
+    """Render ``count`` sharps (positive) or flats (negative), doubles
+    leading: +3 → ``𝄪♯``, -2 → ``𝄫``."""
+    if count == 0:
+        return ""
+    doubles, singles = divmod(abs(count), 2)
+    mark = ("𝄪" * doubles + "♯" * singles) if count > 0 else (
+        "𝄫" * doubles + "♭" * singles
+    )
+    return mark if unicode else mark.translate(_UNICODE_DOWN)
 
 
 # ---------------------------------------------------------------------------
@@ -561,16 +579,20 @@ def _bo_fold(d):
 
 def _fifth_search(interval, tolerance) -> int:
     """Number of fifths to approximate an interval. Parity: notation.py:1059."""
-    log_tolerance = np.abs(np.log2(tolerance))
-    power = 0
-    for power in range(32):
-        for sign in [1, -1]:
-            if (
-                np.abs(np.log2(_bo_fold(interval / 3.0 ** (power * sign))))
-                <= log_tolerance
-            ):
-                return power * sign
-    return power
+    radius = abs(np.log2(tolerance))
+
+    def _close(k: int) -> bool:
+        # residue of the interval after removing k untempered fifths,
+        # balanced-folded so "close to a power of two" means small
+        residue = _bo_fold(interval * 3.0 ** (-k))
+        return abs(np.log2(residue)) <= radius
+
+    # spiral outward: 0, +1, -1, +2, -2, ... (positive side first)
+    hit = next(
+        (k for step in range(32) for k in (step, -step) if _close(k)),
+        None,
+    )
+    return 31 if hit is None else hit
 
 
 @functools.lru_cache(maxsize=4)
@@ -658,25 +680,44 @@ def interval_to_fjs(
         )
 
     if interval <= 0:
-        raise ParameterError(f"Interval={interval} must be strictly positive")
+        raise ParameterError(
+            f"FJS names exist only for positive ratios; got {interval}"
+        )
 
-    fifths = _fifth_search(interval, tolerance)
-    note_name = fifths_to_note(unison=unison, fifths=fifths, unicode=unicode)
+    # Pythagorean spine: the nearest note reachable by untempered fifths.
+    spine = fifths_to_note(
+        unison=unison,
+        fifths=_fifth_search(interval, tolerance),
+        unicode=unicode,
+    )
 
-    interval_b = float(np.around(_o_fold(interval), decimals=6))
-    powers = _interval_table(0).get(interval_b)
-    if powers is None:
-        powers = _interval_table(1).get(interval_b)
-    if powers is None:
-        raise ParameterError(f"Unknown interval={interval}")
+    # Prime commas above 3: split the factorization into an over-bar
+    # (numerator primes, superscript) and under-bar (denominator primes,
+    # subscript) product.
+    folded = float(np.around(_o_fold(interval), decimals=6))
+    factors = _interval_table(0).get(folded) or _interval_table(1).get(folded)
+    if factors is None:
+        raise ParameterError(
+            f"interval {interval} is not in the just-intonation tables"
+        )
 
-    powers = {p: powers[p] for p in powers if p > 3}
-    otonal = int(np.prod([p ** powers[p] for p in powers if powers[p] > 0]))
-    utonal = int(np.prod([p ** -powers[p] for p in powers if powers[p] < 0]))
+    over = under = 1
+    for prime, exponent in factors.items():
+        if prime <= 3:
+            continue
+        if exponent > 0:
+            over *= prime ** exponent
+        else:
+            under *= prime ** (-exponent)
 
-    suffix = ""
-    if otonal > 1:
-        suffix += f"{otonal:d}".translate(SUPER_TRANS) if unicode else f"^{otonal}"
-    if utonal > 1:
-        suffix += f"{utonal:d}".translate(SUB_TRANS) if unicode else f"_{utonal}"
-    return note_name + suffix
+    def _comma(value: int, trans, ascii_mark: str) -> str:
+        if value <= 1:
+            return ""
+        text = str(value)
+        return text.translate(trans) if unicode else ascii_mark + text
+
+    return (
+        spine
+        + _comma(over, SUPER_TRANS, "^")
+        + _comma(under, SUB_TRANS, "_")
+    )

@@ -339,18 +339,22 @@ def pitch_shift(
     """
     if not util.is_positive_int(bins_per_octave):
         raise ParameterError(
-            f"bins_per_octave={bins_per_octave} must be a positive integer."
+            f"the octave must divide into a positive integer number of "
+            f"bins; got bins_per_octave={bins_per_octave}"
         )
     y = jnp.asarray(y)
+    # Raising pitch by k bins == playing the signal 2^(k/bpo) times faster.
+    # Phase-vocode to the reciprocal rate (preserving duration), then
+    # resample the slowed signal back to sr as if it had been recorded at
+    # sr/rate — the speed-up supplies the pitch shift.
     rate = 2.0 ** (-float(n_steps) / bins_per_octave)
-    y_shift = core.resample(
-        time_stretch(y, rate=rate, **kwargs),
-        orig_sr=float(sr) / rate,
-        target_sr=sr,
-        res_type=res_type,
-        scale=scale,
+    slowed = time_stretch(y, rate=rate, **kwargs)
+    shifted = core.resample(
+        slowed, orig_sr=float(sr) / rate, target_sr=sr,
+        res_type=res_type, scale=scale,
     )
-    return util.fix_length(y_shift, size=y.shape[-1])
+    # stretch+resample rounding can add/drop a few samples
+    return util.fix_length(shifted, size=y.shape[-1])
 
 
 def remix(
@@ -426,13 +430,14 @@ def _signal_to_frame_nonsilent(
             top_db=float(top_db), ref_fn=ref if callable(ref) else None,
         ))
     mse = feature.rms(y=y, frame_length=frame_length, hop_length=hop_length)
-    db = np.asarray(
+    level = np.asarray(
         core.amplitude_to_db(np.asarray(mse)[..., 0, :], ref=ref, top_db=None)
     )
-    if db.ndim > 1:
-        db = np.apply_over_axes(aggregate, db, range(db.ndim - 1))
-        db = np.squeeze(db, axis=tuple(range(db.ndim - 1)))
-    return db > -top_db
+    # collapse channel axes one at a time (successive reduction matters
+    # for order-dependent aggregates like median)
+    while level.ndim > 1:
+        level = np.asarray(aggregate(level, axis=0))
+    return level > -top_db
 
 
 @functools.partial(
@@ -485,20 +490,21 @@ def trim(
         start/end sample indices of the kept region
     """
     y = jnp.asarray(y)
-    non_silent = _signal_to_frame_nonsilent(
+    active = _signal_to_frame_nonsilent(
         y, frame_length=frame_length, hop_length=hop_length, ref=ref,
         top_db=top_db, aggregate=aggregate,
     )
-    nonzero = np.flatnonzero(non_silent)
-    if nonzero.size > 0:
-        start = int(core.frames_to_samples(nonzero[0], hop_length=hop_length))
-        end = min(
+    lo = hi = 0
+    if active.any():
+        # first active frame, and one past the last active frame
+        first = int(np.argmax(active))
+        last = active.size - int(np.argmax(active[::-1]))
+        lo = int(core.frames_to_samples(first, hop_length=hop_length))
+        hi = min(
             y.shape[-1],
-            int(core.frames_to_samples(nonzero[-1] + 1, hop_length=hop_length)),
+            int(core.frames_to_samples(last, hop_length=hop_length)),
         )
-    else:
-        start, end = 0, 0
-    return y[..., start:end], np.asarray([start, end])
+    return y[..., lo:hi], np.asarray([lo, hi])
 
 
 def split(
@@ -526,21 +532,20 @@ def split(
         start/end sample indices of non-silent regions
     """
     y = jnp.asarray(y)
-    non_silent = _signal_to_frame_nonsilent(
+    active = _signal_to_frame_nonsilent(
         y, frame_length=frame_length, hop_length=hop_length, ref=ref,
         top_db=top_db, aggregate=aggregate,
     )
-    edges = np.flatnonzero(np.diff(non_silent.astype(int)))
-    edges_list = [edges + 1]
-    if non_silent[0]:
-        edges_list.insert(0, np.array([0]))
-    if non_silent[-1]:
-        edges_list.append(np.array([len(non_silent)]))
-    edges_all = core.frames_to_samples(
-        np.concatenate(edges_list), hop_length=hop_length
+    # Sentinel-pad the activity mask so every run has both a rising and a
+    # falling edge, then pair them up.
+    fenced = np.concatenate(([False], np.asarray(active, bool), [False]))
+    steps = np.diff(fenced.astype(np.int8))
+    run_starts = np.flatnonzero(steps > 0)
+    run_ends = np.flatnonzero(steps < 0)
+    bounds = core.frames_to_samples(
+        np.stack([run_starts, run_ends], axis=1), hop_length=hop_length
     )
-    edges_all = np.minimum(edges_all, y.shape[-1])
-    return edges_all.reshape((-1, 2))
+    return np.minimum(bounds, y.shape[-1])
 
 
 def preemphasis(

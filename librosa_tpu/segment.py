@@ -236,25 +236,16 @@ def cross_similarity(
     """
     data_ref = np.atleast_2d(np.asarray(data_ref))
     data = np.atleast_2d(np.asarray(data))
-
-    if not np.allclose(data_ref.shape[:-1], data.shape[:-1]):
+    if data_ref.shape[:-1] != data.shape[:-1]:
         raise ParameterError(
-            f"data_ref.shape={data_ref.shape} and data.shape={data.shape} "
-            "do not match on leading dimension(s)"
+            f"the two sequences must agree on every non-time axis: "
+            f"data_ref is {data_ref.shape}, data is {data.shape}"
         )
+    _check_rec_mode(mode)
 
-    data_ref = np.swapaxes(data_ref, -1, 0)
-    n_ref = data_ref.shape[0]
-    data_ref = data_ref.reshape((n_ref, -1), order="F")
-    data = np.swapaxes(data, -1, 0)
-    n = data.shape[0]
-    data = data.reshape((n, -1), order="F")
+    data_ref, n_ref = _flatten_time_major(data_ref, -1)
+    data, n = _flatten_time_major(data, -1)
 
-    if mode not in ["connectivity", "distance", "affinity"]:
-        raise ParameterError(
-            f"Invalid mode='{mode}'. Must be one of "
-            "['connectivity', 'distance', 'affinity']"
-        )
     if k is None:
         k = min(n_ref, 2 * np.ceil(np.sqrt(n_ref)))
     k = int(k)
@@ -275,19 +266,39 @@ def cross_similarity(
         if not full:
             _topk_prune(xsim, n, k)
 
-    xsim = xsim.tocsr()
-    xsim.eliminate_zeros()
+    return _finalize_graph(xsim, mode, bandwidth, bandwidth_k, sparse)
 
+
+def _flatten_time_major(x: np.ndarray, axis: int):
+    """Collapse to a (time, features) matrix with time on the first axis."""
+    x = np.swapaxes(x, axis, 0)
+    steps = x.shape[0]
+    return x.reshape((steps, -1), order="F"), steps
+
+
+def _check_rec_mode(mode: str) -> None:
+    if mode not in ("connectivity", "distance", "affinity"):
+        raise ParameterError(
+            f"unknown similarity mode {mode!r}; choose connectivity, "
+            "distance, or affinity"
+        )
+
+
+def _finalize_graph(g, mode: str, bandwidth, bandwidth_k: int, sparse: bool,
+                    *, clamp_negative: bool = False):
+    """Shared tail of recurrence_matrix / cross_similarity: compact the
+    graph, apply the mode transform, and orient time along columns."""
+    g = g.tocsr()
+    g.eliminate_zeros()
     if mode == "connectivity":
-        xsim = xsim.astype(bool)
+        g = g.astype(bool)
     elif mode == "affinity":
-        aff_bandwidth = _affinity_bandwidth(xsim, bandwidth, bandwidth_k)
-        xsim.data[:] = np.exp(xsim.data / (-1 * aff_bandwidth))
-
-    xsim = scipy.sparse.csc_matrix(xsim.T)
-    if not sparse:
-        return xsim.toarray()
-    return xsim
+        if clamp_negative:
+            g.data[g.data < 0] = 0.0
+        scale = _affinity_bandwidth(g, bandwidth, bandwidth_k)
+        g.data[:] = np.exp(g.data / (-1 * scale))
+    g = scipy.sparse.csc_matrix(g.T)
+    return g if sparse else g.toarray()
 
 
 def recurrence_matrix(
@@ -340,21 +351,14 @@ def recurrence_matrix(
     -------
     rec : np.ndarray or scipy.sparse matrix [shape=(n, n)]
     """
-    data = np.atleast_2d(np.asarray(data))
-    data = np.swapaxes(data, axis, 0)
-    t = data.shape[0]
-    data = data.reshape((t, -1), order="F")
+    data, t = _flatten_time_major(np.atleast_2d(np.asarray(data)), axis)
 
-    if width < 1 or width >= (t - 1) // 2:
+    if not 1 <= width < (t - 1) // 2:
         raise ParameterError(
-            f"width={width} must be at least 1 and at most "
-            f"(data.shape[{axis}] - 1) // 2={(t - 1) // 2}"
+            f"the excluded diagonal band must satisfy "
+            f"1 <= width < {(t - 1) // 2} for {t} frames; got width={width}"
         )
-    if mode not in ["connectivity", "distance", "affinity"]:
-        raise ParameterError(
-            f"Invalid mode='{mode}'. Must be one of "
-            "['connectivity', 'distance', 'affinity']"
-        )
+    _check_rec_mode(mode)
     if k is None:
         k = 2 * np.ceil(np.sqrt(t - 2 * width + 1))
     k = int(k)
@@ -393,20 +397,10 @@ def recurrence_matrix(
     if sym:
         rec = rec.minimum(rec.T)
 
-    rec = rec.tocsr()
-    rec.eliminate_zeros()
-
-    if mode == "connectivity":
-        rec = rec.astype(bool)
-    elif mode == "affinity":
-        rec.data[rec.data < 0] = 0.0
-        aff_bandwidth = _affinity_bandwidth(rec, bandwidth, bandwidth_k)
-        rec.data[:] = np.exp(rec.data / (-1 * aff_bandwidth))
-
-    rec = scipy.sparse.csc_matrix(rec.T)
-    if not sparse:
-        return rec.toarray()
-    return rec
+    # clamp_negative: the affinity self-loop placeholders (-1) become
+    # distance 0 -> affinity 1, after zero-elimination so they survive it
+    return _finalize_graph(rec, mode, bandwidth, bandwidth_k, sparse,
+                           clamp_negative=True)
 
 
 def _shear_dense_np(X: np.ndarray, factor: int, axis: int) -> np.ndarray:
@@ -476,27 +470,28 @@ def recurrence_to_lag(rec: Any, *, pad: bool = True, axis: int = -1):
     axis = int(np.abs(axis))
 
     if rec.ndim != 2 or rec.shape[0] != rec.shape[1]:
-        raise ParameterError(f"non-square recurrence matrix shape: {rec.shape}")
+        raise ParameterError(
+            f"recurrence matrices are square; got shape {rec.shape}"
+        )
 
-    is_sparse = scipy.sparse.issparse(rec)
-    if is_sparse:
-        fmt = rec.format
-    t = rec.shape[axis]
+    if scipy.sparse.issparse(rec):
+        fmt_in = rec.format
+        if pad:
+            # double the lag extent with an empty block so negative lags
+            # land in their own half instead of wrapping onto positives
+            t = rec.shape[axis]
+            blank = scipy.sparse.coo_matrix((t, t), dtype=rec.dtype)
+            if axis == 0:
+                rec = scipy.sparse.hstack([rec, blank], format="csr")
+            else:
+                rec = scipy.sparse.vstack([rec, blank], format="csc")
+        return _shear_sparse(rec, -1, axis).asformat(fmt_in)
 
+    rec = np.asarray(rec)
     if pad:
-        if is_sparse:
-            padding = np.asarray([[1, 0]], dtype=rec.dtype).swapaxes(axis, 0)
-            rec_fmt = "csr" if axis == 0 else "csc"
-            rec = scipy.sparse.kron(padding, rec, format=rec_fmt)
-        else:
-            padding = np.array([(0, 0), (0, 0)])
-            padding[(1 - axis), :] = [0, t]
-            rec = np.pad(np.asarray(rec), padding, mode="constant")
-
-    if is_sparse:
-        lag = _shear_sparse(rec, -1, axis)
-        return lag.asformat(fmt)
-    return _shear_dense_np(np.asarray(rec), -1, axis)
+        blank = np.zeros_like(rec)
+        rec = np.concatenate([rec, blank], axis=1 - axis)
+    return _shear_dense_np(rec, -1, axis)
 
 
 def lag_to_recurrence(lag: Any, *, axis: int = -1):
@@ -532,28 +527,26 @@ def lag_to_recurrence(lag: Any, *, axis: int = -1):
 
     Parity: reference segment.py:816.
     """
-    if axis not in [0, 1, -1]:
-        raise ParameterError(f"Invalid target axis: {axis}")
+    if axis not in (0, 1, -1):
+        raise ParameterError(f"a 2-D lag matrix has no axis {axis}")
     axis = int(np.abs(axis))
 
-    if lag.ndim != 2 or (
-        lag.shape[0] != lag.shape[1]
-        and lag.shape[1 - axis] != 2 * lag.shape[axis]
-    ):
-        raise ParameterError(f"Invalid lag matrix shape: {lag.shape}")
+    t = lag.shape[axis] if lag.ndim == 2 else -1
+    lag_extent = lag.shape[1 - axis] if lag.ndim == 2 else -1
+    # accepted layouts: unpadded (t, t) or padded (lag extent 2t)
+    if lag.ndim != 2 or lag_extent not in (t, 2 * t):
+        raise ParameterError(
+            f"lag matrices are (n, n) or zero-padded to (2n, n); "
+            f"got shape {getattr(lag, 'shape', None)}"
+        )
 
-    t = lag.shape[axis]
-    is_sparse = scipy.sparse.issparse(lag)
-    if is_sparse:
-        rec = _shear_sparse(lag, 1, axis)
-    else:
-        rec = _shear_dense_np(np.asarray(lag), 1, axis)
-
-    sub_slice = [slice(None)] * rec.ndim
-    sub_slice[1 - axis] = slice(t)
-    if is_sparse:
-        return rec.tocsr()[tuple(sub_slice)].asformat(lag.format)
-    return rec[tuple(sub_slice)]
+    # undo the shear, then drop the padded half (a no-op when unpadded)
+    keep = [slice(None), slice(None)]
+    keep[1 - axis] = slice(t)
+    if scipy.sparse.issparse(lag):
+        unsheared = _shear_sparse(lag, 1, axis)
+        return unsheared.tocsr()[tuple(keep)].asformat(lag.format)
+    return _shear_dense_np(np.asarray(lag), 1, axis)[tuple(keep)]
 
 
 def timelag_filter(function: Callable, pad: bool = True, index: int = 0) -> Callable:
@@ -624,25 +617,22 @@ def subsegment(
     boundaries : np.ndarray [int]
         combined boundary frames
     """
-    data = np.asarray(data)
-    frames = util.fix_frames(frames, x_min=0, x_max=data.shape[axis], pad=True)
-
     if n_segments < 1:
-        raise ParameterError("n_segments must be a positive integer")
-
-    boundaries: List[int] = []
-    idx_slices = [slice(None)] * data.ndim
-    for seg_start, seg_end in itertools.pairwise(frames):
-        idx_slices[axis] = slice(seg_start, seg_end)
-        boundaries.extend(
-            seg_start
-            + agglomerative(
-                data[tuple(idx_slices)],
-                min(seg_end - seg_start, n_segments),
-                axis=axis,
-            )
+        raise ParameterError(
+            f"cannot split a segment into n_segments={n_segments} pieces"
         )
-    return np.array(boundaries)
+    data = np.asarray(data)
+    fences = util.fix_frames(frames, x_min=0, x_max=data.shape[axis], pad=True)
+
+    def _split_one(lo: int, hi: int) -> np.ndarray:
+        window = [slice(None)] * data.ndim
+        window[axis] = slice(lo, hi)
+        pieces = min(hi - lo, n_segments)
+        return lo + agglomerative(data[tuple(window)], pieces, axis=axis)
+
+    return np.concatenate(
+        [_split_one(lo, hi) for lo, hi in zip(fences[:-1], fences[1:])]
+    )
 
 
 def agglomerative(
@@ -673,28 +663,29 @@ def agglomerative(
     boundaries : np.ndarray [shape=(k,)]
         left-boundary frame of each segment (first is 0)
     """
-    data = np.atleast_2d(np.asarray(data))
-    data = np.swapaxes(data, axis, 0)
-    n = data.shape[0]
-    data = data.reshape((n, -1), order="F")
+    feats = np.atleast_2d(np.asarray(data))
+    feats = np.swapaxes(feats, axis, 0)
+    n = feats.shape[0]
+    feats = feats.reshape((n, -1), order="F")
 
     if clusterer is None:
+        import scipy.sparse
         import sklearn.cluster
-        import sklearn.feature_extraction
 
-        grid = sklearn.feature_extraction.image.grid_to_graph(
-            n_x=n, n_y=1, n_z=1
+        # temporal contiguity: each frame may only merge with its chain
+        # neighbors (a tridiagonal adjacency, incl. self-loops)
+        chain = scipy.sparse.diags(
+            [np.ones(n - 1), np.ones(n), np.ones(n - 1)],
+            offsets=(-1, 0, 1), format="coo",
         )
         clusterer = sklearn.cluster.AgglomerativeClustering(
-            n_clusters=int(k), connectivity=grid
+            n_clusters=int(k), connectivity=chain
         )
 
-    clusterer.fit(data)
-    boundaries = [0]
-    boundaries.extend(
-        list(1 + np.nonzero(np.diff(clusterer.labels_))[0].astype(int))
-    )
-    return np.asarray(boundaries)
+    clusterer.fit(feats)
+    # a boundary wherever the segment label changes, plus the origin
+    flips = np.flatnonzero(np.diff(clusterer.labels_)) + 1
+    return np.concatenate(([0], flips.astype(int)))
 
 
 def path_enhance(

@@ -284,128 +284,143 @@ def dtw(
     >>> bool(np.all(wp[:, 0] == wp[:, 1]))   # self-alignment is diagonal
     True
     """
-    default_steps = np.array([[1, 1], [0, 1], [1, 0]], dtype=np.uint32)
-    default_weights_add = np.zeros(3, dtype=np.float64)
-    default_weights_mul = np.ones(3, dtype=np.float64)
+    steps, add_w, mul_w = _resolve_step_set(
+        step_sizes_sigma, weights_add, weights_mul
+    )
 
-    if step_sizes_sigma is None:
-        step_sizes_sigma = default_steps
-        if weights_add is None:
-            weights_add = default_weights_add
-        if weights_mul is None:
-            weights_mul = default_weights_mul
-    else:
-        if weights_add is None:
-            weights_add = np.zeros(len(step_sizes_sigma), dtype=np.float64)
-        if weights_mul is None:
-            weights_mul = np.ones(len(step_sizes_sigma), dtype=np.float64)
-        default_weights_add.fill(np.inf)
-        default_weights_mul.fill(np.inf)
-        step_sizes_sigma = np.concatenate((default_steps, step_sizes_sigma))
-        weights_add = np.concatenate((default_weights_add, weights_add))
-        weights_mul = np.concatenate((default_weights_mul, weights_mul))
-
-    if np.any(step_sizes_sigma < 0):
-        raise ParameterError("step_sizes_sigma cannot contain negative values")
-    if len(step_sizes_sigma) != len(weights_add):
-        raise ParameterError(
-            "len(weights_add) must be equal to len(step_sizes_sigma)"
-        )
-    if len(step_sizes_sigma) != len(weights_mul):
-        raise ParameterError(
-            "len(weights_mul) must be equal to len(step_sizes_sigma)"
-        )
     if C is None and (X is None or Y is None):
-        raise ParameterError("If C is not supplied, both X and Y must be supplied")
+        raise ParameterError(
+            "without a precomputed cost matrix C, both feature sequences "
+            "X and Y are required"
+        )
     if C is not None and (X is not None or Y is not None):
-        raise ParameterError("If C is supplied, both X and Y must not be supplied")
+        raise ParameterError(
+            "pass either a precomputed cost matrix C, or the feature "
+            "sequences X and Y — not both"
+        )
 
-    c_is_transposed = False
-    C_local = False
-    if C is None:
-        C_local = True
-        X = np.atleast_2d(np.asarray(X))
-        Y = np.atleast_2d(np.asarray(Y))
-        X = np.swapaxes(X, -1, 0)
-        Y = np.swapaxes(Y, -1, 0)
-        X = X.reshape((X.shape[0], -1), order="F")
-        Y = Y.reshape((Y.shape[0], -1), order="F")
+    own_cost = C is None
+    flipped = False
+    if own_cost:
+        X = _time_major(X)
+        Y = _time_major(Y)
         try:
             from scipy.spatial.distance import cdist
 
             C = cdist(X, Y, metric=metric)
         except ValueError as exc:
             raise ParameterError(
-                "scipy.spatial.distance.cdist returned an error.\n"
-                "Please provide your input in the form X.shape=(K, N) "
-                "and Y.shape=(K, M).\n 1-dimensional sequences should "
-                "be reshaped to X.shape=(1, N) and Y.shape=(1, M)."
+                "could not build a pairwise cost matrix from X/Y; shape "
+                "them (d, N) and (d, M) (1-D sequences as (1, N))"
             ) from exc
         if subseq and (X.shape[0] > Y.shape[0]):
             C = C.T
-            c_is_transposed = True
+            flipped = True
 
     C = np.atleast_2d(np.asarray(C, dtype=np.float64))
 
-    if np.array_equal(step_sizes_sigma, np.array([[1, 1]])) and (
-        C.shape[0] > C.shape[1]
-    ):
+    if C.shape[0] > C.shape[1] and np.array_equal(steps, np.array([[1, 1]])):
         raise ParameterError(
-            "For diagonal matching: Y.shape[-1] >= X.shape[-1] "
-            "(C.shape[1] >= C.shape[0])"
+            "pure diagonal matching needs the query no longer than the "
+            "target (C.shape[0] <= C.shape[1])"
         )
-
-    if np.any(np.isnan(C)):
-        raise ParameterError("DTW cost matrix C has NaN values. ")
+    if np.isnan(C).any():
+        raise ParameterError("the DTW cost matrix contains NaN entries")
 
     if global_constraints:
-        if not C_local:
+        if not own_cost:
             C = np.copy(C)
         fill_off_diagonal(C, radius=band_rad, value=np.inf)
 
-    D, steps = _dtw_accumulate(
-        C, np.asarray(step_sizes_sigma), np.asarray(weights_mul),
-        np.asarray(weights_add), subseq,
+    D, traceback_steps = _dtw_accumulate(C, steps, mul_w, add_w, subseq)
+
+    outputs: List[np.ndarray] = [D]
+    if backtrack:
+        outputs.append(
+            _dtw_best_path(D, traceback_steps, steps, subseq,
+                           flipped=flipped, own_cost=own_cost,
+                           X=X, Y=Y, C=C)
+        )
+    if return_steps:
+        outputs.append(traceback_steps)
+    if len(outputs) == 1:
+        return outputs[0]
+    if backtrack:
+        # (D, wp) or (D, wp, steps) ordering: path right after D
+        return tuple(outputs)
+    return tuple(outputs)
+
+
+def _resolve_step_set(user_steps, weights_add, weights_mul):
+    """Merge the caller's step set with the canonical {diag, right, down}
+    moves.  Custom steps keep their weights; the canonical prefix is
+    disabled (infinite weight) unless it IS the step set."""
+    canonical = np.array([[1, 1], [0, 1], [1, 0]], dtype=np.uint32)
+    if user_steps is None:
+        steps = canonical
+        add_w = np.zeros(3) if weights_add is None else weights_add
+        mul_w = np.ones(3) if weights_mul is None else weights_mul
+    else:
+        n_user = len(user_steps)
+        steps = np.concatenate((canonical, user_steps))
+        barred = np.full(3, np.inf)
+        add_w = np.concatenate(
+            (barred, np.zeros(n_user) if weights_add is None else weights_add)
+        )
+        mul_w = np.concatenate(
+            (barred, np.ones(n_user) if weights_mul is None else weights_mul)
+        )
+    if np.any(steps < 0):
+        raise ParameterError("DTW steps must move forward (no negatives)")
+    if not len(steps) == len(add_w) == len(mul_w):
+        raise ParameterError(
+            f"every step needs one additive and one multiplicative weight: "
+            f"{len(steps)} steps, {len(add_w)} additive, "
+            f"{len(mul_w)} multiplicative"
+        )
+    return (
+        steps,
+        np.asarray(add_w, dtype=np.float64),
+        np.asarray(mul_w, dtype=np.float64),
     )
 
-    return_values: List[np.ndarray]
-    if backtrack:
-        if subseq:
-            if np.all(np.isinf(D[-1])):
-                raise ParameterError(
-                    "No valid sub-sequence warping path could "
-                    "be constructed with the given step sizes."
-                )
-            start = int(np.argmin(D[-1, :]))
-            _wp = dtw_backtracking(steps, step_sizes_sigma, subseq, start)
-        else:
-            if np.isinf(D[-1, -1]):
-                raise ParameterError(
-                    "No valid sub-sequence warping path could "
-                    "be constructed with the given step sizes."
-                )
-            _wp = dtw_backtracking(steps, step_sizes_sigma, subseq)
-            if _wp[-1] != (0, 0):
-                raise ParameterError(
-                    "Unable to compute a full DTW warping path. "
-                    "You may want to try again with subseq=True."
-                )
-        wp = np.asarray(_wp, dtype=int)
-        if subseq and (
-            (X is not None and Y is not None and X.shape[0] > Y.shape[0])
-            or c_is_transposed
-            or C.shape[0] > C.shape[1]
-        ):
-            wp = np.fliplr(wp)
-        return_values = [D, wp]
-    else:
-        return_values = [D]
 
-    if return_steps:
-        return_values.append(steps)
-    if len(return_values) > 1:
-        return tuple(return_values)
-    return return_values[0]
+def _time_major(x) -> np.ndarray:
+    """(..., d, n) feature array -> (n, d_flat) sample matrix."""
+    x = np.atleast_2d(np.asarray(x))
+    x = np.swapaxes(x, -1, 0)
+    return x.reshape((x.shape[0], -1), order="F")
+
+
+def _dtw_best_path(D, traceback_steps, steps, subseq, *, flipped,
+                   own_cost, X, Y, C):
+    """Backtrack the optimal warping path from the accumulated matrix."""
+    if subseq:
+        if np.isinf(D[-1]).all():
+            raise ParameterError(
+                "the step set admits no subsequence alignment at all"
+            )
+        tail = int(np.argmin(D[-1, :]))
+        path = dtw_backtracking(traceback_steps, steps, subseq, tail)
+    else:
+        if np.isinf(D[-1, -1]):
+            raise ParameterError(
+                "the step set admits no complete alignment"
+            )
+        path = dtw_backtracking(traceback_steps, steps, subseq)
+        if path[-1] != (0, 0):
+            raise ParameterError(
+                "no full-sequence warping path exists; subseq=True may "
+                "recover a partial alignment"
+            )
+    wp = np.asarray(path, dtype=int)
+    undo_flip = flipped or C.shape[0] > C.shape[1] or (
+        own_cost and X is not None and Y is not None
+        and X.shape[0] > Y.shape[0]
+    )
+    if subseq and undo_flip:
+        wp = np.fliplr(wp)
+    return wp
 
 
 def path_to_steps(path: np.ndarray, *, inverse: bool = False) -> np.ndarray:
@@ -772,40 +787,16 @@ def viterbi_discriminative(
     transition = np.asarray(transition, dtype=np.float64)
     _validate_transition(transition, n_states)
 
-    if np.any(prob_np < 0) or not np.allclose(prob_np.sum(axis=-2), 1):
+    if prob_np.min(initial=0) < 0 or not np.allclose(prob_np.sum(axis=-2), 1):
         raise ParameterError(
-            "Invalid probability values: each column must "
-            "sum to 1 and be non-negative"
+            "the frame-wise observation matrix must hold a distribution "
+            "per column (non-negative, summing to 1)"
         )
 
     epsilon = tiny(prob_np)
 
-    if p_state is None:
-        p_state = np.full(n_states, 1.0 / n_states)
-    else:
-        p_state = np.asarray(p_state, dtype=np.float64)
-        if p_state.shape != (n_states,):
-            raise ParameterError(
-                "Marginal distribution p_state must have shape (n_states,). "
-                f"Got p_state.shape={p_state.shape}"
-            )
-        if np.any(p_state < 0) or not np.allclose(p_state.sum(axis=-1), 1):
-            raise ParameterError(
-                f"Invalid marginal state distribution: p_state={p_state}"
-            )
-
-    if p_init is None:
-        p_init = np.full(n_states, 1.0 / n_states)
-    else:
-        p_init = np.asarray(p_init, dtype=np.float64)
-        if (
-            np.any(p_init < 0)
-            or not np.allclose(p_init.sum(), 1)
-            or p_init.shape != (n_states,)
-        ):
-            raise ParameterError(
-                f"Invalid initial state distribution: p_init={p_init}"
-            )
+    p_state = _state_distribution("p_state", p_state, n_states)
+    p_init = _state_distribution("p_init", p_init, n_states)
 
     log_p_init = np.log(p_init + epsilon)
     log_trans = np.log(transition + epsilon)
@@ -838,6 +829,25 @@ def viterbi_discriminative(
     return states
 
 
+
+
+def _state_distribution(name: str, dist, n_states: int) -> np.ndarray:
+    """Validate an (n_states,) probability vector, defaulting to uniform."""
+    if dist is None:
+        return np.full(n_states, 1.0 / n_states)
+    dist = np.asarray(dist, dtype=np.float64)
+    if dist.shape != (n_states,):
+        raise ParameterError(
+            f"{name} must be one probability per state "
+            f"(shape ({n_states},)); got shape {dist.shape}"
+        )
+    if dist.min() < 0 or not np.allclose(dist.sum(), 1):
+        raise ParameterError(
+            f"{name} is not a probability distribution: {dist}"
+        )
+    return dist
+
+
 def viterbi_binary(
     prob: Any,
     transition: Any,
@@ -867,68 +877,64 @@ def viterbi_binary(
     -------
     states : np.ndarray [shape=(..., n_labels, n_steps)]
     """
-    prob = jnp.atleast_2d(jnp.asarray(prob))
-    prob_np = np.asarray(prob)
-    n_states, n_steps = prob_np.shape[-2:]
+    prob_np = np.atleast_2d(np.asarray(prob))
+    n_labels = prob_np.shape[-2]
 
     transition = np.asarray(transition, dtype=np.float64)
     if transition.shape == (2, 2):
-        transition = np.tile(transition, (n_states, 1, 1))
-    elif transition.shape != (n_states, 2, 2):
+        transition = np.broadcast_to(transition, (n_labels, 2, 2))
+    elif transition.shape != (n_labels, 2, 2):
         raise ParameterError(
-            f"transition.shape={transition.shape}, must be (2, 2) or "
-            f"(n_states, 2, 2)={n_states}"
+            f"binary decoding takes one 2x2 transition matrix (shared) or "
+            f"{n_labels} of them; got shape {transition.shape}"
         )
-    if np.any(transition < 0) or not np.allclose(transition.sum(axis=-1), 1):
+    if transition.min() < 0 or not np.allclose(transition.sum(axis=-1), 1):
         raise ParameterError(
-            "Invalid transition matrix: must be non-negative "
-            "and sum to 1 on each row."
+            "each 2x2 transition row must be a probability distribution"
         )
-    if np.any(prob_np < 0) or np.any(prob_np > 1):
+    if prob_np.min() < 0 or prob_np.max() > 1:
         raise ParameterError(
-            "Invalid probability values: prob must be between [0, 1]"
+            "per-label activation probabilities must lie in [0, 1]"
         )
 
-    if p_state is None:
-        p_state = np.full(n_states, 0.5)
-    else:
-        p_state = np.atleast_1d(np.asarray(p_state, dtype=np.float64))
-    if p_state.shape != (n_states,) or np.any(p_state < 0) or np.any(p_state > 1):
-        raise ParameterError(
-            f"Invalid marginal state distributions: p_state={p_state}"
-        )
+    on_state = _per_label_prob("p_state", p_state, n_labels, default=0.5)
+    on_init = _per_label_prob("p_init", p_init, n_labels, default=0.5)
 
-    if p_init is None:
-        p_init = np.full(n_states, 0.5)
-    else:
-        p_init = np.atleast_1d(np.asarray(p_init, dtype=np.float64))
-    if p_init.shape != (n_states,) or np.any(p_init < 0) or np.any(p_init > 1):
-        raise ParameterError(
-            f"Invalid initial state distributions: p_init={p_init}"
-        )
-
-    shape_prefix = list(prob_np.shape[:-2])
-    states = np.empty([*shape_prefix, n_states, n_steps], dtype=np.uint16)
-    logp = np.empty([*shape_prefix, n_states])
-
-    for state in range(n_states):
-        prob_binary = np.stack(
-            [1 - prob_np[..., state, :], prob_np[..., state, :]], axis=-2
-        )
-        out = viterbi_discriminative(
-            prob_binary,
-            transition[state],
-            p_state=np.array([1 - p_state[state], p_state[state]]),
-            p_init=np.array([1 - p_init[state], p_init[state]]),
+    # one independent off/on HMM per label
+    decoded = []
+    scores = []
+    for lab in range(n_labels):
+        on = prob_np[..., lab, :]
+        two_state = np.stack([1 - on, on], axis=-2)
+        lab_states, lab_logp = viterbi_discriminative(
+            two_state,
+            transition[lab],
+            p_state=np.array([1 - on_state[lab], on_state[lab]]),
+            p_init=np.array([1 - on_init[lab], on_init[lab]]),
             return_logp=True,
             transition_min_prob=transition_min_prob,
         )
-        states[..., state, :] = np.asarray(out[0])
-        logp[..., state] = np.asarray(out[1])
+        decoded.append(np.asarray(lab_states))
+        scores.append(np.asarray(lab_logp))
 
+    states = np.stack(decoded, axis=-2).astype(np.uint16)
     if return_logp:
-        return states, logp
+        return states, np.stack(scores, axis=-1)
     return states
+
+
+def _per_label_prob(name: str, values, n_labels: int, *,
+                    default: float) -> np.ndarray:
+    """Validate an (n_labels,) vector of independent probabilities."""
+    if values is None:
+        return np.full(n_labels, default)
+    vec = np.atleast_1d(np.asarray(values, dtype=np.float64))
+    if vec.shape != (n_labels,) or vec.min() < 0 or vec.max() > 1:
+        raise ParameterError(
+            f"{name} needs one [0, 1] probability per label "
+            f"({n_labels} labels); got {values!r}"
+        )
+    return vec
 
 
 # ---------------------------------------------------------------------------
@@ -979,24 +985,40 @@ def transition_loop(n_states: int, prob: Any) -> np.ndarray:
     -------
     transition : np.ndarray [shape=(n_states, n_states)]
     """
-    if not (is_positive_int(n_states) and (n_states > 1)):
-        raise ParameterError(f"n_states={n_states} must be a positive integer > 1")
+    stay = _per_state_param(prob, n_states, kind="probability")
+    # leaving mass spreads uniformly over the other n-1 states
+    spread = np.repeat((1.0 - stay)[:, None] / (n_states - 1), n_states, 1)
+    return np.where(np.eye(n_states, dtype=bool), stay[:, None], spread)
 
-    prob = np.asarray(prob, dtype=np.float64)
-    if prob.ndim == 0:
-        prob = np.tile(prob, n_states)
-    if prob.shape != (n_states,):
+
+def _per_state_param(value, n_states: int, *, kind: str) -> np.ndarray:
+    """Validate and broadcast a per-state parameter vector.
+
+    ``kind='probability'`` enforces float values in [0, 1];
+    ``kind='width'`` enforces integer values >= 1.  A scalar is repeated
+    for every state; anything else must already have length n_states.
+    """
+    if not (is_positive_int(n_states) and n_states > 1):
         raise ParameterError(
-            f"prob={prob} must have length equal to n_states={n_states}"
+            f"a transition matrix needs at least 2 states; "
+            f"got n_states={n_states}"
         )
-    if np.any(prob < 0) or np.any(prob > 1):
-        raise ParameterError(f"prob={prob} must have values in the range [0, 1]")
-
-    transition = np.empty((n_states, n_states), dtype=np.float64)
-    for i, prob_i in enumerate(prob):
-        transition[i] = (1.0 - prob_i) / (n_states - 1)
-        transition[i, i] = prob_i
-    return transition
+    vec = np.asarray(value, dtype=np.float64 if kind == "probability" else int)
+    if vec.ndim == 0:
+        vec = np.full(n_states, vec.item())
+    if vec.shape != (n_states,):
+        raise ParameterError(
+            f"per-state {kind} must be scalar or length-{n_states}; "
+            f"got shape {vec.shape}"
+        )
+    if kind == "probability":
+        if vec.min() < 0 or vec.max() > 1:
+            raise ParameterError(
+                f"state probabilities must lie in [0, 1]; got {vec}"
+            )
+    elif vec.min() < 1:
+        raise ParameterError(f"window widths must be >= 1; got {vec}")
+    return vec
 
 
 def transition_cycle(n_states: int, prob: Any) -> np.ndarray:
@@ -1024,23 +1046,11 @@ def transition_cycle(n_states: int, prob: Any) -> np.ndarray:
     -------
     transition : np.ndarray [shape=(n_states, n_states)]
     """
-    if not (is_positive_int(n_states) and n_states > 1):
-        raise ParameterError(f"n_states={n_states} must be a positive integer > 1")
-
-    prob = np.asarray(prob, dtype=np.float64)
-    if prob.ndim == 0:
-        prob = np.tile(prob, n_states)
-    if prob.shape != (n_states,):
-        raise ParameterError(
-            f"prob={prob} must have length equal to n_states={n_states}"
-        )
-    if np.any(prob < 0) or np.any(prob > 1):
-        raise ParameterError(f"prob={prob} must have values in the range [0, 1]")
-
+    stay = _per_state_param(prob, n_states, kind="probability")
+    here = np.arange(n_states)
     transition = np.zeros((n_states, n_states), dtype=np.float64)
-    for i, prob_i in enumerate(prob):
-        transition[i, np.mod(i + 1, n_states)] = 1.0 - prob_i
-        transition[i, i] = prob_i
+    transition[here, here] = stay
+    transition[here, (here + 1) % n_states] = 1.0 - stay
     return transition
 
 
@@ -1066,30 +1076,27 @@ def transition_local(
     -------
     transition : np.ndarray [shape=(n_states, n_states)]
     """
-    if not (is_positive_int(n_states) and n_states > 1):
-        raise ParameterError(f"n_states={n_states} must be a positive integer > 1")
-
-    width = np.asarray(width, dtype=int)
-    if width.ndim == 0:
-        width = np.tile(width, n_states)
-    if width.shape != (n_states,):
-        raise ParameterError(
-            f"width={width} must have length equal to n_states={n_states}"
-        )
-    if np.any(width < 1):
-        raise ParameterError(f"width={width} must be at least 1")
+    widths = _per_state_param(width, n_states, kind="width")
 
     transition = np.zeros((n_states, n_states), dtype=np.float64)
-    for i, width_i in enumerate(width):
-        win = get_window(window, int(width_i), fftbins=False)
-        trans_row = np.zeros(n_states)
-        lpad = (n_states - len(win)) // 2
-        trans_row[lpad : lpad + len(win)] = win
-        trans_row = np.roll(trans_row, n_states // 2 + i + 1)
+    for state, w in enumerate(widths):
+        w = int(w)
+        if w > n_states:
+            raise ParameterError(
+                f"state {state} has window width {w} wider than the "
+                f"{n_states}-state space"
+            )
+        taps = get_window(window, w, fftbins=False)
+        # scatter the window so its pad-centered placement, advanced by
+        # n//2 + state + 1, lands symmetrically around `state`
+        offset = (n_states - w) // 2 + n_states // 2 + state + 1
+        cols = (np.arange(w) + offset) % n_states
+        transition[state, cols] = taps
         if not wrap:
-            trans_row[min(n_states, i + width_i // 2 + 1) :] = 0
-            trans_row[: max(0, i - width_i // 2)] = 0
-        transition[i] = trans_row
+            # censor any tap that wrapped past the hard edges
+            reach = w // 2
+            transition[state, state + reach + 1:] = 0
+            transition[state, :max(0, state - reach)] = 0
 
-    transition /= transition.sum(axis=1, keepdims=True)
-    return transition
+    # each row is a conditional distribution
+    return transition / transition.sum(axis=1, keepdims=True)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import functools
+import inspect
 import warnings
 from typing import Any, Callable, TypeVar
 
@@ -11,6 +12,12 @@ import numpy as np
 __all__ = ["moved", "deprecated", "vectorize"]
 
 F = TypeVar("F", bound=Callable[..., Any])
+
+
+def _lifecycle_notice(text: str) -> None:
+    """Emit one API-lifecycle FutureWarning, attributed to the caller of
+    the wrapped function (two frames up: user code -> wrapper -> here)."""
+    warnings.warn(text, FutureWarning, stacklevel=3)
 
 
 def moved(*, moved_from: str, version: str, version_removed: str) -> Callable[[F], F]:
@@ -40,14 +47,14 @@ def moved(*, moved_from: str, version: str, version_removed: str) -> Callable[[F
     """
 
     def __wrapper(func: F) -> F:
+        new_home = f"{func.__module__}.{func.__name__}"
+
         @functools.wraps(func)
         def _inner(*args: Any, **kwargs: Any) -> Any:
-            warnings.warn(
-                f"{moved_from}\n\tThis function was moved to '{func.__module__}."
-                f"{func.__name__}' in version {version}.\n\tThis alias will be "
-                f"removed in version {version_removed}.",
-                FutureWarning,
-                stacklevel=2,
+            _lifecycle_notice(
+                f"{moved_from} is a backward-compatibility alias: the "
+                f"function now lives at '{new_home}' (since {version}), "
+                f"and the old name goes away in {version_removed}."
             )
             return func(*args, **kwargs)
 
@@ -80,13 +87,13 @@ def deprecated(*, version: str, version_removed: str) -> Callable[[F], F]:
     """
 
     def __wrapper(func: F) -> F:
+        qualified = f"{func.__module__}.{func.__name__}"
+
         @functools.wraps(func)
         def _inner(*args: Any, **kwargs: Any) -> Any:
-            warnings.warn(
-                f"{func.__module__}.{func.__name__}\n\tDeprecated as of version "
-                f"{version}.\n\tIt will be removed in version {version_removed}.",
-                FutureWarning,
-                stacklevel=2,
+            _lifecycle_notice(
+                f"{qualified} has been deprecated since {version} and is "
+                f"scheduled for removal in {version_removed}."
             )
             return func(*args, **kwargs)
 
@@ -148,23 +155,34 @@ def future_default(
     -------
     decorator : callable
     """
-    import inspect
 
     def decorator(func):
-        sig = inspect.signature(func)
+        # Resolve, once, which positional slot (if any) can carry the
+        # parameter — then each call is a cheap length/membership check
+        # instead of a full signature bind.
+        params = list(inspect.signature(func).parameters.values())
+        slot = None
+        for i, p in enumerate(params):
+            if p.name == param_name and p.kind in (
+                p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD
+            ):
+                slot = i
+                break
+
+        notice = (
+            f"{func.__name__}() will switch its default "
+            f"{param_name} from {old_default!r} to {new_default!r} in "
+            f"version {version}; pass {param_name}={old_default!r} "
+            "explicitly to keep today's behavior and silence this warning."
+        )
 
         @functools.wraps(func)
         def __wrapper(*args, **kwargs):
-            bound = sig.bind(*args, **kwargs)
-            if param_name not in bound.arguments:
-                warnings.warn(
-                    f"The default value of '{param_name}' will change from "
-                    f"{old_default!r} to {new_default!r} in version {version}. "
-                    f"To suppress this warning, explicitly pass "
-                    f"'{param_name}={old_default!r}'.",
-                    FutureWarning,
-                    stacklevel=2,
-                )
+            supplied = param_name in kwargs or (
+                slot is not None and len(args) > slot
+            )
+            if not supplied:
+                _lifecycle_notice(notice)
             return func(*args, **kwargs)
 
         return __wrapper

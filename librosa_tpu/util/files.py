@@ -190,28 +190,36 @@ def find_files(
     Parity: reference util/files.py:174.
     """
     if ext is None:
-        ext = ["aac", "au", "flac", "m4a", "mp3", "ogg", "wav"]
+        wanted = {"aac", "au", "flac", "m4a", "mp3", "ogg", "wav"}
     elif isinstance(ext, str):
-        ext = [ext]
-
-    files = set()
-    exts = set(ext)
-    if not case_sensitive:
-        exts = {e.lower() for e in exts} | {e.upper() for e in exts}
-
-    if recurse:
-        for walk in os.walk(directory):
-            for e in exts:
-                files |= set(glob.glob(os.path.join(walk[0], "*." + e)))
+        wanted = {ext}
     else:
-        for e in exts:
-            files |= set(glob.glob(os.path.join(directory, "*." + e)))
+        wanted = set(ext)
+    if not case_sensitive:
+        wanted = {e.lower() for e in wanted}
 
-    out = sorted(files)
-    start = offset if offset >= 0 else max(0, len(out) + offset)
-    if limit is not None:
-        return out[start : start + limit]
-    return out[start:]
+    def _accept(name: str) -> bool:
+        _, dot, tail = name.rpartition(os.path.extsep)
+        if not dot:
+            return False
+        return (tail if case_sensitive else tail.lower()) in wanted
+
+    root = os.path.abspath(os.path.expanduser(directory))
+    hits = []
+    if recurse:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            hits.extend(
+                os.path.join(dirpath, f) for f in filenames if _accept(f)
+            )
+    else:
+        with os.scandir(root) as entries:
+            hits.extend(
+                e.path for e in entries if e.is_file() and _accept(e.name)
+            )
+
+    hits.sort()
+    window = hits[offset:]
+    return window[:limit] if limit is not None else window
 
 
 # Known release DOIs (the reference fetches version_index.msgpack over the
@@ -253,14 +261,16 @@ def cite(version: Optional[str] = None) -> str:
     True
     """
     if version is None:
-        return f"https://doi.org/{_CONCEPT_DOI}"
-    if version in _CITE_INDEX:
-        return f"https://doi.org/{_CITE_INDEX[version]}"
-    if "dev" in version:
-        raise ParameterError(
-            f"Version {version} is not yet released and therefore does "
-            "not yet have a citable DOI."
-        )
-    raise ParameterError(
-        f"Version {version} not found in the citation index"
-    )
+        doi = _CONCEPT_DOI
+    else:
+        doi = _CITE_INDEX.get(version)
+        if doi is None:
+            hint = (
+                "development builds have no DOI until they are released"
+                if "dev" in version
+                else "no release with that number is in the embedded index"
+            )
+            raise ParameterError(
+                f"No citation DOI for version {version!r}: {hint}"
+            )
+    return f"https://doi.org/{doi}"

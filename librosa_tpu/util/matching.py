@@ -96,29 +96,38 @@ def match_events(
     -------
     event_mapping : np.ndarray [shape=(n,), dtype=int]
     """
-    if len(events_from) == 0 or len(events_to) == 0:
-        raise ParameterError("Attempting to match empty event list")
+    sources = np.asarray(events_from)
+    targets = np.asarray(events_to)
+    if sources.size == 0 or targets.size == 0:
+        raise ParameterError(
+            "match_events needs at least one event on each side"
+        )
+
+    # Feasibility: every source must have at least one admissible target.
     if not (left or right):
-        raise ParameterError("Cannot match with left=right=False")
-
-    events_from = np.asarray(events_from)
-    events_to = np.asarray(events_to)
-
-    if not left and np.max(events_to) < np.max(events_from):
+        # only exact coincidences are admissible
+        if not np.isin(sources, targets).all():
+            raise ParameterError(
+                "left=right=False permits exact matches only, but some "
+                "events_from values do not occur in events_to"
+            )
+    elif not left and targets.max() < sources.max():
         raise ParameterError(
-            "Cannot match events with left=False "
-            "where max(events_to) < max(events_from)"
+            "left=False needs a target at/after every source; the largest "
+            "source exceeds every target"
         )
-    if not right and np.min(events_to) > np.min(events_from):
+    elif not right and targets.min() > sources.min():
         raise ParameterError(
-            "Cannot match events with right=False "
-            "where min(events_to) > min(events_from)"
+            "right=False needs a target at/before every source; the "
+            "smallest source precedes every target"
         )
 
-    diff = events_to[None, :].astype(float) - events_from[:, None].astype(float)
-    dist = np.abs(diff)
+    # Dense |target - source| table with inadmissible directions masked;
+    # argmin keeps the earliest target on ties (np.argmin first-index rule).
+    gap = targets[None, :].astype(float) - sources[:, None].astype(float)
+    cost = np.abs(gap)
     if not left:
-        dist[diff < 0] = np.inf
+        cost[gap < 0] = np.inf
     if not right:
-        dist[diff > 0] = np.inf
-    return dist.argmin(axis=1).astype(int)
+        cost[gap > 0] = np.inf
+    return cost.argmin(axis=1).astype(int)

@@ -166,33 +166,30 @@ def valid_audio(y: _ArrayLike, *, mono: bool = False) -> bool:
 
     Parity: reference util/utils.py:246.
     """
-    if isinstance(y, jax.Array):
-        if not jnp.issubdtype(y.dtype, jnp.floating):
-            raise ParameterError("Audio data must be floating-point")
-        if y.ndim == 0:
-            raise ParameterError(
-                f"Audio data must be at least one-dimensional, given y.shape={y.shape}"
-            )
-        # Finite-ness check forces a sync; data-dependent, so skip under jit
-        if not isinstance(y, jax.core.Tracer) and not bool(
-            jnp.all(jnp.isfinite(y))
-        ):
-            raise ParameterError("Audio buffer is not finite everywhere")
-        return True
+    on_device = isinstance(y, jax.Array)
+    if not on_device:
+        y = np.asarray(y)
+        if not isinstance(y, np.ndarray):
+            raise ParameterError("Audio data must be of type numpy.ndarray")
 
-    y = np.asarray(y)
-    if not isinstance(y, np.ndarray):
-        raise ParameterError("Audio data must be of type numpy.ndarray")
-    if not np.issubdtype(y.dtype, np.floating):
-        raise ParameterError("Audio data must be floating-point")
+    problems = []
+    xp = jnp if on_device else np
+    if not xp.issubdtype(y.dtype, xp.floating):
+        problems.append("Audio data must be floating-point")
     if y.ndim == 0:
-        raise ParameterError(
+        problems.append(
             f"Audio data must be at least one-dimensional, given y.shape={y.shape}"
         )
-    if mono and y.ndim != 1:
-        raise ParameterError(f"Invalid shape for monophonic audio: ndim={y.ndim}")
-    if not np.isfinite(y).all():
-        raise ParameterError("Audio buffer is not finite everywhere")
+    if mono and not on_device and y.ndim != 1:
+        problems.append(f"Invalid shape for monophonic audio: ndim={y.ndim}")
+    # The finiteness scan is data-dependent: it cannot run on tracers
+    # (under jit), and on device arrays it forces a host sync.
+    if not problems and not isinstance(y, jax.core.Tracer):
+        finite = jnp.all(jnp.isfinite(y)) if on_device else np.isfinite(y).all()
+        if not bool(finite):
+            problems.append("Audio buffer is not finite everywhere")
+    if problems:
+        raise ParameterError(problems[0])
     return True
 
 
@@ -226,11 +223,10 @@ def valid_int(x: float, *, cast: Optional[Callable[[float], float]] = None) -> i
 
     Parity: reference util/utils.py (valid_int).
     """
-    if cast is None:
-        cast = np.floor
-    if not callable(cast):
-        raise ParameterError("cast parameter must be callable")
-    return int(cast(x))
+    rounder = np.floor if cast is None else cast
+    if not callable(rounder):
+        raise ParameterError(f"cast={cast!r} is not a callable rounding function")
+    return int(rounder(x))
 
 
 def is_positive_int(x: float) -> bool:
@@ -256,7 +252,9 @@ def is_positive_int(x: float) -> bool:
 
     Parity: reference util/utils.py (is_positive_int).
     """
-    return isinstance(x, (int, np.integer)) and (x > 0)
+    if not isinstance(x, (int, np.integer)):
+        return False
+    return x > 0
 
 
 def valid_intervals(intervals: np.ndarray) -> bool:
@@ -287,11 +285,14 @@ def valid_intervals(intervals: np.ndarray) -> bool:
 
     Parity: reference util/utils.py (valid_intervals).
     """
-    intervals = np.asarray(intervals)
-    if intervals.ndim != 2 or intervals.shape[-1] != 2:
-        raise ParameterError("intervals must have shape (n, 2)")
-    if np.any(intervals[:, 0] > intervals[:, 1]):
-        raise ParameterError("intervals cannot have negative duration")
+    ivals = np.asarray(intervals)
+    if ivals.shape[-1:] != (2,) or ivals.ndim != 2:
+        raise ParameterError(
+            f"interval arrays are (n, 2)-shaped; got {ivals.shape}"
+        )
+    durations = ivals[:, 1] - ivals[:, 0]
+    if (durations < 0).any():
+        raise ParameterError("every interval needs end >= start")
     return True
 
 
@@ -338,16 +339,17 @@ def pad_center(
     Parity: reference util/utils.py:387.
     """
     data = jnp.asarray(data)
-    kwargs.setdefault("mode", "constant")
-    n = data.shape[axis]
-    lpad = int((size - n) // 2)
-    lengths = [(0, 0)] * data.ndim
-    lengths[axis] = (lpad, int(size - n - lpad))
-    if lpad < 0:
+    slack = size - data.shape[axis]
+    if slack < 0:
         raise ParameterError(
-            f"Target size ({size:d}) must be at least input size ({n:d})"
+            f"cannot center data of length {data.shape[axis]} in size={size}"
         )
-    return jnp.pad(data, lengths, **kwargs)
+    before = slack // 2
+    widths = [
+        (before, slack - before) if d == axis % data.ndim else (0, 0)
+        for d in range(data.ndim)
+    ]
+    return jnp.pad(data, widths, **{"mode": "constant", **kwargs})
 
 
 def expand_to(
@@ -387,22 +389,22 @@ def expand_to(
     Parity: reference util/utils.py:461.
     """
     x = jnp.asarray(x)
-    try:
-        axes_t = tuple(axes)  # type: ignore[arg-type]
-    except TypeError:
-        axes_t = (axes,)  # type: ignore[assignment]
-    if len(axes_t) != x.ndim:
+    if np.ndim(axes) == 0:
+        axes = (int(axes),)  # type: ignore[arg-type]
+    placement = dict(zip(axes, x.shape))  # type: ignore[arg-type]
+    if len(placement) != x.ndim:
         raise ParameterError(
-            f"Shape mismatch between axes={axes_t} and input x.shape={x.shape}"
+            f"expand_to needs one output position per input axis; "
+            f"got axes={axes} for a {x.ndim}-d input"
         )
-    if ndim < x.ndim:
+    if x.ndim > ndim:
         raise ParameterError(
-            f"Cannot expand x.shape={x.shape} to fewer dimensions ndim={ndim}"
+            f"target rank ndim={ndim} is below the input rank {x.ndim}"
         )
-    shape = [1] * ndim
-    for i, axi in enumerate(axes_t):
-        shape[axi] = x.shape[i]
-    return x.reshape(shape)
+    new_shape = [1] * ndim
+    for pos, extent in placement.items():
+        new_shape[pos] = extent
+    return x.reshape(tuple(new_shape))
 
 
 def fix_length(data: _ArrayLike, *, size: int, axis: int = -1, **kwargs: Any) -> jax.Array:
@@ -438,17 +440,14 @@ def fix_length(data: _ArrayLike, *, size: int, axis: int = -1, **kwargs: Any) ->
     Parity: reference util/utils.py:532.
     """
     data = jnp.asarray(data)
-    kwargs.setdefault("mode", "constant")
-    n = data.shape[axis]
-    if n > size:
-        slices = [slice(None)] * data.ndim
-        slices[axis] = slice(0, size)
-        return data[tuple(slices)]
-    elif n < size:
-        lengths = [(0, 0)] * data.ndim
-        lengths[axis] = (0, size - n)
-        return jnp.pad(data, lengths, **kwargs)
-    return data
+    shortfall = size - data.shape[axis]
+    if shortfall == 0:
+        return data
+    if shortfall < 0:
+        return jax.lax.slice_in_dim(data, 0, size, axis=axis)
+    widths = [(0, 0)] * data.ndim
+    widths[axis] = (0, shortfall)
+    return jnp.pad(data, widths, **{"mode": "constant", **kwargs})
 
 
 def fix_frames(
@@ -488,24 +487,24 @@ def fix_frames(
 
     Parity: util/utils.py:591.
     """
-    frames = np.asarray(frames)
-    if np.any(frames < 0):
-        raise ParameterError("Negative frame index detected")
-    if pad and (x_min is not None or x_max is not None):
-        frames = np.clip(frames, x_min, x_max)
+    candidates = np.asarray(frames)
+    if (candidates < 0).any():
+        raise ParameterError("frame indices must be non-negative")
+    endpoints = [e for e in (x_min, x_max) if e is not None]
     if pad:
-        pad_data = []
+        # clip everything into range, then make sure both endpoints appear
+        if endpoints:
+            candidates = np.clip(candidates, x_min, x_max)
+        candidates = np.append(candidates, endpoints)
+    else:
+        # drop out-of-range values instead of clipping
+        keep = np.ones(candidates.shape, dtype=bool)
         if x_min is not None:
-            pad_data.append(x_min)
+            keep &= candidates >= x_min
         if x_max is not None:
-            pad_data.append(x_max)
-        frames = np.concatenate((np.asarray(pad_data), frames))
-    if x_min is not None:
-        frames = frames[frames >= x_min]
-    if x_max is not None:
-        frames = frames[frames <= x_max]
-    unique: np.ndarray = np.unique(frames).astype(int)
-    return unique
+            keep &= candidates <= x_max
+        candidates = candidates[keep]
+    return np.unique(candidates).astype(int)
 
 
 def axis_sort(
@@ -553,18 +552,15 @@ def axis_sort(
 
     Parity: reference util/utils.py:696.
     """
-    if value is None:
-        value = jnp.argmax
     S = jnp.asarray(S)
     if S.ndim != 2:
-        raise ParameterError("axis_sort is only defined for 2D arrays")
-    bin_idx = value(S, axis=np.mod(1 - axis, S.ndim))
-    idx = jnp.argsort(bin_idx)
-    sort_slice = [slice(None)] * S.ndim
-    sort_slice[axis] = idx  # type: ignore[call-overload]
-    if index:
-        return S[tuple(sort_slice)], idx
-    return S[tuple(sort_slice)]
+        raise ParameterError(f"axis_sort needs a matrix; got ndim={S.ndim}")
+    peak_of = jnp.argmax if value is None else value
+    # the sort key lives on the *other* axis of the matrix
+    key_axis = (axis + 1) % 2
+    order = jnp.argsort(peak_of(S, axis=key_axis))
+    permuted = jnp.take(S, order, axis=axis % 2)
+    return (permuted, order) if index else permuted
 
 
 # ---------------------------------------------------------------------------
@@ -640,53 +636,47 @@ def normalize(
     -------
     S_norm : jax.Array
     """
-    if threshold is None:
-        threshold = tiny(S)
-    elif threshold <= 0:
-        raise ParameterError(f"threshold={threshold} must be strictly positive")
-    if fill not in [None, False, True]:
+    if fill not in (None, False, True):
         raise ParameterError(f"fill={fill} must be None or boolean")
+    if threshold is not None and threshold <= 0:
+        raise ParameterError(f"threshold={threshold} must be strictly positive")
 
     S = jnp.asarray(S)
-    if not (
-        jnp.issubdtype(S.dtype, jnp.floating)
-        or jnp.issubdtype(S.dtype, jnp.complexfloating)
-    ):
+    if S.dtype.kind not in "fc":
         raise ParameterError("Input must be floating point")
-
-    mag = jnp.abs(S).astype(jnp.result_type(S.real.dtype, jnp.float32))
-
-    fill_norm = 1.0
     if norm is None:
         return S
-    elif norm == np.inf:
-        length = jnp.max(mag, axis=axis, keepdims=True)
+
+    floor = tiny(S) if threshold is None else threshold
+    mag = jnp.abs(S).astype(jnp.result_type(S.real.dtype, jnp.float32))
+
+    # per-slice scale + the unit-vector value used when fill=True
+    unit_fill = 1.0
+    if norm == np.inf:
+        scale = jnp.max(mag, axis=axis, keepdims=True)
     elif norm == -np.inf:
-        length = jnp.min(mag, axis=axis, keepdims=True)
+        scale = jnp.min(mag, axis=axis, keepdims=True)
     elif norm == 0:
         if fill is True:
-            raise ParameterError("Cannot normalize with norm=0 and fill=True")
-        length = jnp.sum(mag > 0, axis=axis, keepdims=True).astype(mag.dtype)
+            raise ParameterError("norm=0 is incompatible with fill=True")
+        scale = jnp.count_nonzero(mag, axis=axis, keepdims=True).astype(mag.dtype)
     elif np.issubdtype(type(norm), np.number) and norm > 0:
-        length = jnp.sum(mag**norm, axis=axis, keepdims=True) ** (1.0 / norm)
-        if axis is None:
-            fill_norm = mag.size ** (-1.0 / norm)
-        else:
-            fill_norm = mag.shape[axis] ** (-1.0 / norm)
+        scale = jnp.sum(mag**norm, axis=axis, keepdims=True) ** (1.0 / norm)
+        extent = mag.size if axis is None else mag.shape[axis]
+        unit_fill = extent ** (-1.0 / norm)
     else:
         raise ParameterError(f"Unsupported norm: {repr(norm)}")
 
-    small_idx = length < threshold
+    below = scale < floor
     if fill is None:
-        length = jnp.where(small_idx, 1.0, length)
-        return S / length
-    elif fill:
-        length = jnp.where(small_idx, jnp.nan, length)
-        Snorm = S / length
-        return jnp.where(jnp.isnan(Snorm), fill_norm, Snorm)
-    else:
-        length = jnp.where(small_idx, jnp.inf, length)
-        return S / length
+        # sub-threshold slices pass through unscaled
+        return S / jnp.where(below, 1.0, scale)
+    if fill is False:
+        # sub-threshold slices are zeroed
+        return S / jnp.where(below, jnp.inf, scale)
+    # fill=True: sub-threshold slices become the uniform unit vector
+    out = S / jnp.where(below, jnp.nan, scale)
+    return jnp.where(jnp.isnan(out), unit_fill, out)
 
 
 # ---------------------------------------------------------------------------
@@ -1003,28 +993,28 @@ def sparsify_rows(
     -------
     x_sparse : scipy.sparse.csr_matrix
     """
-    x = np.asarray(x)
-    if x.ndim == 1:
-        x = x.reshape((1, -1))
-    elif x.ndim > 2:
+    x = np.atleast_2d(np.asarray(x))
+    if x.ndim != 2:
         raise ParameterError(
-            f"Input must have 2 or fewer dimensions. Provided x.shape={x.shape}."
+            f"sparsify_rows handles vectors and matrices only; got shape {x.shape}"
         )
-    if not 0.0 <= quantile < 1:
-        raise ParameterError(f"Invalid quantile {quantile:.2f}")
-    if dtype is None:
-        dtype = x.dtype
+    if quantile < 0 or quantile >= 1:
+        raise ParameterError(f"quantile must lie in [0, 1); got {quantile}")
 
-    x_sparse = scipy.sparse.lil_matrix(x.shape, dtype=dtype)
+    out_dtype = x.dtype if dtype is None else dtype
     mags = np.abs(x)
-    norms = np.sum(mags, axis=1, keepdims=True)
-    mag_sort = np.sort(mags, axis=1)
-    cumulative_mag = np.cumsum(mag_sort / norms, axis=1)
-    threshold_idx = np.argmin(cumulative_mag < quantile, axis=1)
-    for i, j in enumerate(threshold_idx):
-        idx = np.where(mags[i] >= mag_sort[i, j])
-        x_sparse[i, idx] = x[i, idx]
-    return x_sparse.tocsr()
+    # Per row: find the smallest magnitude that survives, i.e. the value
+    # at the first sorted position where the cumulative mass fraction
+    # reaches `quantile`; everything >= that magnitude is kept.
+    ascending = np.sort(mags, axis=1)
+    frac = np.cumsum(ascending, axis=1)
+    frac /= frac[:, -1:]
+    cut_pos = (frac < quantile).sum(axis=1)
+    cutoffs = np.take_along_axis(ascending, cut_pos[:, None], axis=1)
+    keep = mags >= cutoffs
+    return scipy.sparse.csr_matrix(
+        np.where(keep, x, 0).astype(out_dtype), shape=x.shape
+    )
 
 
 def index_to_slice(
@@ -1183,38 +1173,35 @@ def softmask(
     X = jnp.asarray(X)
     X_ref = jnp.asarray(X_ref)
     if X.shape != X_ref.shape:
-        raise ParameterError(f"Shape mismatch: {X.shape}!={X_ref.shape}")
-    # value validation only outside jit tracing (data-dependent)
-    if not isinstance(X, jax.core.Tracer) and not isinstance(
-        X_ref, jax.core.Tracer
-    ):
-        if bool(jnp.any(X < 0)) or bool(jnp.any(X_ref < 0)):
-            raise ParameterError("X and X_ref must be non-negative")
+        raise ParameterError(
+            f"softmask inputs must match: {X.shape} vs {X_ref.shape}"
+        )
     if power <= 0:
-        raise ParameterError("power must be strictly positive")
+        raise ParameterError(f"power={power} must be positive")
+    if X.dtype.kind != "f":
+        raise ParameterError(f"softmask needs float inputs, got {X.dtype}")
+    # negativity is data-dependent: check only when values are concrete
+    concrete = not (isinstance(X, jax.core.Tracer)
+                    or isinstance(X_ref, jax.core.Tracer))
+    if concrete and bool(jnp.minimum(X.min(), X_ref.min()) < 0):
+        raise ParameterError("softmask inputs must be non-negative")
 
-    dtype = X.dtype
-    if dtype not in (jnp.float16, jnp.float32, jnp.float64, jnp.bfloat16):
-        raise ParameterError("data type error")
+    # scale both inputs by their elementwise max so the ratios live in
+    # [0, 1] and powers can't overflow; positions where even the max
+    # underflows are decided by split_zeros alone.
+    finfo_dtype = np.float32 if X.dtype == jnp.bfloat16 else np.dtype(X.dtype)
+    denom = jnp.maximum(X, X_ref)
+    degenerate = denom < np.finfo(finfo_dtype).tiny
+    zeros_val = 0.5 if split_zeros else 0.0
 
-    Z = jnp.maximum(X, X_ref).astype(dtype)
-    bad_idx = Z < np.finfo(np.dtype(dtype) if dtype != jnp.bfloat16 else np.float32).tiny
-    Z = jnp.where(bad_idx, 1.0, Z)
+    if not np.isfinite(power):
+        # hard (binary) mask
+        return jnp.where(degenerate, zeros_val, (X > X_ref).astype(X.dtype))
 
-    if np.isfinite(power):
-        ref_mask = (X_ref / Z) ** power
-        good_mask = ~bad_idx
-        mask = (X / Z) ** power
-        mask = mask / (mask + ref_mask)
-        fill_value = 0.5 if split_zeros else 0.0
-        mask = jnp.where(good_mask, mask, fill_value)
-    else:
-        mask = (X > X_ref).astype(dtype)
-        if split_zeros:
-            mask = jnp.where(bad_idx, 0.5, mask)
-        else:
-            mask = jnp.where(bad_idx, 0.0, mask)
-    return mask
+    safe = jnp.where(degenerate, 1.0, denom)
+    num = (X / safe) ** power
+    den = num + (X_ref / safe) ** power
+    return jnp.where(degenerate, zeros_val, num / den)
 
 
 def fill_off_diagonal(
@@ -1340,16 +1327,14 @@ def cyclic_gradient(
     Parity: reference util/utils.py:2070.
     """
     data = jnp.asarray(data)
-    gradient_order = min(data.shape[axis] - 1, edge_order)
-    padding = [(0, 0)] * data.ndim
-    padding[axis] = (gradient_order, gradient_order)
-    data_pad = jnp.pad(data, padding, mode="wrap")
-    # edge_order only affects the padded boundary cells, which are sliced
-    # away below; interior cells are centered differences either way
-    grad = jnp.gradient(data_pad, axis=axis)
-    slices = [slice(None)] * data.ndim
-    slices[axis] = slice(gradient_order, -gradient_order)
-    return grad[tuple(slices)]
+    # On a periodic domain every sample is an interior point: its
+    # second-order centered difference uses the neighbors across the wrap.
+    # That is exactly one pair of circular shifts — no pad/slice needed,
+    # and ``edge_order`` (which only changes boundary extrapolation in
+    # np.gradient) cannot affect the result.
+    ahead = jnp.roll(data, -1, axis=axis)
+    behind = jnp.roll(data, 1, axis=axis)
+    return (ahead - behind) / 2.0
 
 
 def shear(X: _ArrayLike, *, factor: int = 1, axis: int = -1) -> jax.Array:
@@ -1471,15 +1456,16 @@ def dtype_r2c(d: Any, *, default: Optional[Any] = np.complex64) -> np.dtype:
 
     Parity: reference util/utils.py:2362.
     """
-    mapping = {
-        np.dtype(np.float32): np.complex64,
-        np.dtype(np.float64): np.complex128,
-        np.dtype(float): np.dtype(complex).type,
-    }
     dt = np.dtype(d)
     if dt.kind == "c":
+        # already complex: precision is whatever the caller chose
         return dt
-    return np.dtype(mapping.get(dt, default))
+    if dt == np.dtype(np.float32):
+        return np.dtype(np.complex64)
+    if dt == np.dtype(np.float64):
+        return np.dtype(np.complex128)
+    # half/extended precision and non-float kinds have no paired complex
+    return np.dtype(default)
 
 
 def dtype_c2r(d: Any, *, default: Optional[Any] = np.float32) -> np.dtype:
@@ -1505,15 +1491,16 @@ def dtype_c2r(d: Any, *, default: Optional[Any] = np.float32) -> np.dtype:
 
     Parity: reference util/utils.py:2419.
     """
-    mapping = {
-        np.dtype(np.complex64): np.float32,
-        np.dtype(np.complex128): np.float64,
-        np.dtype(complex): np.dtype(float).type,
-    }
     dt = np.dtype(d)
     if dt.kind == "f":
+        # already real floating: nothing to strip
         return dt
-    return np.dtype(mapping.get(dt, default))
+    if dt == np.dtype(np.complex64):
+        return np.dtype(np.float32)
+    if dt == np.dtype(np.complex128):
+        return np.dtype(np.float64)
+    # extended-precision complex and non-complex kinds fall back
+    return np.dtype(default)
 
 
 # ---------------------------------------------------------------------------
@@ -1718,37 +1705,68 @@ def interp_broadcast(
 
     x1 = np.asarray(x1)
     x2 = np.asarray(x2)
-    if interp_pos is None:
-        interp_pos = x1_pos
+    targets = np.asarray(x1_pos if interp_pos is None else interp_pos)
 
-    min_ndim = min(x1.ndim, x2.ndim)
-    if axis < -min_ndim or axis >= min_ndim:
+    shallow = min(x1.ndim, x2.ndim)
+    if not -shallow <= axis < shallow:
         raise ParameterError(
-            f"axis={axis} is out of range for minimum ndim={min_ndim}"
+            f"axis={axis} does not exist in both inputs "
+            f"(ndim {x1.ndim} and {x2.ndim})"
         )
 
-    import scipy.interpolate
-
-    def _resample(x, pos):
-        f = scipy.interpolate.interp1d(
-            pos, x, axis=axis, kind=kind, copy=False,
-            bounds_error=False, fill_value=fill_value,
-        )
-        return f(interp_pos)
-
-    y1 = _resample(x1, x1_pos)
-    y2 = _resample(x2, x2_pos)
+    y1 = _regrid_1d(x1, np.asarray(x1_pos), targets, axis=axis,
+                    kind=kind, fill_value=fill_value)
+    y2 = _regrid_1d(x2, np.asarray(x2_pos), targets, axis=axis,
+                    kind=kind, fill_value=fill_value)
 
     if op is None:
         return y1, y2
-
     try:
         np.broadcast_shapes(y1.shape, y2.shape)
     except ValueError as exc:
         raise ParameterError(
-            f"Interpolating x1.shape={x1.shape} and x2.shape={x2.shape} along "
-            f"axis={axis} gives y1.shape={y1.shape} and y2.shape={y2.shape}, "
-            "which are not broadcast compatible."
+            f"Resampled shapes {y1.shape} and {y2.shape} (from inputs "
+            f"{x1.shape} / {x2.shape} along axis={axis}) do not broadcast"
         ) from exc
-
     return op(y1, y2)
+
+
+def _regrid_1d(values: np.ndarray, grid: np.ndarray, targets: np.ndarray,
+               *, axis: int, kind: str, fill_value: float) -> np.ndarray:
+    """Resample ``values`` (sampled at ``grid`` along ``axis``) at
+    ``targets``, filling out-of-range queries with ``fill_value``.
+
+    The default linear kind is a pure-numpy gather-and-lerp (one
+    searchsorted + fancy index per call); exotic spline kinds delegate to
+    scipy at host trace time.
+    """
+    if kind != "linear":
+        import scipy.interpolate
+
+        fit = scipy.interpolate.interp1d(
+            grid, values, axis=axis, kind=kind, copy=False,
+            bounds_error=False, fill_value=fill_value,
+        )
+        return fit(targets)
+
+    order = np.argsort(grid)
+    grid = grid[order]
+    values = np.take(values, order, axis=axis)
+
+    # Bracket each target: grid[hi-1] <= t < grid[hi] for interior points.
+    hi = np.clip(np.searchsorted(grid, targets, side="right"),
+                 1, len(grid) - 1)
+    span = grid[hi] - grid[hi - 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = np.where(span > 0, (targets - grid[hi - 1]) / span, 0.0)
+
+    lo_vals = np.take(values, hi - 1, axis=axis)
+    hi_vals = np.take(values, hi, axis=axis)
+    # move the interpolation axis shape into broadcast position
+    bshape = [1] * values.ndim
+    bshape[axis] = len(targets)
+    wb = w.reshape(bshape)
+    out = lo_vals + wb * (hi_vals - lo_vals)
+
+    inside = (targets >= grid[0]) & (targets <= grid[-1])
+    return np.where(inside.reshape(bshape), out, fill_value)

@@ -335,3 +335,39 @@ def test_native_beat_dp_matches_python():
         b_c, c_c = beat_dp(ls, fpb, 100.0)
         assert np.array_equal(b_py, b_c)
         assert np.allclose(c_py, c_c, rtol=1e-12, atol=1e-12)
+
+
+def test_native_beat_dp_negative_envelope_and_validation():
+    """All-negative onset envelopes make 0.01*max(localscore) negative; the
+    native path must compute the true max (not clamp at 0) or the
+    first-beat threshold gate diverges from the Python recurrence.  Also:
+    a frames_per_beat length that is neither 1 nor T must be rejected
+    before it reaches native code (out-of-bounds read otherwise)."""
+    import pytest
+
+    from librosa_tpu._native import beat_dp
+    from librosa_tpu.beat import _beat_dp_host
+
+    rng = np.random.RandomState(3)
+    # strictly negative localscore
+    ls = -1.0 - np.abs(rng.randn(400))
+    fpb = np.array([43.0])
+    b_py, c_py = _beat_dp_host(ls, fpb, 100.0)
+    b_c, c_c = beat_dp(ls, fpb, 100.0)
+    assert np.array_equal(b_py, b_c)
+    assert np.allclose(c_py, c_c, rtol=1e-12, atol=1e-12)
+    # mixed-sign envelope too
+    ls2 = rng.randn(400)
+    b_py2, c_py2 = _beat_dp_host(ls2, fpb, 100.0)
+    b_c2, c_c2 = beat_dp(ls2, fpb, 100.0)
+    assert np.array_equal(b_py2, b_c2)
+    assert np.allclose(c_py2, c_c2, rtol=1e-12, atol=1e-12)
+    # very high bpm: round(fpb/2) == 0 must not read cumscore[i]
+    fpb_hi = np.array([0.9])
+    b3_py, c3_py = _beat_dp_host(ls2, fpb_hi, 100.0)
+    b3_c, c3_c = beat_dp(ls2, fpb_hi, 100.0)
+    assert np.array_equal(b3_py, b3_c)
+    assert np.allclose(c3_py, c3_c, rtol=1e-12, atol=1e-12)
+    # bad frames_per_beat length
+    with pytest.raises(ValueError, match="frames_per_beat"):
+        beat_dp(ls2, np.full(7, 43.0), 100.0)
