@@ -414,54 +414,56 @@ def beat_track(
     """
     if onset_envelope is None:
         if y is None:
-            raise ParameterError("y or onset_envelope must be provided")
+            raise ParameterError(
+                "beat tracking needs a signal (y) or an onset envelope"
+            )
         onset_envelope = onset.onset_strength(
             y=y, sr=sr, hop_length=hop_length, aggregate=jnp.median
         )
-    onset_envelope = np.asarray(onset_envelope)
+    envelope = np.asarray(onset_envelope)
 
-    if sparse and onset_envelope.ndim != 1:
+    if sparse and envelope.ndim != 1:
         raise ParameterError(
-            f"sparse=True (default) does not support "
-            f"{onset_envelope.ndim}-dimensional inputs. "
-            f"Either set sparse=False or convert the signal to mono."
+            f"frame-index (sparse) output is single-channel only; this "
+            f"envelope has {envelope.ndim} dimensions — set sparse=False "
+            "or downmix first"
         )
 
-    if not onset_envelope.any():
+    # a flat envelope has no beats (and would send the DP degenerate)
+    if not envelope.any():
         if sparse:
             return (0.0, np.array([], dtype=int))
         return (
-            np.zeros(shape=onset_envelope.shape[:-1], dtype=float),
-            np.zeros_like(onset_envelope, dtype=bool),
+            np.zeros(shape=envelope.shape[:-1], dtype=float),
+            np.zeros_like(envelope, dtype=bool),
         )
 
     if bpm is None:
-        bpm = _tempo(
-            onset_envelope=onset_envelope, sr=sr, hop_length=hop_length,
+        bpm = np.asarray(_tempo(
+            onset_envelope=envelope, sr=sr, hop_length=hop_length,
             start_bpm=start_bpm, prior=prior,
-        )
-        bpm = np.asarray(bpm)
-
-    _bpm = np.atleast_1d(np.asarray(bpm))
-    bpm_expanded = np.asarray(
-        util.expand_to(_bpm, ndim=onset_envelope.ndim, axes=range(_bpm.ndim))
+        ))
+    tempi = np.atleast_1d(np.asarray(bpm))
+    tempi_full = np.asarray(
+        util.expand_to(tempi, ndim=envelope.ndim, axes=range(tempi.ndim))
     )
 
-    beats = _beat_tracker(
-        onset_envelope, bpm_expanded, float(sr) / hop_length, tightness, trim
+    beat_mask = _beat_tracker(
+        envelope, tempi_full, float(sr) / hop_length, tightness, trim
     )
+    if not sparse:
+        return (bpm, beat_mask)
 
-    if sparse:
-        beats_idx = np.flatnonzero(beats)
-        if units == "frames":
-            return (bpm, beats_idx)
-        elif units == "samples":
-            return (bpm, core.frames_to_samples(beats_idx, hop_length=hop_length))
-        elif units == "time":
-            return (bpm, core.frames_to_time(beats_idx, hop_length=hop_length, sr=sr))
-        else:
-            raise ParameterError(f"Invalid unit type: {units}")
-    return (bpm, beats)
+    frames = np.flatnonzero(beat_mask)
+    if units == "frames":
+        return (bpm, frames)
+    if units == "samples":
+        return (bpm, core.frames_to_samples(frames, hop_length=hop_length))
+    if units == "time":
+        return (bpm, core.frames_to_time(frames, hop_length=hop_length, sr=sr))
+    raise ParameterError(
+        f"units must be frames, samples, or time; got {units!r}"
+    )
 
 
 def plp(

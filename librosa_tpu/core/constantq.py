@@ -50,29 +50,34 @@ def _clip_freqs(
     sr: float,
 ) -> np.ndarray:
     """Clip a frequency set below Nyquist. Parity: constantq.py:1599."""
-    logf = np.log2(freqs)
-    window_bw = filters.window_bandwidth(window)
+    # octave spacing of neighboring bins (the first bin reuses the
+    # second's spacing: it has no left neighbor)
+    octs = np.log2(freqs)
+    step = np.empty_like(octs)
+    step[1:] = np.diff(octs)
+    step[0] = octs[1] - octs[0]
 
-    bpo = 1 / np.diff(logf, prepend=0)
-    bpo[0] = 1 / (logf[1] - logf[0])
-    alpha = (2.0 ** (2 / bpo) - 1) / (2.0 ** (2 / bpo) + 1)
+    # relative bandwidth for that spacing, plus the ERB-style softness
+    spread = np.exp2(2 * step)
+    alpha = (spread - 1) / (spread + 1)
+    softness = alpha * (24.7 / 0.108) if gamma is None else gamma
 
-    if gamma is None:
-        gamma_ = alpha * 24.7 / 0.108
-    else:
-        gamma_ = gamma
-    Q = float(filter_scale) / alpha
-
-    f_cutoff = np.maximum.accumulate(
-        freqs * (1 + 0.5 * window_bw / Q) + 0.5 * gamma_
+    # running max of each filter's upper band edge; keep the prefix of
+    # bins whose edges stay below Nyquist
+    q_factor = float(filter_scale) / alpha
+    upper_edge = (
+        freqs * (1 + 0.5 * filters.window_bandwidth(window) / q_factor)
+        + 0.5 * softness
     )
-    idx = np.searchsorted(f_cutoff, sr / 2.0, side="left")
-    if idx < 1:
+    keep = int(np.searchsorted(
+        np.maximum.accumulate(upper_edge), sr / 2.0, side="left"
+    ))
+    if keep == 0:
         raise ParameterError(
-            f"Unable to construct wavelet basis for fmin={freqs[0]:.2f} Hz "
-            f"and sr={sr:.2f} Hz."
+            f"no wavelet fits under Nyquist: even the lowest bin "
+            f"({freqs[0]:.2f} Hz) has support beyond sr/2 = {sr / 2:.2f} Hz"
         )
-    return freqs[:idx]
+    return freqs[:keep]
 
 
 def _num_two_factors(x: int) -> int:
@@ -684,13 +689,25 @@ def cqt(
     >>> float(abs(freqs[int(np.abs(np.asarray(C)).mean(axis=1).argmax())] - 220)) < 10
     True
     """
-    return vqt(
-        y=y, sr=sr, hop_length=hop_length, fmin=fmin, n_bins=n_bins,
-        intervals="equal", gamma=0, bins_per_octave=bins_per_octave,
-        tuning=tuning, filter_scale=filter_scale, norm=norm,
-        sparsity=sparsity, window=window, scale=scale, pad_mode=pad_mode,
-        res_type=res_type, dtype=dtype,
+    # CQT == VQT restricted to equal temperament with gamma pinned to 0
+    # (forwarded settings listed alphabetically)
+    vqt_params = dict(
+        bins_per_octave=bins_per_octave,
+        dtype=dtype,
+        filter_scale=filter_scale,
+        fmin=fmin,
+        hop_length=hop_length,
+        n_bins=n_bins,
+        norm=norm,
+        pad_mode=pad_mode,
+        res_type=res_type,
+        scale=scale,
+        sparsity=sparsity,
+        sr=sr,
+        tuning=tuning,
+        window=window,
     )
+    return vqt(y=y, intervals="equal", gamma=0, **vqt_params)
 
 
 def pseudo_cqt(
@@ -762,44 +779,48 @@ def pseudo_cqt(
     (84, 44)
     """
     y = jnp.asarray(y)
+    if dtype is None:
+        dtype = util.dtype_r2c(y.dtype)
+
+    # anchor frequency: C1 by default, nudged by the (possibly
+    # estimated) tuning deviation
     if fmin is None:
         fmin = note_to_hz("C1")
     if tuning is None:
         tuning = estimate_tuning(y=y, sr=sr, bins_per_octave=bins_per_octave)
-    if dtype is None:
-        dtype = util.dtype_r2c(y.dtype)
-
     fmin = fmin * 2.0 ** (tuning / bins_per_octave)
     if fmin >= sr / 2:
-        raise ParameterError(f"fmin={fmin} must be less than sr/2={sr/2}")
+        raise ParameterError(
+            f"the lowest bin ({fmin} Hz) must sit below Nyquist ({sr / 2} Hz)"
+        )
 
-    if n_bins is None:
-        n_bins = int(np.ceil(bins_per_octave * (np.log2(sr) - np.log2(fmin))))
-        auto_n_bins = True
-    else:
-        auto_n_bins = False
-
+    # bin grid: explicit count, or fill the spectrum and clip at Nyquist
+    fill_spectrum = n_bins is None
+    if fill_spectrum:
+        n_bins = int(np.ceil(bins_per_octave * np.log2(sr / fmin)))
     freqs = cqt_frequencies(
         fmin=fmin, n_bins=n_bins, bins_per_octave=bins_per_octave
     )
-    if auto_n_bins:
+    if fill_spectrum:
         freqs = _clip_freqs(freqs, window, filter_scale, 0, sr)
         n_bins = len(freqs)
 
-    if n_bins == 1:
-        alpha = _et_relative_bw(bins_per_octave)
-    else:
-        alpha = filters._relative_bandwidth(freqs=freqs)
-
+    alpha = (
+        _et_relative_bw(bins_per_octave) if n_bins == 1
+        else filters._relative_bandwidth(freqs=freqs)
+    )
     lengths, filter_cutoff = filters.wavelet_lengths(
-        freqs=freqs, sr=sr, window=window, filter_scale=filter_scale, alpha=alpha
+        freqs=freqs, sr=sr, window=window, filter_scale=filter_scale,
+        alpha=alpha,
     )
     if filter_cutoff > sr / 2:
         raise ParameterError(
-            f"Filter cutoff frequency {filter_cutoff} exceeds Nyquist "
-            f"frequency {sr/2}. Try reducing the number of frequency bins."
+            f"the highest filter reaches {filter_cutoff} Hz, past Nyquist "
+            f"({sr / 2} Hz) — use fewer bins"
         )
 
+    # pseudo-CQT: magnitude-only STFT projection through the |wavelet|
+    # responses at a single (un-decimated) sample rate
     fft_basis, n_fft, _ = _vqt_filter_fft(
         sr, freqs, filter_scale, norm, sparsity, hop_length=hop_length,
         window=window, dtype=dtype, alpha=alpha,
@@ -807,15 +828,13 @@ def pseudo_cqt(
     fft_basis = np.abs(fft_basis)
 
     if scale:
-        post_div = np.float32(np.sqrt(n_fft))
-        post_mul = None
+        post_div, post_mul = np.float32(np.sqrt(n_fft)), None
     else:
         post_div = None
         post_mul = np.sqrt(lengths / n_fft).astype(np.float32).reshape(-1, 1)
-
     return _cqt_response(
-        y, n_fft, hop_length, fft_basis, pad_mode, window="hann", dtype=dtype,
-        phase=False, post_div=post_div, post_mul=post_mul,
+        y, n_fft, hop_length, fft_basis, pad_mode, window="hann",
+        dtype=dtype, phase=False, post_div=post_div, post_mul=post_mul,
     )
 
 

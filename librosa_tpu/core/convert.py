@@ -428,23 +428,23 @@ def note_to_midi(note: Any, *, round_midi: bool = True):
     """
     if not isinstance(note, str):
         return np.array([note_to_midi(n, round_midi=round_midi) for n in note])
+    if note == "":
+        return np.nan
 
-    match = _NOTE_RE.match(note)
-    if not match:
-        raise ParameterError(f"Improper note format: {note:s}")
+    parsed = _NOTE_RE.match(note)
+    if parsed is None:
+        raise ParameterError(f"Cannot parse note name: {note!r}")
 
-    pitch = match.group("note").upper()
-    offset = np.sum([_ACC_MAP[o] for o in match.group("accidental")])
-    octave = match.group("octave")
-    cents = match.group("cents")
+    # assemble: octave register + natural pitch class + accidentals + cents
+    semitone = _PITCH_MAP[parsed.group("note").upper()]
+    shift = sum(_ACC_MAP[c] for c in parsed.group("accidental"))
+    oct_digits = parsed.group("octave")
+    register = (int(oct_digits) if oct_digits else 0) + 1
+    cent_digits = parsed.group("cents")
+    detune = int(cent_digits) / 100.0 if cent_digits else 0.0
 
-    octave = int(octave) if octave else 0
-    cents = int(cents) * 1e-2 if cents else 0
-
-    note_value = 12 * (octave + 1) + _PITCH_MAP[pitch] + offset + cents
-    if round_midi:
-        note_value = int(np.round(note_value))
-    return note_value
+    midi_value = 12 * register + semitone + shift + detune
+    return int(np.round(midi_value)) if round_midi else midi_value
 
 
 def note_to_hz(note: Any, *, round_midi: bool = False):
@@ -1475,18 +1475,11 @@ def midi_to_svara_h(
     if not np.isfinite(midi):
         return ""
 
-    svara_num = int(np.round(midi - Sa))
+    steps = int(np.round(midi - Sa))
+    name = _SVARA_MAP_H[steps % 12]
     if abbr:
-        svara = _SVARA_MAP_H[svara_num % 12][0]
-    else:
-        svara = _SVARA_MAP_H[svara_num % 12]
-
-    if octave:
-        if 24 > svara_num >= 12:
-            svara = (svara[0] + "̇" + svara[1:]) if unicode else svara + "'"
-        elif -12 <= svara_num < 0:
-            svara = (svara[0] + "̣" + svara[1:]) if unicode else svara + ","
-    return svara
+        name = name[0]
+    return _mark_svara_octave(name, steps, octave, unicode)
 
 
 def hz_to_svara_h(
@@ -1622,16 +1615,25 @@ def midi_to_svara_c(
     if not np.isfinite(midi):
         return ""
 
-    svara_num = int(np.round(midi - Sa))
-    svara_map = mela_to_svara(mela, abbr=abbr, unicode=unicode)
-    svara = svara_map[svara_num % 12]
+    steps = int(np.round(midi - Sa))
+    name = mela_to_svara(mela, abbr=abbr, unicode=unicode)[steps % 12]
+    return _mark_svara_octave(name, steps, octave, unicode)
 
-    if octave:
-        if 24 > svara_num >= 12:
-            svara = (svara[0] + "̇" + svara[1:]) if unicode else svara + "'"
-        elif -12 <= svara_num < 0:
-            svara = (svara[0] + "̣" + svara[1:]) if unicode else svara + ","
-    return svara
+
+def _mark_svara_octave(name: str, steps: int, octave: bool,
+                       unicode: bool) -> str:
+    """Decorate a svara name with its octave register: an overdot
+    (or trailing apostrophe) one octave above Sa, an underdot (or
+    trailing comma) in the octave below."""
+    if not octave:
+        return name
+    if 12 <= steps < 24:
+        mark, suffix = "\u0307", "'"
+    elif -12 <= steps < 0:
+        mark, suffix = "\u0323", ","
+    else:
+        return name
+    return (name[0] + mark + name[1:]) if unicode else name + suffix
 
 
 def hz_to_svara_c(
@@ -1757,13 +1759,13 @@ def hz_to_fjs(
     """
     from .notation import interval_to_fjs
 
-    if fmin is None:
-        fmin = np.min(frequencies)
-    if unison is None:
-        unison = hz_to_note(fmin, octave=False, unicode=False)
-
-    if np.isscalar(frequencies):
-        intervals = frequencies / fmin
-    else:
-        intervals = np.asarray(frequencies) / fmin
-    return interval_to_fjs(intervals, unison=unison, unicode=unicode)
+    base = np.min(frequencies) if fmin is None else fmin
+    ratios = (
+        frequencies / base if np.isscalar(frequencies)
+        else np.asarray(frequencies) / base
+    )
+    root = (
+        hz_to_note(base, octave=False, unicode=False)
+        if unison is None else unison
+    )
+    return interval_to_fjs(ratios, unison=root, unicode=unicode)

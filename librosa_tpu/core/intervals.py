@@ -87,42 +87,37 @@ def interval_frequencies(
     >>> np.round(f, 2)
     array([55.  , 58.27, 61.74, 65.41])
     """
-    if isinstance(intervals, str):
-        if intervals == "equal":
-            ratios = 2.0 ** (
-                (tuning + np.arange(0, bins_per_octave, dtype=float))
-                / bins_per_octave
-            )
-        elif intervals == "pythagorean":
-            ratios = pythagorean_intervals(
-                bins_per_octave=bins_per_octave, sort=sort
-            )
-        elif intervals == "ji3":
-            ratios = plimit_intervals(
-                primes=[3], bins_per_octave=bins_per_octave, sort=sort
-            )
-        elif intervals == "ji5":
-            ratios = plimit_intervals(
-                primes=[3, 5], bins_per_octave=bins_per_octave, sort=sort
-            )
-        elif intervals == "ji7":
-            ratios = plimit_intervals(
-                primes=[3, 5, 7], bins_per_octave=bins_per_octave, sort=sort
-            )
-        else:
-            raise ParameterError(f"Unknown interval specification: {intervals}")
-    else:
+    # Resolve the within-octave ratio set from the named system (or use
+    # the caller's explicit ratio list as one octave).
+    JI_PRIMES = {"ji3": [3], "ji5": [3, 5], "ji7": [3, 5, 7]}
+    if not isinstance(intervals, str):
         ratios = np.array(intervals)
         bins_per_octave = len(ratios)
+    elif intervals == "equal":
+        cents = tuning + np.arange(bins_per_octave, dtype=float)
+        ratios = np.exp2(cents / bins_per_octave)
+    elif intervals == "pythagorean":
+        ratios = pythagorean_intervals(
+            bins_per_octave=bins_per_octave, sort=sort
+        )
+    elif intervals in JI_PRIMES:
+        ratios = plimit_intervals(
+            primes=JI_PRIMES[intervals],
+            bins_per_octave=bins_per_octave, sort=sort,
+        )
+    else:
+        raise ParameterError(
+            f"interval system {intervals!r} is not one of: equal, "
+            "pythagorean, ji3, ji5, ji7 (or an explicit ratio array)"
+        )
 
-    n_octaves = np.ceil(n_bins / bins_per_octave)
-    all_ratios = np.multiply.outer(
-        2.0 ** np.arange(n_octaves), ratios
-    ).flatten()[:n_bins]
-
+    # replicate the octave pattern up the register until n_bins are filled
+    octaves_needed = np.ceil(n_bins / bins_per_octave)
+    ladder = np.multiply.outer(np.exp2(np.arange(octaves_needed)), ratios)
+    picked = ladder.ravel()[:n_bins]
     if sort:
-        all_ratios = np.sort(all_ratios)
-    return all_ratios * fmin
+        picked = np.sort(picked)
+    return picked * fmin
 
 
 @cache(level=10)

@@ -190,19 +190,27 @@ def pitch_tuning(
 
     Parity: reference core/pitch.py:112.
     """
-    frequencies = np.atleast_1d(np.asarray(frequencies))
-    frequencies = frequencies[frequencies > 0]
-    if not np.any(frequencies):
+    audible = np.atleast_1d(np.asarray(frequencies))
+    audible = audible[audible > 0]
+    if audible.size == 0:
         warnings.warn(
-            "Trying to estimate tuning from empty frequency set.", stacklevel=2
+            "no positive frequencies to estimate tuning from; "
+            "returning 0 cents", stacklevel=2,
         )
         return 0.0
 
-    residual = np.mod(bins_per_octave * convert.hz_to_octs(frequencies), 1.0)
-    residual[residual >= 0.5] -= 1.0
-    bins = np.linspace(-0.5, 0.5, int(np.ceil(1.0 / resolution)) + 1)
-    counts, tuning = np.histogram(residual, bins)
-    return float(tuning[np.argmax(counts)])
+    # fractional distance of each pitch from its nearest chromatic bin,
+    # wrapped to [-0.5, 0.5)
+    frac = np.mod(bins_per_octave * convert.hz_to_octs(audible), 1.0)
+    frac = np.where(frac >= 0.5, frac - 1.0, frac)
+
+    # mode of the deviations on a `resolution`-cell grid
+    cells = np.linspace(-0.5, 0.5, int(np.ceil(1.0 / resolution)) + 1)
+    slots = np.clip(
+        np.searchsorted(cells, frac, side="right") - 1, 0, len(cells) - 2
+    )
+    votes = np.bincount(slots, minlength=len(cells) - 1)
+    return float(cells[int(np.argmax(votes))])
 
 
 def estimate_tuning(
@@ -258,15 +266,12 @@ def estimate_tuning(
     pitch = np.asarray(pitch)
     mag = np.asarray(mag)
 
-    pitch_mask = pitch > 0
-    if pitch_mask.any():
-        threshold = np.median(mag[pitch_mask])
-    else:
-        threshold = 0.0
+    # keep voiced bins at or above the median voiced magnitude
+    keep = pitch > 0
+    if keep.any():
+        keep &= mag >= np.median(mag[keep])
     return pitch_tuning(
-        pitch[(mag >= threshold) & pitch_mask],
-        resolution=resolution,
-        bins_per_octave=bins_per_octave,
+        pitch[keep], resolution=resolution, bins_per_octave=bins_per_octave
     )
 
 
@@ -278,28 +283,31 @@ def _cumulative_mean_normalized_difference(
     Frames arrive as (..., frame_length, n_frames); all math batches over
     frames — FFT autocorrelation + cumsums, one fused device program.
     """
-    acf_frames = audio.autocorrelate(y_frames, max_size=max_period + 1, axis=-2)
+    autocorr = audio.autocorrelate(y_frames, max_size=max_period + 1, axis=-2)
+    zero_lag = autocorr[..., :1, :]
 
-    energy = jnp.cumsum(jnp.square(y_frames), axis=-2)
     # The reference zeroes the k=0 energy slot before it subtracts
     # (core/pitch.py:403-407), so its k=1 difference term omits y(0)² —
     # matched here or every cumulative mean downstream shifts by a constant.
-    energy = energy.at[..., 0, :].set(0.0)
+    edge_power = jnp.cumsum(jnp.square(y_frames), axis=-2)
+    edge_power = edge_power.at[..., 0, :].set(0.0)
 
     # d(k) = 2*(ACF(0) - ACF(k)) - sum_{m<k} y(m)^2   for k in 1..max_period
-    k = slice(1, max_period + 1)
-    d = (
-        2 * (acf_frames[..., 0:1, :] - acf_frames[..., k, :])
-        - energy[..., : max_period, :]
+    difference = (
+        2.0 * (zero_lag - autocorr[..., 1 : max_period + 1, :])
+        - edge_power[..., :max_period, :]
     )
 
-    yin_numerator = d[..., min_period - 1 : max_period, :]
-    k_range = util.expand_to(
-        jnp.arange(1, max_period + 1, dtype=d.dtype), ndim=d.ndim, axes=-2
+    # CMND: each lag normalized by the running mean of d over lags <= k
+    lag_index = util.expand_to(
+        jnp.arange(1, max_period + 1, dtype=difference.dtype),
+        ndim=difference.ndim, axes=-2,
     )
-    cumulative_mean = jnp.cumsum(d, axis=-2) / k_range
-    yin_denominator = cumulative_mean[..., min_period - 1 : max_period, :]
-    return yin_numerator / (yin_denominator + util.tiny(yin_denominator))
+    running_mean = jnp.cumsum(difference, axis=-2) / lag_index
+
+    band = slice(min_period - 1, max_period)
+    floor = util.tiny(running_mean)
+    return difference[..., band, :] / (running_mean[..., band, :] + floor)
 
 
 def _check_yin_params(

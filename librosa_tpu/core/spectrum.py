@@ -1062,33 +1062,38 @@ def pcen(
     >>> bool(np.allclose(np.concatenate([P1, P2], axis=-1), full, atol=1e-5))
     True
     """
-    if power < 0:
-        raise ParameterError(f"power={power} must be nonnegative")
-    if gain < 0:
-        raise ParameterError(f"gain={gain} must be non-negative")
-    if bias < 0:
-        raise ParameterError(f"bias={bias} must be non-negative")
-    if eps <= 0:
-        raise ParameterError(f"eps={eps} must be strictly positive")
-    if time_constant <= 0:
-        raise ParameterError(
-            f"time_constant={time_constant} must be strictly positive"
-        )
+    # every compander coefficient has a hard domain; check them together
+    for name, value, lo, strict in (
+        ("power", power, 0, False), ("gain", gain, 0, False),
+        ("bias", bias, 0, False), ("eps", eps, 0, True),
+        ("time_constant", time_constant, 0, True),
+    ):
+        if value < lo or (strict and value == lo):
+            raise ParameterError(
+                f"PCEN coefficient {name}={value} must be "
+                f"{'>' if strict else '>='} {lo}"
+            )
     if not util.is_positive_int(max_size):
-        raise ParameterError(f"max_size={max_size} must be a positive integer")
+        raise ParameterError(
+            f"the max-filter width must be a positive integer; "
+            f"got max_size={max_size}"
+        )
 
     if b is None:
+        # one-pole smoother coefficient matched to the time constant
+        # (the positive root of b^2 t^2 + b t - ... , reference eq.)
         t_frames = time_constant * sr / float(hop_length)
         b = (np.sqrt(1 + 4 * t_frames**2) - 1) / (2 * t_frames**2)
     if not 0 <= b <= 1:
-        raise ParameterError(f"b={b} must be between 0 and 1")
+        raise ParameterError(
+            f"the smoothing coefficient b={b} is outside [0, 1]"
+        )
 
     S = jnp.asarray(S)
     if jnp.issubdtype(S.dtype, jnp.complexfloating):
         warnings.warn(
-            "pcen was called on complex input so phase "
-            "information will be discarded. To suppress this warning, "
-            "call pcen(np.abs(D)) instead.",
+            "pcen discards phase: the complex input is reduced to its "
+            "magnitude. Pass pcen(np.abs(D)) to silence this warning.",
             stacklevel=2,
         )
         S = jnp.abs(S)
@@ -1096,13 +1101,13 @@ def pcen(
     if ref is None and max_size > 1:
         if S.ndim == 1:
             raise ParameterError(
-                "Max-filtering cannot be applied to 1-dimensional input"
+                "a 1-D envelope has no frequency axis to max-filter over"
             )
         if max_axis is None:
             if S.ndim != 2:
                 raise ParameterError(
-                    f"Max-filtering a {S.ndim:d}-dimensional spectrogram "
-                    "requires you to specify max_axis"
+                    f"max-filtering a {S.ndim}-D stack is ambiguous: "
+                    "specify max_axis"
                 )
             max_axis = int(np.mod(1 - axis, 2))
 

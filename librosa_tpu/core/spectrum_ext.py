@@ -15,6 +15,7 @@ import numpy as np
 
 from .. import filters
 from ..ops import iir
+from ..ops import spline as ops_spline
 from ..util import utils as util
 from ..util.exceptions import ParameterError
 from . import convert
@@ -143,13 +144,18 @@ def reassigned_spectrogram(
         reassigned frequencies (Hz), times (s), and magnitudes
     """
     if not callable(ref_power) and ref_power < 0:
-        raise ParameterError("ref_power must be non-negative or callable.")
-    if not reassign_frequencies and not reassign_times:
         raise ParameterError(
-            "reassign_frequencies or reassign_times must be True."
+            f"the masking reference must be a non-negative power or a "
+            f"callable; got {ref_power}"
+        )
+    if not (reassign_frequencies or reassign_times):
+        raise ParameterError(
+            "nothing to reassign: enable the frequency axis, the time "
+            "axis, or both"
         )
 
     y = jnp.asarray(y)
+    # default framing: full-length window, 75% overlap
     if win_length is None:
         win_length = n_fft
     if hop_length is None:
@@ -173,17 +179,17 @@ def reassigned_spectrogram(
 
     S = jnp.asarray(S)
 
-    pad_length = None if center else n_fft
+    # nominal grid the corrections displace from
     bin_freqs = convert.fft_frequencies(sr=sr, n_fft=n_fft)
     frame_times = convert.frames_to_time(
         frames=np.arange(S.shape[-1]), sr=sr, hop_length=hop_length,
-        n_fft=pad_length,
+        n_fft=None if center else n_fft,
     )
 
-    if callable(ref_power):
-        ref_p = float(ref_power(np.abs(np.asarray(S)) ** 2))
-    else:
-        ref_p = ref_power
+    ref_p = (
+        float(ref_power(np.abs(np.asarray(S)) ** 2))
+        if callable(ref_power) else ref_power
+    )
 
     return _reassign_finish(
         S, S_dh, S_th, jnp.asarray(bin_freqs), jnp.asarray(frame_times),
@@ -281,52 +287,87 @@ def fmt(
     x_fmt : jax.Array [complex]
         the Mellin spectrum
     """
-    import scipy.interpolate
-
-    y = np.asarray(y)
+    y = jnp.asarray(y)
     n = y.shape[axis]
     if n < 3:
-        raise ParameterError(f"y.shape[{axis}]=={n} < 3")
+        raise ParameterError(
+            f"the Mellin transform needs at least 3 samples along "
+            f"axis {axis}; got {n}"
+        )
     if t_min <= 0:
-        raise ParameterError(f"t_min={t_min} must be a positive number")
+        raise ParameterError(
+            f"the exponential grid starts at t_min={t_min}, which must "
+            "be positive"
+        )
 
+    # --- exponential sampling grid (static: data-independent) ----------
+    # Grid density: by default the finest step of the exponential grid
+    # matches the input spacing at the right edge (log(n-1) - log(n-2)),
+    # times the oversampling factor.
     if n_fmt is None:
         if over_sample < 1:
-            raise ParameterError(f"over_sample={over_sample} must be >= 1")
-        log_base = np.log(n - 1) - np.log(n - 2)
-        n_fmt = int(
-            np.ceil(over_sample * (np.log(n - 1) - np.log(t_min)) / log_base)
-        )
+            raise ParameterError(
+                f"over_sample={over_sample} would UNDERsample; use >= 1"
+            )
+        log_step = np.log(n - 1) - np.log(n - 2)
+        n_fmt = int(np.ceil(
+            over_sample * (np.log(n - 1) - np.log(t_min)) / log_step
+        ))
     elif n_fmt < 3:
-        raise ParameterError(f"n_fmt=={n_fmt} < 3")
+        raise ParameterError(
+            f"a {n_fmt}-point Mellin spectrum is degenerate; use n_fmt >= 3"
+        )
     else:
-        log_base = (np.log(n_fmt - 1) - np.log(n_fmt - 2)) / over_sample
+        log_step = (np.log(n_fmt - 1) - np.log(n_fmt - 2)) / over_sample
 
-    if not np.all(np.isfinite(y)):
+    # data-dependent validation: skip under jit (tracers), sync otherwise
+    if not isinstance(y, jax.core.Tracer) and not bool(
+        jnp.all(jnp.isfinite(y))
+    ):
         raise ParameterError("y must be finite everywhere")
 
-    base = np.exp(log_base)
-    x = np.linspace(0, 1, num=n, endpoint=False)
-    f_interp = scipy.interpolate.interp1d(x, y, kind=kind, axis=axis)
+    pad = int(np.ceil(over_sample))
+    grid_base = np.exp(log_step)
+    targets = np.logspace(
+        (np.log(t_min) - np.log(n)) / log_step, 0,
+        num=n_fmt + pad, endpoint=False, base=grid_base,
+    )[:-pad]
+    # numerical guard: the grid must stay inside the sampled support
+    if targets[0] < t_min or targets[-1] > (n - 1.0) / n:
+        targets = np.clip(targets, float(t_min) / n, (n - 1.0) / n)
+    if np.unique(targets).size != targets.size:
+        raise ParameterError(
+            "the exponential grid collapsed onto duplicate positions; "
+            "reduce over_sample or raise t_min"
+        )
 
-    n_over = int(np.ceil(over_sample))
-    x_exp = np.logspace(
-        (np.log(t_min) - np.log(n)) / log_base, 0, num=n_fmt + n_over,
-        endpoint=False, base=base,
-    )[:-n_over]
+    # --- device resample -> Mellin weighting -> rFFT -------------------
+    # The input lives on x = linspace(0, 1, n, endpoint=False); the
+    # resample weights and the spline solve's elimination constants are
+    # static, so the whole transform is ONE fused device program
+    # (ops/spline.py).  Exotic interpolation kinds fall back to host
+    # scipy (same operator the reference uses for every kind).
+    moved = jnp.moveaxis(y, axis, -1)
+    if kind == "cubic" and n >= 4:
+        resampled = ops_spline.uniform_cubic_resample(
+            moved, targets, x0=0.0, dx=1.0 / n
+        )
+    elif kind == "linear":
+        resampled = ops_spline.uniform_linear_resample(
+            moved, targets, x0=0.0, dx=1.0 / n
+        )
+    else:
+        import scipy.interpolate
 
-    if x_exp[0] < t_min or x_exp[-1] > float(n - 1.0) / n:
-        x_exp = np.clip(x_exp, float(t_min) / n, x[-1])
+        host_fit = scipy.interpolate.interp1d(
+            np.linspace(0, 1, num=n, endpoint=False), np.asarray(moved),
+            kind=kind, axis=-1,
+        )
+        resampled = jnp.asarray(host_fit(targets))
 
-    if len(np.unique(x_exp)) != len(x_exp):
-        raise ParameterError("Redundant sample positions in Mellin transform")
-
-    y_res = f_interp(x_exp)
-
-    shape = [1] * y_res.ndim
-    shape[axis] = -1
-    weighted = y_res * ((x_exp**beta).reshape(shape) * np.sqrt(n) / n_fmt)
-    return jnp.fft.rfft(jnp.asarray(weighted), axis=axis)
+    mellin_weight = targets.astype(np.float64) ** beta * np.sqrt(n) / n_fmt
+    weighted = resampled * jnp.asarray(mellin_weight, dtype=resampled.dtype)
+    return jnp.moveaxis(jnp.fft.rfft(weighted, axis=-1), -1, axis)
 
 
 def iirt(

@@ -62,46 +62,52 @@ def decompose(
     activations : np.ndarray [shape=(n_components, n_samples)]
     """
     S = np.asarray(S)
-    orig_shape = list(S.shape)
-    if S.ndim > 2 and sort:
+    lead_shape = list(S.shape[:-1])
+    if sort and S.ndim > 2:
         raise ParameterError(
-            "Parameter sort=True is unsupported for input with more than two dimensions"
+            "sorted components are only defined for 2-D inputs; "
+            "got a stack with more than two dimensions"
         )
 
-    S2 = S.T.reshape((S.shape[-1], -1), order="F")
-
+    # flatten to (time, features) for the factorizer
+    flat = S.T.reshape((S.shape[-1], -1), order="F")
     if n_components is None:
-        n_components = S2.shape[-1]
+        n_components = flat.shape[-1]
+
+    def _unflatten(comp: np.ndarray) -> np.ndarray:
+        # (k, features) back to the caller's leading layout
+        return comp.reshape([*lead_shape, -1][::-1], order="F").T
 
     if transformer == "mu":
-        W, H = _nmf_mu(jnp.asarray(S2.T), n_components, **kwargs)
-        components = np.asarray(W)  # (features, k)
-        activations = np.asarray(H)  # (k, t)
-        components = components.reshape(
-            [*orig_shape[:-1], -1][::-1], order="F"
-        ).T if S.ndim > 2 else components
+        # device multiplicative-update NMF
+        W, H = _nmf_mu(jnp.asarray(flat.T), n_components, **kwargs)
+        components = np.asarray(W)
+        activations = np.asarray(H)
+        if S.ndim > 2:
+            components = _unflatten(components)
     else:
         if transformer is None:
             if fit is False:
-                raise ParameterError("fit must be True if transformer is None")
+                raise ParameterError(
+                    "a fresh NMF transformer must be fitted: fit=False "
+                    "requires passing a pre-fit transformer"
+                )
             import sklearn.decomposition
 
             transformer = sklearn.decomposition.NMF(
                 n_components=n_components, **kwargs
             )
-        if fit:
-            activations = transformer.fit_transform(S2).T
-        else:
-            activations = transformer.transform(S2).T
-        components = transformer.components_
-        component_shape = [*orig_shape[:-1], -1]
-        components = components.reshape(component_shape[::-1], order="F").T
+        fitted = (
+            transformer.fit_transform(flat) if fit
+            else transformer.transform(flat)
+        )
+        activations = fitted.T
+        components = _unflatten(transformer.components_)
 
     if sort:
-        components, idx = util.axis_sort(components, index=True)
+        components, order = util.axis_sort(components, index=True)
         components = np.asarray(components)
-        activations = np.asarray(activations)[np.asarray(idx)]
-
+        activations = np.asarray(activations)[np.asarray(order)]
     return np.asarray(components), np.asarray(activations)
 
 

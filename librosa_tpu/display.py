@@ -749,22 +749,26 @@ def _make_transformf0():
             (unvoiced) propagates, hiding those samples.  ``values`` is
             the (N, 2) array matplotlib hands every non-affine transform.
             """
-            values = np.asarray(values)
-            idx = (1, 0) if self.transpose else (0, 1)
-            times = values[:, idx[0]]
-            samples = values[:, idx[1]]
-            output = np.empty_like(values)
-            output[:, idx[0]] = times
+            pts = np.asarray(values)
+            t_col, v_col = (1, 0) if self.transpose else (0, 1)
+            t = pts[:, t_col]
+            v = pts[:, v_col]
+
+            # forward: bins-above-f0 -> Hz; inverse: Hz -> bins
+            anchor = self.f0_interp(t)
             if self.is_inverted:
-                output[:, idx[1]] = (
-                    (np.log2(samples) - np.log2(self.f0_interp(times)))
-                    * self.norm * self.bins_per_octave
+                mapped = (np.log2(v) - np.log2(anchor)) * (
+                    self.norm * self.bins_per_octave
                 )
             else:
-                output[:, idx[1]] = 2.0 ** (
-                    samples / self.norm / self.bins_per_octave
-                ) * self.f0_interp(times)
-            return output
+                mapped = anchor * 2.0 ** (
+                    v / self.norm / self.bins_per_octave
+                )
+
+            out = np.empty_like(pts)
+            out[:, t_col] = t
+            out[:, v_col] = mapped
+            return out
 
         def inverted(self):
             """Return the inverse transform (matplotlib protocol).
@@ -775,12 +779,12 @@ def _make_transformf0():
             matplotlib needs for interactive cursors and autoscaling on
             axes that carry this transform.
             """
-            return Transformf0(
-                f0=self.f0, sr=self.sr, hop_length=self.hop_length,
-                bins_per_octave=self.bins_per_octave, norm=self.norm,
-                offset=self.offset, transpose=self.transpose,
-                is_inverted=not self.is_inverted,
-            )
+            state = {
+                field: getattr(self, field)
+                for field in ("f0", "sr", "hop_length", "bins_per_octave",
+                              "norm", "offset", "transpose")
+            }
+            return Transformf0(is_inverted=not self.is_inverted, **state)
 
     return Transformf0
 
@@ -821,20 +825,14 @@ def infer_cmap(
     if data.dtype.kind == "b":
         return _resolve(cmap_bool)
 
-    data = data[np.isfinite(data)]
-    if robust:
-        min_p, max_p = 2, 98
-    else:
-        min_p, max_p = 0, 100
-
-    if data.size > 0:
-        min_val, max_val = np.percentile(data, [min_p, max_p])
-    else:
-        min_val = max_val = 0.0
-
-    if min_val >= div_thresh or max_val <= div_thresh:
-        return _resolve(cmap_seq)
-    return _resolve(cmap_div)
+    finite = data[np.isfinite(data)]
+    limits = (2, 98) if robust else (0, 100)
+    lo, hi = (
+        np.percentile(finite, limits) if finite.size else (0.0, 0.0)
+    )
+    # one-signed data reads sequentially; sign-crossing data diverges
+    one_signed = lo >= div_thresh or hi <= div_thresh
+    return _resolve(cmap_seq if one_signed else cmap_div)
 
 
 # Deprecation rename (reference display.py:1366): cmap -> infer_cmap.
@@ -1139,21 +1137,21 @@ def _parse_vscale(vscale: str):
 
     Parity: display.py:2633 (__parse_vscale).
     """
-    match = _VSCALE_PATTERN.fullmatch(vscale)
-    if not match:
-        raise ParameterError(f"Invalid vscale specification: {vscale}")
-    mode = match.group("mode")
-    scale_type = "power" if match.groupdict().get("type") else "amplitude"
-    ref = match.groupdict().get("ref") or match.groupdict().get("ref_power")
-    if mode == "dBFS":
-        if ref is not None:
+    parsed = _VSCALE_PATTERN.fullmatch(vscale)
+    if parsed is None:
+        raise ParameterError(f"cannot parse vscale specification {vscale!r}")
+    fields = parsed.groupdict()
+    kind = "power" if fields.get("type") else "amplitude"
+    anchor = fields.get("ref") or fields.get("ref_power")
+    if fields["mode"] == "dBFS":
+        # full-scale mode pins the reference to the signal maximum
+        if anchor is not None:
             raise ParameterError(
-                "dBFS vscale cannot have an explicit reference value"
+                "dBFS is always referenced to full scale; drop the "
+                "explicit reference value"
             )
-        ref = "max"
-    elif ref is not None:
-        ref = float(ref)
-    return mode, scale_type, ref
+        return fields["mode"], kind, "max"
+    return fields["mode"], kind, None if anchor is None else float(anchor)
 
 
 def _scale_data(data, *, vscale, top_db, x_coords, y_coords, cmap_seq,
@@ -1279,8 +1277,8 @@ def specshow(
         import warnings
 
         warnings.warn(
-            "Trying to display complex-valued input. "
-            "Showing magnitude instead.",
+            "specshow has no rendering for complex values; drawing the "
+            "magnitude instead",
             stacklevel=2,
         )
         data = np.abs(data)
@@ -1288,39 +1286,39 @@ def specshow(
     if norm_cmap is not None:
         kwargs.setdefault("cmap", norm_cmap)
     elif "cmap" not in kwargs:
-        kwargs["cmap"] = infer_cmap(
+        # auto-pick a map from the data, and a matching norm: diverging
+        # maps center on the threshold, boolean maps snap to two colors
+        chosen = infer_cmap(
             data, cmap_seq=cmap_seq, cmap_bool=cmap_bool, cmap_div=cmap_div,
             div_thresh=div_thresh,
         )
+        kwargs["cmap"] = chosen
 
-        def _same(c):
-            if isinstance(c, colors.Colormap):
-                return kwargs["cmap"] == c
-            return kwargs["cmap"] == mpl.colormaps.get(c, None)
+        def _picked(candidate):
+            if not isinstance(candidate, colors.Colormap):
+                candidate = mpl.colormaps.get(candidate, None)
+            return chosen == candidate
 
-        if _same(cmap_div):
-            kwargs.setdefault(
-                "norm",
-                colors.TwoSlopeNorm(
-                    vcenter=div_thresh,
-                    vmin=kwargs.pop("vmin", None),
-                    vmax=kwargs.pop("vmax", None),
-                ),
+        if _picked(cmap_div) and "norm" not in kwargs:
+            kwargs["norm"] = colors.TwoSlopeNorm(
+                vcenter=div_thresh,
+                vmin=kwargs.pop("vmin", None),
+                vmax=kwargs.pop("vmax", None),
             )
-        elif _same(cmap_bool) and data.dtype.kind == "b":
-            kwargs.setdefault(
-                "norm",
-                colors.BoundaryNorm(
-                    boundaries=[0, 0.5, 1], ncolors=kwargs["cmap"].N
-                ),
+        elif (
+            _picked(cmap_bool) and data.dtype.kind == "b"
+            and "norm" not in kwargs
+        ):
+            kwargs["norm"] = colors.BoundaryNorm(
+                boundaries=[0, 0.5, 1], ncolors=chosen.N
             )
 
-    kwargs.setdefault("rasterized", True)
-    kwargs.setdefault("edgecolors", "None")
-    kwargs.setdefault("shading", "auto")
+    mesh_defaults = {"rasterized": True, "edgecolors": "None",
+                     "shading": "auto"}
     if vscale is not None and "phase" in vscale:
-        kwargs.setdefault("vmin", -np.pi)
-        kwargs.setdefault("vmax", np.pi)
+        mesh_defaults.update(vmin=-np.pi, vmax=np.pi)
+    for option, value in mesh_defaults.items():
+        kwargs.setdefault(option, value)
 
     if ax is None:
         ax = plt.gca()
@@ -1430,76 +1428,79 @@ def waveshow(
     Parity: reference display.py:2673.
     """
     plt = _mpl()
-
-    y = np.asarray(y)
-    if not np.issubdtype(y.dtype, np.floating):
-        raise ParameterError("Waveform data must be floating-point")
-    if y.ndim == 1:
-        y = y[np.newaxis, :]
-    if y.ndim > 2:
-        y = np.asarray(core.to_mono(y))[np.newaxis, :]
-
+    y = _waveform_display_input(y)
     if max_points <= 0:
         raise ParameterError(
-            f"max_points={max_points} must be strictly positive"
+            f"max_points must allow at least one sample; got {max_points}"
         )
-
     axes = plt.gca() if ax is None else ax
 
-    hop_length = max(1, y.shape[-1] // max_points)
-    y_env = _envelope(y, hop_length)
-    y_bottom, y_top = -y_env[-1], y_env[0]
-
+    # amplitude envelope on a decimated grid sized to max_points
+    stride = max(1, y.shape[-1] // max_points)
+    env = _envelope(y, stride)
+    decimated = slice(None, len(env[0]) * stride, stride)
     times = offset + np.arange(y.shape[-1]) / sr
 
-    xdata, ydata = times[:max_points], y[0, :max_points]
+    filler, limit_signal, labeled_axis = _plane_orientation(axes, transpose)
+    detail = (times[:max_points], y[0, :max_points])
     if transpose:
-        ydata, xdata = xdata, ydata
-        filler = axes.fill_betweenx
-        signal = "ylim_changed"
-        dec_axis = axes.yaxis
-    else:
-        filler = axes.fill_between
-        signal = "xlim_changed"
-        dec_axis = axes.xaxis
+        detail = detail[::-1]
 
     if mask is not None:
-        mask = np.asarray(mask, dtype=bool)[
-            : len(y_top) * hop_length : hop_length
-        ]
+        mask = np.asarray(mask, dtype=bool)[decimated]
 
-    (steps,) = axes.step(xdata, ydata, marker=marker, where=where, **kwargs)
-
+    # zoomed-in view: the per-sample step curve
+    (steps,) = axes.step(*detail, marker=marker, where=where, **kwargs)
     if "color" not in kwargs:
         kwargs.setdefault("color", steps.get_color())
 
-    envelope = filler(
-        times[: len(y_top) * hop_length : hop_length],
-        y_bottom,
-        y_top,
-        step=where,
-        where=mask,
-        label=label,
-        **kwargs,
+    # zoomed-out view: the filled +/- envelope band
+    band = filler(
+        times[decimated], -env[-1], env[0],
+        step=where, where=mask, label=label, **kwargs,
     )
 
     adaptor = AdaptiveWaveplot(
-        times, y[0], steps, envelope, sr=sr, max_samples=max_points,
+        times, y[0], steps, band, sr=sr, max_samples=max_points,
         transpose=transpose, label=label,
     )
-    adaptor.connect(axes, signal=signal)
+    adaptor.connect(axes, signal=limit_signal)
     adaptor.update(axes)
 
     if invert:
-        if invert_color is None:
-            invert_color = axes.patch.get_facecolor()
-        color = steps.get_color()
-        axes.patch.set_facecolor(color)
-        steps.set_color(invert_color)
-        envelope.set_color(invert_color)
-
-    _decorate_axis(dec_axis, axis)
+        _swap_ink(axes, steps.get_color(), (steps, band), invert_color)
+    _decorate_axis(labeled_axis, axis)
     return adaptor
+
+
+def _waveform_display_input(y: np.ndarray) -> np.ndarray:
+    """Validate + shape a signal for waveform display: float dtype,
+    (channels, n) layout, >2-D stacks downmixed to mono."""
+    y = np.asarray(y)
+    if not np.issubdtype(y.dtype, np.floating):
+        raise ParameterError(
+            "waveform displays need floating-point samples"
+        )
+    if y.ndim > 2:
+        y = np.asarray(core.to_mono(y))
+    return np.atleast_2d(y)
+
+
+def _plane_orientation(axes, transpose: bool):
+    """(fill function, limit-change signal, time axis) for an orientation."""
+    if transpose:
+        return axes.fill_betweenx, "ylim_changed", axes.yaxis
+    return axes.fill_between, "xlim_changed", axes.xaxis
+
+
+def _swap_ink(axes, ink, artists, background=None):
+    """Invert a waveform plot: paint the axes patch with the waveform's
+    color and the waveform artists with the (old) background color."""
+    if background is None:
+        background = axes.patch.get_facecolor()
+    axes.patch.set_facecolor(ink)
+    for artist in artists:
+        artist.set_color(background)
 
 
 def wavebars(
@@ -1546,65 +1547,59 @@ def wavebars(
     Parity: reference display.py:2992.
     """
     plt = _mpl()
-    import matplotlib.patches as mpatches
     import matplotlib.collections as mcollections
+    import matplotlib.patches as mpatches
 
-    y = np.asarray(y)
-    if not np.issubdtype(y.dtype, np.floating):
-        raise ParameterError("Waveform data must be floating-point")
-    if y.ndim == 1:
-        y = y[np.newaxis, :]
-    if y.ndim > 2:
-        y = np.asarray(core.to_mono(y))[np.newaxis, :]
-
+    y = _waveform_display_input(y)
     patch_kwargs.setdefault("linewidth", 0)
     axes = plt.gca() if ax is None else ax
 
-    hop = max(1, y.shape[-1] // n_bars)
-    env = _envelope(y, hop)
-    env_bottom, env_top = env[-1], env[0]
+    # one rounded bar per envelope cell
+    stride = max(1, y.shape[-1] // n_bars)
+    env = _envelope(y, stride)
+    centers = offset + np.arange(env.shape[-1]) * stride / sr
 
-    bar_width = (hop / sr) * (1 - gap_ratio)
-    rounding_size = bar_width * rounding_ratio
+    thickness = (stride / sr) * (1 - gap_ratio)
+    corner = thickness * rounding_ratio
+    corner_style = f"round,pad=0,rounding_size={corner}"
 
-    times = offset + np.arange(env.shape[-1]) * hop / sr
-
-    patches = []
-    boxstyle = f"round,pad=0,rounding_size={rounding_size}"
-    for t, a0, a1 in zip(times, env_bottom, env_top):
-        base = min(-rounding_size, -a0)
-        top = max(rounding_size, a1)
+    def _bar(at, lo, hi):
+        # every bar spans at least the corner radius on both sides
+        foot = min(-corner, -lo)
+        head = max(corner, hi)
         if transpose:
-            xy, width, height = (base, t), top - base, bar_width
-        else:
-            xy, width, height = (t, base), bar_width, top - base
-        patches.append(
-            mpatches.FancyBboxPatch(xy, width, height, boxstyle=boxstyle)
+            return mpatches.FancyBboxPatch(
+                (foot, at), head - foot, thickness, boxstyle=corner_style
+            )
+        return mpatches.FancyBboxPatch(
+            (at, foot), thickness, head - foot, boxstyle=corner_style
         )
 
+    bars = [
+        _bar(at, lo, hi) for at, lo, hi in zip(centers, env[-1], env[0])
+    ]
     patch_kwargs.setdefault("transform", axes.transData)
-    coll = mcollections.PatchCollection(patches, **patch_kwargs)
-    axes.add_collection(coll)
+    bar_group = mcollections.PatchCollection(bars, **patch_kwargs)
+    axes.add_collection(bar_group)
 
+    # an off-canvas proxy patch carries the legend entry (collections
+    # don't legend individually)
     proxy = mpatches.FancyBboxPatch(
-        (np.nan, np.nan), 1, 1, boxstyle=boxstyle, label=label, **patch_kwargs
+        (np.nan, np.nan), 1, 1, boxstyle=corner_style, label=label,
+        **patch_kwargs,
     )
     proxy.set_in_layout(False)
     if label is not None:
         axes.add_patch(proxy)
-
     axes.autoscale_view()
 
     if invert:
-        if invert_color is None:
-            invert_color = axes.patch.get_facecolor()
-        color = coll.get_facecolor()
-        axes.patch.set_facecolor(color)
-        proxy.set_facecolor(color)
-        coll.set_facecolor(invert_color)
+        ink = bar_group.get_facecolor()
+        proxy.set_facecolor(ink)
+        _swap_ink(axes, ink, (bar_group,), invert_color)
 
     _decorate_axis(axes.yaxis if transpose else axes.xaxis, axis)
-    return coll
+    return bar_group
 
 
 def wavef0(
@@ -1666,20 +1661,22 @@ def wavef0(
 
     from .util import utils as _util
 
+    if method not in ("waveshow", "wavebars"):
+        raise ParameterError(
+            f"wavef0 draws via waveshow or wavebars; got method={method!r}"
+        )
     y = np.asarray(y)
     f0 = np.asarray(f0, dtype=float)
     axes = plt.gca() if ax is None else ax
 
-    if method not in ("waveshow", "wavebars"):
-        raise ParameterError(f"Invalid display method={method}.")
-
-    norm = float(np.asarray(_util.tiny(y)))
+    # normalize the waveform's amplitude span so +/-1 maps to one
+    # pitch-axis unit under the f0-anchored log-frequency transform
+    span = float(np.asarray(_util.tiny(y)))
     if y.size > 0:
-        norm += max(float(y.max()), -float(y.min()))
-
-    trans = Transformf0(
+        span += max(float(y.max()), -float(y.min()))
+    pitch_warp = Transformf0(
         f0, sr=sr, hop_length=hop_length, bins_per_octave=bins_per_octave,
-        norm=norm, offset=offset, transpose=transpose,
+        norm=span, offset=offset, transpose=transpose,
     )
 
     _decorate_axis(
@@ -1687,38 +1684,38 @@ def wavef0(
         mela=mela, thaat=thaat, unicode=unicode,
     )
 
-    if method == "waveshow":
-        times = offset + np.arange(y.shape[-1]) / sr
-        mask = np.isfinite(trans.f0_interp(times))
-
-        adaptor = waveshow(
-            y, sr=sr, axis=time_axis, offset=offset, mask=mask, ax=axes,
-            transform=trans + axes.transData, transpose=transpose, **kwargs,
+    if method == "wavebars":
+        return wavebars(
+            y, sr=sr, axis=time_axis, offset=offset, ax=axes,
+            transform=pitch_warp + axes.transData, transpose=transpose,
+            **kwargs,
         )
 
-        # fill_between collections don't update data limits through a
-        # custom transform; expand them manually to cover the f0 range.
-        envelope = adaptor.envelope
-        xy = envelope.get_datalim(trans + axes.transData).get_points()
-        f0min = np.nanmin(f0)
-        f0max = np.nanmax(f0)
-        if transpose:
-            handle = mlines.Line2D(
-                [xy[0, 0] + f0min, xy[1, 0] + f0max], xy[:, 1]
-            )
-        else:
-            handle = mlines.Line2D(
-                xy[:, 0], [xy[0, 1] + f0min, xy[1, 1] + f0max]
-            )
-        axes.add_line(handle)
-        axes.autoscale_view()
-        handle.remove()
-        return adaptor
-
-    return wavebars(
-        y, sr=sr, axis=time_axis, offset=offset, ax=axes,
-        transform=trans + axes.transData, transpose=transpose, **kwargs,
+    # waveshow path: blank out unvoiced spans, then widen the view to
+    # cover the full f0 range via a throwaway guide line
+    ticks = offset + np.arange(y.shape[-1]) / sr
+    voiced = np.isfinite(pitch_warp.f0_interp(ticks))
+    adaptor = waveshow(
+        y, sr=sr, axis=time_axis, offset=offset, mask=voiced, ax=axes,
+        transform=pitch_warp + axes.transData, transpose=transpose, **kwargs,
     )
+
+    corners = adaptor.envelope.get_datalim(
+        pitch_warp + axes.transData
+    ).get_points()
+    lo, hi = np.nanmin(f0), np.nanmax(f0)
+    if transpose:
+        guide = mlines.Line2D(
+            [corners[0, 0] + lo, corners[1, 0] + hi], corners[:, 1]
+        )
+    else:
+        guide = mlines.Line2D(
+            corners[:, 0], [corners[0, 1] + lo, corners[1, 1] + hi]
+        )
+    axes.add_line(guide)
+    axes.autoscale_view()
+    guide.remove()
+    return adaptor
 
 
 def _radian_formatter(x: float, pos: Optional[int] = None) -> str:
@@ -2027,29 +2024,22 @@ def legend_for_axes(
     plt = _mpl()
 
     if axes is None:
-        if fig is None:
-            fig = plt.gcf()
+        fig = fig if fig is not None else plt.gcf()
         axes = fig.axes
+    pool = list(np.atleast_1d(np.asarray(axes, dtype=object)).flat)
+    if not pool:
+        raise ParameterError("there are no axes to aggregate a legend from")
 
-    axes_array = np.atleast_1d(np.asarray(axes, dtype=object))
-    if len(axes_array.flat) == 0:
-        raise ParameterError("No axes provided for legend aggregation")
+    owner = fig if fig is not None else pool[0].figure
+    if any(a.figure is not owner for a in pool):
+        raise ParameterError(
+            "legend aggregation needs every axis on one figure"
+        )
 
-    if fig is None:
-        fig = axes_array.flat[0].figure
-
-    for ax in axes_array.flat:
-        if ax.figure is not fig:
-            raise ParameterError("All axes must belong to the same figure")
-
-    handles: List[Any] = []
-    labels: List[str] = []
-    for ax in axes_array.flat:
-        hlist, llist = ax.get_legend_handles_labels()
-        handles.extend(hlist)
-        labels.extend(llist)
-
-    return fig.legend(handles, labels, **kwargs)
+    per_axis = [a.get_legend_handles_labels() for a in pool]
+    handles = [h for hs, _ in per_axis for h in hs]
+    labels = [text for _, ls in per_axis for text in ls]
+    return owner.legend(handles, labels, **kwargs)
 
 
 def _ax_wants_bright_highlight(ax, luminance_threshold: float = 0.5) -> bool:
@@ -2125,25 +2115,21 @@ def highlight(
     plt = _mpl()
     import matplotlib.patheffects as mpe
 
-    if ax is None:
-        if artist is not None and getattr(artist, "axes", None) is not None:
-            ax = artist.axes
-        else:
-            ax = plt.gca()
+    target = ax
+    if target is None:
+        target = getattr(artist, "axes", None)
+        if target is None:
+            target = plt.gca()
 
-    color = kwargs.pop("foreground", color)
-    if color is None:
-        if _ax_wants_bright_highlight(ax, luminance_threshold):
-            stroke_color = bright_color
-        else:
-            stroke_color = dark_color
-    else:
-        stroke_color = color
+    # stroke color: an explicit foreground/color wins; otherwise pick by
+    # the axes' background luminance
+    stroke = kwargs.pop("foreground", color)
+    if stroke is None:
+        bright = _ax_wants_bright_highlight(target, luminance_threshold)
+        stroke = bright_color if bright else dark_color
 
-    kwargs.setdefault("linewidth", 2)
-    kwargs.setdefault("alpha", 1.0)
-
-    effects = [mpe.withStroke(foreground=stroke_color, **kwargs)]
+    style = {"linewidth": 2, "alpha": 1.0, **kwargs}
+    effects = [mpe.withStroke(foreground=stroke, **style)]
     if artist is not None:
         artist.set_path_effects(effects)
     return effects

@@ -99,19 +99,14 @@ def mel_to_audio(
     -------
     y : jax.Array
     """
-    stft_mag = mel_to_stft(M, sr=sr, n_fft=n_fft, power=power, **kwargs)
-    return griffinlim(
-        stft_mag,
-        n_iter=n_iter,
-        hop_length=hop_length,
-        win_length=win_length,
-        n_fft=n_fft,
-        window=window,
-        center=center,
-        dtype=dtype,
-        length=length,
-        pad_mode=pad_mode,
+    # invert the mel projection to |STFT|, then phase-retrieve
+    resynthesis = dict(
+        n_iter=n_iter, hop_length=hop_length, win_length=win_length,
+        n_fft=n_fft, window=window, center=center, dtype=dtype,
+        length=length, pad_mode=pad_mode,
     )
+    magnitude = mel_to_stft(M, sr=sr, n_fft=n_fft, power=power, **kwargs)
+    return griffinlim(magnitude, **resynthesis)
 
 
 def mfcc_to_mel(
@@ -209,8 +204,9 @@ def mfcc_to_audio(
     -------
     y : jax.Array
     """
-    mel_spec = mfcc_to_mel(
+    # undo the cepstral stage, then reuse the mel inverter end-to-end
+    spectrogram = mfcc_to_mel(
         mfcc, n_mels=n_mels, dct_type=dct_type, norm=norm, ref=ref,
         lifter=lifter,
     )
-    return mel_to_audio(mel_spec, **kwargs)
+    return mel_to_audio(spectrogram, **kwargs)

@@ -65,23 +65,30 @@ def tempogram(
     -------
     tempogram : jax.Array [shape=(..., win_length, t)]
     """
-    from ..onset import onset_strength
-
     if win_length < 1:
-        raise ParameterError("win_length must be a positive integer")
-
+        raise ParameterError(
+            f"the tempogram window must span >= 1 frame; got {win_length}"
+        )
     ac_window = get_window(window, win_length, fftbins=True)
-
-    if onset_envelope is None:
-        if y is None:
-            raise ParameterError("Either y or onset_envelope must be provided")
-        onset_envelope = onset_strength(y=y, sr=sr, hop_length=hop_length)
-    onset_envelope = jnp.asarray(onset_envelope)
+    envelope = jnp.asarray(_resolve_envelope(onset_envelope, y, sr, hop_length))
     norm_key = None if norm is None else float(norm)
     return _tempogram_core(
-        onset_envelope, jnp.asarray(ac_window, dtype=onset_envelope.dtype),
+        envelope, jnp.asarray(ac_window, dtype=envelope.dtype),
         win_length=win_length, center=bool(center), norm=norm_key,
     )
+
+
+def _resolve_envelope(onset_envelope, y, sr, hop_length):
+    """Use the given onset envelope, or derive one from the signal."""
+    if onset_envelope is not None:
+        return onset_envelope
+    if y is None:
+        raise ParameterError(
+            "tempogram features need an input: pass y= or onset_envelope="
+        )
+    from ..onset import onset_strength
+
+    return onset_strength(y=y, sr=sr, hop_length=hop_length)
 
 
 @functools.partial(
@@ -155,18 +162,14 @@ def fourier_tempogram(
 
     Parity: reference feature/rhythm.py:194.
     """
-    from ..onset import onset_strength
-
     if win_length < 1:
-        raise ParameterError("win_length must be a positive integer")
-
-    if onset_envelope is None:
-        if y is None:
-            raise ParameterError("Either y or onset_envelope must be provided")
-        onset_envelope = onset_strength(y=y, sr=sr, hop_length=hop_length)
-
+        raise ParameterError(
+            f"the tempogram window must span >= 1 frame; got {win_length}"
+        )
+    envelope = _resolve_envelope(onset_envelope, y, sr, hop_length)
+    # the Fourier tempogram IS a hop-1 STFT of the onset envelope
     return stft(
-        jnp.asarray(onset_envelope), n_fft=win_length, hop_length=1,
+        jnp.asarray(envelope), n_fft=win_length, hop_length=1,
         center=center, window=window,
     )
 
@@ -386,37 +389,36 @@ def tempogram_ratio(
 
     if tg is None:
         tg = tempogram(
-            y=y, sr=sr, onset_envelope=onset_envelope, hop_length=hop_length,
-            win_length=win_length, center=center, window=window, norm=norm,
+            center=center, hop_length=hop_length, norm=norm,
+            onset_envelope=onset_envelope, sr=sr, win_length=win_length,
+            window=window, y=y,
         )
     tg = jnp.asarray(tg)
 
+    # Fill in whatever the caller left implicit: the lag->BPM axis, the
+    # per-frame tempo track, and the metrical-level ratio set.
     if freqs is None:
-        freqs = tempo_frequencies(
-            tg.shape[-2], hop_length=hop_length, sr=sr
-        )
-
+        freqs = tempo_frequencies(tg.shape[-2], hop_length=hop_length, sr=sr)
     if bpm is None:
         bpm = tempo(
-            sr=sr, tg=tg, hop_length=hop_length, start_bpm=start_bpm,
-            std_bpm=std_bpm, max_tempo=max_tempo, aggregate=None, prior=prior,
+            aggregate=None, hop_length=hop_length, max_tempo=max_tempo,
+            prior=prior, sr=sr, start_bpm=start_bpm, std_bpm=std_bpm, tg=tg,
         )
-
     if factors is None:
         # metric multiples from Prockup'15
-        factors = np.array(
-            [4, 8 / 3, 3, 2, 4 / 3, 3 / 2, 1, 2 / 3, 3 / 4, 1 / 2, 1 / 3,
-             3 / 8, 1 / 4]
-        )
+        factors = np.array([
+            4, 8 / 3, 3, 2, 4 / 3, 3 / 2, 1,
+            2 / 3, 3 / 4, 1 / 2, 1 / 3, 3 / 8, 1 / 4,
+        ])
 
-    tgr = f0_harmonics(
-        tg, freqs=freqs, f0=jnp.asarray(np.asarray(bpm)), harmonics=factors,
-        kind=kind, fill_value=fill_value,
+    # sample the tempogram at each ratio of the running tempo
+    ratio_track = f0_harmonics(
+        tg, f0=jnp.asarray(np.asarray(bpm)), fill_value=fill_value,
+        freqs=freqs, harmonics=factors, kind=kind,
     )
-
-    if aggregate is not None:
-        return jnp.asarray(aggregate(np.asarray(tgr), axis=-1))
-    return tgr
+    if aggregate is None:
+        return ratio_track
+    return jnp.asarray(aggregate(np.asarray(ratio_track), axis=-1))
 
 
 def hybrid_tempogram(
@@ -465,53 +467,41 @@ def hybrid_tempogram(
 
     Parity: reference feature/rhythm.py:675.
     """
-    import scipy.interpolate
-
-    interp_kwargs: dict = dict(kwargs) if kwargs else {}
-    interp_kwargs.setdefault("bounds_error", False)
-    interp_kwargs.setdefault("fill_value", 0.0)
-    interp_kwargs.setdefault("copy", False)
-    interp_kwargs.setdefault("axis", -2)
-
-    if onset_envelope is None:
-        if y is None:
-            raise ParameterError("Either y or onset_envelope must be provided")
-        from ..onset import onset_strength
-
-        onset_envelope = onset_strength(y=y, sr=sr, hop_length=hop_length)
-
-    tg_f = np.asarray(
-        fourier_tempogram(
-            onset_envelope=np.asarray(onset_envelope), sr=sr,
-            hop_length=hop_length, win_length=win_length, center=center,
-            window=window,
-        )
+    envelope = np.asarray(_resolve_envelope(onset_envelope, y, sr, hop_length))
+    shared = dict(
+        sr=sr, hop_length=hop_length, win_length=win_length,
+        center=center, window=window,
     )
-    freqs = fourier_tempo_frequencies(
+
+    # The two tempogram flavors live on different tempo axes: the Fourier
+    # tempogram on a linear BPM grid, the autocorrelation tempogram on a
+    # reciprocal (lag) grid.  Bring the latter onto the former's grid and
+    # take the per-cell geometric mean.
+    spectral = np.asarray(fourier_tempogram(onset_envelope=envelope, **shared))
+    lagged = np.asarray(tempogram(onset_envelope=envelope, **shared))
+
+    bpm_grid = fourier_tempo_frequencies(
         sr=sr, hop_length=hop_length, win_length=win_length
     )
-    tg_a = np.asarray(
-        tempogram(
-            onset_envelope=np.asarray(onset_envelope), sr=sr,
-            hop_length=hop_length, win_length=win_length, center=center,
-            window=window,
-        )
-    )
-    lags = tempo_frequencies(tg_a.shape[-2], sr=sr, hop_length=hop_length)
+    lag_bpm = tempo_frequencies(lagged.shape[-2], sr=sr, hop_length=hop_length)
 
-    tg_a_finite = tg_a[..., 1:, :]
-    lags_finite = lags[1:]
+    # regrid, dropping the infinite-BPM lag-0 bin (descending -> ascending)
+    import scipy.interpolate
 
-    f_interp = scipy.interpolate.interp1d(
-        lags_finite[::-1], tg_a_finite[..., ::-1, :], **interp_kwargs
+    resample_opts: dict = dict(kwargs) if kwargs else {}
+    for key, val in (("bounds_error", False), ("fill_value", 0.0),
+                     ("copy", False), ("axis", -2)):
+        resample_opts.setdefault(key, val)
+    regrid = scipy.interpolate.interp1d(
+        lag_bpm[:0:-1], lagged[..., :0:-1, :], **resample_opts
     )
-    tg_a_resampled = f_interp(freqs)
+    lagged_on_bpm = regrid(bpm_grid)
 
-    n_frames_min = min(tg_f.shape[-1], tg_a_resampled.shape[-1])
-    product = np.abs(tg_f[..., :n_frames_min]) * np.abs(
-        tg_a_resampled[..., :n_frames_min]
+    frames = min(spectral.shape[-1], lagged_on_bpm.shape[-1])
+    agreement = np.abs(spectral[..., :frames]) * np.abs(
+        lagged_on_bpm[..., :frames]
     )
-    return jnp.asarray(np.sqrt(np.maximum(0, product)))
+    return jnp.asarray(np.sqrt(np.maximum(0, agreement)))
 
 
 def metrogram(
@@ -567,16 +557,19 @@ def metrogram(
 
     tg = jnp.asarray(tg)
     if factors is None:
+        # candidate subdivision ratios (triple/duple/quintuple/septuple)
         factors = np.array([1 / 3, 1 / 4, 1 / 5, 1 / 7])
 
-    tg_interp = interp_harmonics(
+    # correlate the tempogram with itself resampled at each subdivision:
+    # an active metrical level lights up at both scales
+    rescaled = interp_harmonics(
         tg, freqs=freqs, harmonics=factors, kind=kind, fill_value=fill_value,
         axis=-2,
     )
-    product = tg_interp * jnp.expand_dims(tg, axis=-3)
+    coincidence = rescaled * jnp.expand_dims(tg, axis=-3)
 
-    if aggregate is not None:
-        if aggregate is np.sum:
-            return jnp.sum(product, axis=-2)
-        return jnp.asarray(aggregate(np.asarray(product), axis=-2))
-    return product
+    if aggregate is None:
+        return coincidence
+    if aggregate is np.sum:  # keep the common case on device
+        return jnp.sum(coincidence, axis=-2)
+    return jnp.asarray(aggregate(np.asarray(coincidence), axis=-2))

@@ -256,38 +256,45 @@ def spectral_contrast(
         freq = fft_frequencies(sr=sr, n_fft=n_fft)
     freq = np.atleast_1d(np.asarray(freq))
     if freq.ndim != 1 or len(freq) != S.shape[-2]:
-        raise ParameterError(f"freq.shape mismatch: expected ({S.shape[-2]:d},)")
-    if n_bands < 1 or not isinstance(n_bands, (int, np.integer)):
-        raise ParameterError("n_bands must be a positive integer")
-    if not 0.0 < quantile < 1.0:
-        raise ParameterError("quantile must lie in the range (0, 1)")
-    if fmin <= 0:
-        raise ParameterError("fmin must be a positive number")
-
-    octa = np.zeros(n_bands + 2)
-    octa[1:] = fmin * (2.0 ** np.arange(0, n_bands + 1))
-    if np.any(octa[:-1] >= 0.5 * sr):
         raise ParameterError(
-            "Frequency band exceeds Nyquist. Reduce either fmin or n_bands."
+            f"freq must be one center frequency per spectrogram row "
+            f"(({S.shape[-2]},)); got shape {freq.shape}"
+        )
+    if not isinstance(n_bands, (int, np.integer)) or n_bands < 1:
+        raise ParameterError(f"n_bands={n_bands!r} is not a positive integer")
+    if not 0.0 < quantile < 1.0:
+        raise ParameterError(
+            f"the contrast quantile must be strictly inside (0, 1); "
+            f"got {quantile}"
+        )
+    if fmin <= 0:
+        raise ParameterError(f"fmin={fmin} must be above 0 Hz")
+
+    # octave band edges: [0, fmin, 2 fmin, ..., 2^n_bands * fmin]
+    edges = np.concatenate(([0.0], fmin * np.exp2(np.arange(n_bands + 1))))
+    if (edges[:-1] >= 0.5 * sr).any():
+        raise ParameterError(
+            f"octave bands starting at fmin={fmin} with n_bands={n_bands} "
+            f"pass Nyquist ({sr / 2} Hz); lower one of them"
         )
 
-    # band membership is static (host freq grid) → hashable per-band index
+    # Band membership is static (host freq grid) → hashable per-band index
     # tuples parameterize ONE jitted program for the sort/quantile/diff
-    # chain (eagerly ~130 dispatches across the 7 bands)
+    # chain (eagerly ~130 dispatches across the 7 bands).
     bands = []
-    for k, (f_low, f_high) in enumerate(itertools.pairwise(octa)):
-        current_band = np.logical_and(freq >= f_low, freq <= f_high)
-        idx = np.flatnonzero(current_band)
+    for k in range(n_bands + 1):
+        inside = (freq >= edges[k]) & (freq <= edges[k + 1])
+        hits = np.flatnonzero(inside)
+        # each band annexes one bin below; the top band runs to Nyquist
         if k > 0:
-            current_band[idx[0] - 1] = True
+            inside[hits[0] - 1] = True
         if k == n_bands:
-            current_band[idx[-1] + 1 :] = True
-
-        band_idx = np.flatnonzero(current_band)
+            inside[hits[-1] + 1:] = True
+        members = np.flatnonzero(inside)
         if k < n_bands:
-            band_idx = band_idx[:-1]
-        n_take = int(np.maximum(np.rint(quantile * np.sum(current_band)), 1))
-        bands.append((tuple(int(i) for i in band_idx), n_take))
+            members = members[:-1]
+        n_take = max(int(np.rint(quantile * int(inside.sum()))), 1)
+        bands.append((tuple(int(i) for i in members), n_take))
 
     return _contrast_core(S, bands=tuple(bands), linear=bool(linear))
 
@@ -921,7 +928,8 @@ def chroma_cens(
         not isinstance(win_len_smooth, (int, np.integer)) or win_len_smooth <= 0
     ):
         raise ParameterError(
-            f"win_len_smooth={win_len_smooth} must be a positive integer or None"
+            f"the CENS smoothing length must be a positive frame count or "
+            f"None; got {win_len_smooth!r}"
         )
 
     chroma = chroma_cqt(
@@ -1085,23 +1093,25 @@ def tonnetz(
     """
     if y is None and chroma is None:
         raise ParameterError(
-            "Either the audio samples or the chromagram must be "
-            "passed as an argument."
+            "tonnetz needs either a signal (y=) or a chromagram (chroma=)"
         )
     if chroma is None:
         chroma = chroma_cqt(y=y, sr=sr, **kwargs)
     chroma = jnp.asarray(chroma)
 
-    dim_map = np.linspace(0, 12, num=chroma.shape[-2], endpoint=False)
-    scale = np.asarray([7.0 / 6, 7.0 / 6, 3.0 / 2, 3.0 / 2, 2.0 / 3, 2.0 / 3])
-    V = np.multiply.outer(scale, dim_map)
-    V[::2] -= 0.5
-    R = np.array([1, 1, 1, 1, 0.5, 0.5])
-    phi = R[:, np.newaxis] * np.cos(np.pi * V)
+    # Harmonic-network basis: each interval circle (fifths, minor thirds,
+    # major thirds) contributes a sine/cosine coordinate pair; the major
+    # thirds circle is drawn at half radius.
+    angle = np.pi * np.linspace(0, 12, num=chroma.shape[-2], endpoint=False)
+    rows = []
+    for circle_ratio, radius in ((7.0 / 6, 1.0), (3.0 / 2, 1.0),
+                                 (2.0 / 3, 0.5)):
+        rows.append(radius * np.sin(circle_ratio * angle))
+        rows.append(radius * np.cos(circle_ratio * angle))
+    basis = np.stack(rows)
 
     return _tonnetz_core(
-        chroma,
-        jnp.asarray(np.asarray(phi, dtype=np.dtype(chroma.dtype))),
+        chroma, jnp.asarray(basis.astype(np.dtype(chroma.dtype)))
     )
 
 

@@ -535,14 +535,17 @@ def wavelet_lengths(
     freqs = np.asarray(freqs)
     scale = float(filter_scale)
     if scale <= 0:
-        raise ParameterError(f"filter_scale={filter_scale} must be positive")
+        raise ParameterError(
+            f"filter_scale must be a positive number; got {filter_scale}"
+        )
     if gamma is not None and gamma < 0:
-        raise ParameterError(f"gamma={gamma} must be non-negative")
-    if np.any(freqs <= 0):
-        raise ParameterError("frequencies must be strictly positive")
+        raise ParameterError(f"a negative gamma ({gamma}) is not meaningful")
+    if freqs.min(initial=np.inf) <= 0:
+        raise ParameterError("wavelet center frequencies must be > 0")
     if np.any(np.diff(freqs) < 0):
         raise ParameterError(
-            f"Frequency array={freqs} must be in strictly ascending order"
+            f"wavelet center frequencies must be sorted ascending; "
+            f"got {freqs}"
         )
 
     alpha = _relative_bandwidth(freqs=freqs) if alpha is None else np.asarray(alpha)
@@ -624,25 +627,28 @@ def wavelet(
         gamma=gamma, alpha=alpha,
     )
 
-    filters: List[np.ndarray] = []
-    for ilen, freq in zip(lengths, freqs):
-        t = np.arange(-ilen // 2, ilen // 2, dtype=float) * 2 * np.pi * freq / sr
-        sig = np.cos(t) + 1j * np.sin(t)
-        sig = sig * _float_window(window)(len(sig))
-        sig = _np_normalize(sig, norm=norm)
-        filters.append(sig)
+    # common output length first, so atoms can be assembled directly
+    span = max(lengths)
+    span = (
+        int(2.0 ** np.ceil(np.log2(span))) if pad_fft else int(np.ceil(span))
+    )
 
-    max_len = max(lengths)
-    if pad_fft:
-        max_len = int(2.0 ** (np.ceil(np.log2(max_len))))
-    else:
-        max_len = int(np.ceil(max_len))
+    taper = _float_window(window)
 
-    out = np.asarray(
-        [_np_pad_center(filt, size=max_len, **kwargs) for filt in filters],
+    def _atom(length: float, freq: float) -> np.ndarray:
+        # complex exponential at `freq`, sampled on a centered support
+        support = np.arange(-length // 2, length // 2, dtype=float)
+        osc = np.exp(1j * (2 * np.pi * freq / sr) * support)
+        return _np_normalize(osc * taper(len(support)), norm=norm)
+
+    bank = np.asarray(
+        [
+            _np_pad_center(_atom(ln, fq), size=span, **kwargs)
+            for ln, fq in zip(lengths, freqs)
+        ],
         dtype=dtype,
     )
-    return out, lengths
+    return bank, lengths
 
 
 # ---------------------------------------------------------------------------
@@ -697,31 +703,35 @@ def cq_to_chroma(
 
     Parity: reference filters.py:737.
     """
-    n_merge = float(bins_per_octave) / n_chroma
-    if fmin is None:
-        fmin_ = note_to_hz("C1")
-    else:
-        fmin_ = fmin
-    if np.mod(n_merge, 1) != 0:
+    if bins_per_octave % n_chroma:
         raise ParameterError(
-            "Incompatible CQ merge: input bins must be an integer multiple of output bins."
+            f"cannot merge {bins_per_octave} CQ bins/octave into "
+            f"{n_chroma} chroma classes: not an integer ratio"
         )
+    merge = bins_per_octave // n_chroma
+    anchor = note_to_hz("C1") if fmin is None else fmin
 
-    cq_to_ch = np.repeat(np.eye(n_chroma), int(n_merge), axis=1)
-    cq_to_ch = np.roll(cq_to_ch, -int(n_merge // 2), axis=1)
-    n_octaves = np.ceil(float(n_input) / bins_per_octave)
-    cq_to_ch = np.tile(cq_to_ch, int(n_octaves))[:, :n_input]
+    # Closed-form assignment: CQ bin j belongs to the chroma class whose
+    # merge window (centered, hence the merge//2 shift) contains j,
+    # rotated so row 0 is C (or A when base_c=False).
+    tonic_class = np.mod(hz_to_midi(anchor), 12)
+    if not base_c:
+        tonic_class -= 9
+    rotation = int(np.round(tonic_class * n_chroma / 12.0))
 
-    midi_0 = np.mod(hz_to_midi(fmin_), 12)
-    roll = midi_0 if base_c else midi_0 - 9
-    roll = int(np.round(roll * (n_chroma / 12.0)))
-    cq_to_ch = np.roll(cq_to_ch, roll, axis=0).astype(dtype)
+    cols = np.arange(n_input)
+    in_octave = (cols % bins_per_octave + merge // 2) % bins_per_octave
+    rows = (in_octave // merge + rotation) % n_chroma
+
+    proj = np.zeros((n_chroma, n_input), dtype=dtype)
+    proj[rows, cols] = 1
 
     if window is not None:
-        cq_to_ch = scipy.signal.convolve(
-            cq_to_ch, np.atleast_2d(window), mode="same"
-        )
-    return cq_to_ch
+        # per-class smoothing across adjacent CQ bins
+        proj = np.stack(
+            [np.convolve(row, window, mode="same") for row in proj]
+        ).astype(dtype)
+    return proj
 
 
 # ---------------------------------------------------------------------------
@@ -739,41 +749,33 @@ def _multirate_fb(
     flayout: str = "sos",
 ) -> Tuple[List[Any], np.ndarray]:
     """Multirate band-pass IIR bank via iirdesign. Parity: filters.py:981."""
-    if center_freqs is None:
-        raise ParameterError("center_freqs must be provided.")
-    if sample_rates is None:
-        raise ParameterError("sample_rates must be provided.")
+    if center_freqs is None or sample_rates is None:
+        raise ParameterError(
+            "the multirate bank needs both center_freqs and sample_rates"
+        )
     if center_freqs.shape != sample_rates.shape:
         raise ParameterError(
-            "Number of provided center_freqs and sample_rates must be equal."
+            f"one sample rate per center frequency: got "
+            f"{center_freqs.shape} centers vs {sample_rates.shape} rates"
         )
 
-    nyquist = 0.5 * sample_rates
-    filter_bandwidths = center_freqs / float(Q)
-    filterbank = []
-    for cur_center_freq, cur_nyquist, cur_bw in zip(
-        center_freqs, nyquist, filter_bandwidths
-    ):
-        passband_freqs = [
-            cur_center_freq - 0.5 * cur_bw,
-            cur_center_freq + 0.5 * cur_bw,
-        ] / cur_nyquist
-        stopband_freqs = [
-            cur_center_freq - cur_bw,
-            cur_center_freq + cur_bw,
-        ] / cur_nyquist
-        filterbank.append(
-            scipy.signal.iirdesign(
-                passband_freqs,
-                stopband_freqs,
-                passband_ripple,
-                stopband_attenuation,
-                analog=False,
-                ftype=ftype,
-                output=flayout,
-            )
+    # band geometry in Nyquist-relative frequency: the passband spans
+    # fc +/- fc/(2Q); the stopband is twice as wide
+    half_bw = center_freqs / (2.0 * float(Q))
+
+    def _design_band(fc, ny, hb):
+        edges_pass = np.array([fc - hb, fc + hb]) / ny
+        edges_stop = np.array([fc - 2 * hb, fc + 2 * hb]) / ny
+        return scipy.signal.iirdesign(
+            edges_pass, edges_stop, passband_ripple, stopband_attenuation,
+            analog=False, ftype=ftype, output=flayout,
         )
-    return filterbank, sample_rates
+
+    bank = [
+        _design_band(fc, ny, hb)
+        for fc, ny, hb in zip(center_freqs, 0.5 * sample_rates, half_bw)
+    ]
+    return bank, sample_rates
 
 
 def mr_frequencies(tuning: float) -> Tuple[np.ndarray, np.ndarray]:
@@ -979,22 +981,22 @@ def diagonal_filter(
 
     Parity: reference filters.py:1343.
     """
-    if angle is None:
-        angle = np.arctan(slope)
+    theta = np.arctan(slope) if angle is None else angle
 
     # Lay the 1-D window along the main diagonal (a 45-degree line in image
     # coordinates), then spline-rotate the plane to the requested angle.
-    kernel = np.diag(get_window(window, n, fftbins=False))
-    if not np.isclose(angle, np.pi / 4):
+    stencil = np.diag(get_window(window, n, fftbins=False))
+    off_diagonal = not np.isclose(theta, np.pi / 4)
+    if off_diagonal:
         from scipy.ndimage import rotate as _nd_rotate
 
-        kernel = _nd_rotate(
-            kernel, 45.0 - np.degrees(angle), order=5, prefilter=False
+        stencil = _nd_rotate(
+            stencil, 45.0 - np.degrees(theta), order=5, prefilter=False
         )
+        # spline interpolation can ring negative; clamp before normalizing
+        stencil = np.where(stencil > 0, stencil, 0.0)
 
-    # Spline interpolation can ring negative; clamp, then normalize mass.
-    kernel = np.maximum(kernel, 0.0)
-    kernel = kernel / kernel.sum()
+    stencil /= stencil.sum()
     if zero_mean:
-        kernel = kernel - kernel.mean()
-    return kernel
+        stencil -= stencil.mean()
+    return stencil

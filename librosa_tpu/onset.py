@@ -70,8 +70,8 @@ def onset_strength(
     """
     if aggregate is False:
         raise ParameterError(
-            "aggregate parameter cannot be False when computing full-spectrum "
-            "onset strength."
+            "onset_strength always aggregates over frequency; use "
+            "onset_strength_multi for unaggregated envelopes"
         )
     # _squeeze_channel folds the trailing [..., 0, :] into the fused
     # default program (otherwise it costs two extra eager device
@@ -122,14 +122,14 @@ def onset_strength_multi(
     if feature is None:
         feature = melspectrogram
         kwargs.setdefault("fmax", 0.5 * sr)
-
     if aggregate is None:
         aggregate = jnp.mean
 
-    if not util.is_positive_int(lag):
-        raise ParameterError(f"lag={lag} must be a positive integer")
-    if not util.is_positive_int(max_size):
-        raise ParameterError(f"max_size={max_size} must be a positive integer")
+    for knob, value in (("lag", lag), ("max_size", max_size)):
+        if not util.is_positive_int(value):
+            raise ParameterError(
+                f"{knob} must be a whole number of frames >= 1; got {value}"
+            )
 
     # Fully-fused default path: mel → dB → flux → aggregate → pad in one
     # program (the per-op dispatch chain dominates on remote TPU links).
@@ -165,46 +165,42 @@ def onset_strength_multi(
 
     S = jnp.atleast_2d(S)
 
-    if ref is None:
-        if max_size == 1:
-            ref_arr = S
-        else:
-            # centered 1-D max filter along frequency (SuperFlux)
-            lpad = max_size // 2
-            rpad = max_size - 1 - lpad
-            pads = [(0, 0)] * S.ndim
-            pads[-2] = (lpad, rpad)
-            window_dims = [1] * S.ndim
-            window_dims[-2] = max_size
-            ref_arr = jax.lax.reduce_window(
-                jnp.pad(S, pads, mode="edge"),
-                -jnp.inf,
-                jax.lax.max,
-                tuple(window_dims),
-                (1,) * S.ndim,
-                "valid",
-            )
-    else:
+    if ref is not None:
         ref_arr = jnp.asarray(ref)
         if ref_arr.shape != S.shape:
             raise ParameterError(
-                f"Reference spectrum shape {ref_arr.shape} must match input "
-                f"spectrum {S.shape}"
+                f"the flux reference must match the spectrum shape "
+                f"{S.shape}; got {ref_arr.shape}"
             )
-
-    # lagged positive first difference
-    onset_env = S[..., lag:] - ref_arr[..., :-lag]
-    onset_env = jnp.maximum(0.0, onset_env)
-
-    pad = True
-    if channels is None:
-        channels = [slice(None)]
+    elif max_size == 1:
+        ref_arr = S
     else:
-        pad = False
+        # centered 1-D max filter along frequency (SuperFlux)
+        lpad = max_size // 2
+        rpad = max_size - 1 - lpad
+        pads = [(0, 0)] * S.ndim
+        pads[-2] = (lpad, rpad)
+        window_dims = [1] * S.ndim
+        window_dims[-2] = max_size
+        ref_arr = jax.lax.reduce_window(
+            jnp.pad(S, pads, mode="edge"),
+            -jnp.inf,
+            jax.lax.max,
+            tuple(window_dims),
+            (1,) * S.ndim,
+            "valid",
+        )
 
+    # lagged positive first difference (spectral flux)
+    onset_env = jnp.maximum(0.0, S[..., lag:] - ref_arr[..., :-lag])
+
+    # collapse frequency into the requested channel groups; with no
+    # explicit channels everything folds into one band (padded output)
+    groups = [slice(None)] if channels is None else channels
     if callable(aggregate):
         onset_env = util.sync(
-            onset_env, channels, aggregate=aggregate, pad=pad, axis=-2
+            onset_env, groups, aggregate=aggregate,
+            pad=channels is None, axis=-2,
         )
 
     # compensate for lag (and framing when centered)
@@ -300,12 +296,13 @@ def onset_backtrack(events: np.ndarray, energy: Any) -> np.ndarray:
     -------
     events_backtracked : np.ndarray [int]
     """
-    energy = np.asarray(energy)
-    minima = np.flatnonzero(
-        (energy[1:-1] <= energy[:-2]) & (energy[1:-1] < energy[2:])
-    )
-    minima = util.fix_frames(1 + minima, x_min=0)
-    return minima[match_events(np.asarray(events), minima, right=False)]
+    level = np.asarray(energy)
+    interior = level[1:-1]
+    # local energy dips (flat-left allowed, strictly below to the right)
+    dips = 1 + np.flatnonzero((interior <= level[:-2]) & (interior < level[2:]))
+    dips = util.fix_frames(dips, x_min=0)
+    # snap each onset to the nearest dip at or before it
+    return dips[match_events(np.asarray(events), dips, right=False)]
 
 
 def onset_detect(
@@ -362,53 +359,60 @@ def onset_detect(
     """
     if onset_envelope is None:
         if y is None:
-            raise ParameterError("y or onset_envelope must be provided")
+            raise ParameterError(
+                "onset detection needs a signal (y) or an onset envelope"
+            )
         onset_envelope = onset_strength(y=y, sr=sr, hop_length=hop_length)
-
-    onset_envelope = np.asarray(onset_envelope)
-
+    envelope = np.asarray(onset_envelope)
     if normalize:
-        onset_envelope = onset_envelope - np.min(
-            onset_envelope, keepdims=True, axis=-1
-        )
-        onset_envelope = onset_envelope / (
-            np.max(onset_envelope, keepdims=True, axis=-1)
-            + util.tiny(onset_envelope)
-        )
+        envelope = _rescale_unit_range(envelope)
 
-    if not onset_envelope.any() or not np.all(np.isfinite(onset_envelope)):
-        onsets = (
-            np.array([], dtype=int)
-            if sparse
-            else np.zeros_like(onset_envelope, dtype=bool)
+    if not envelope.any() or not np.isfinite(envelope).all():
+        # silent or non-finite envelope: nothing to detect
+        picks = (
+            np.array([], dtype=int) if sparse
+            else np.zeros_like(envelope, dtype=bool)
         )
     else:
-        # ms-tuned defaults (onset.py:184-189)
-        kwargs.setdefault("pre_max", 0.03 * sr // hop_length)
-        kwargs.setdefault("post_max", 0.00 * sr // hop_length + 1)
-        kwargs.setdefault("pre_avg", 0.10 * sr // hop_length)
-        kwargs.setdefault("post_avg", 0.10 * sr // hop_length + 1)
-        kwargs.setdefault("wait", 0.03 * sr // hop_length)
-        kwargs.setdefault("delta", 0.07)
-
-        onsets = util.peak_pick(onset_envelope, sparse=sparse, axis=-1, **kwargs)
-
+        params = _default_pick_params(sr, hop_length)
+        params.update(kwargs)
+        picks = util.peak_pick(envelope, sparse=sparse, axis=-1, **params)
         if backtrack:
             if not sparse:
                 raise ParameterError(
-                    "onset backtracking is only supported if sparse=True"
+                    "backtracking needs sparse=True (frame indices)"
                 )
-            if energy is None:
-                energy = onset_envelope
-            onsets = onset_backtrack(onsets, energy)
+            picks = onset_backtrack(
+                picks, envelope if energy is None else energy
+            )
 
-    if sparse:
-        if units == "frames":
-            pass
-        elif units == "samples":
-            onsets = core.frames_to_samples(onsets, hop_length=hop_length)
-        elif units == "time":
-            onsets = core.frames_to_time(onsets, hop_length=hop_length, sr=sr)
-        else:
-            raise ParameterError(f"Invalid unit type: {units}")
-    return onsets
+    if not sparse or units == "frames":
+        return picks
+    if units == "samples":
+        return core.frames_to_samples(picks, hop_length=hop_length)
+    if units == "time":
+        return core.frames_to_time(picks, hop_length=hop_length, sr=sr)
+    raise ParameterError(
+        f"units must be frames, samples, or time; got {units!r}"
+    )
+
+
+def _rescale_unit_range(envelope: np.ndarray) -> np.ndarray:
+    """Shift/scale an envelope to [0, 1] along its last axis."""
+    floor = np.min(envelope, keepdims=True, axis=-1)
+    span = np.max(envelope, keepdims=True, axis=-1) - floor
+    return (envelope - floor) / (span + util.tiny(envelope))
+
+
+def _default_pick_params(sr: float, hop_length: int) -> dict:
+    """librosa's standard peak-picking geometry, in frames: 30 ms max
+    windows and wait, 100 ms mean windows, threshold delta 0.07
+    (reference onset.py:184-189)."""
+    return {
+        "pre_max": 0.03 * sr // hop_length,
+        "post_max": 0.00 * sr // hop_length + 1,
+        "pre_avg": 0.10 * sr // hop_length,
+        "post_avg": 0.10 * sr // hop_length + 1,
+        "wait": 0.03 * sr // hop_length,
+        "delta": 0.07,
+    }

@@ -371,8 +371,8 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
         kern,
         grid=(n_tracks * n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # rows (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),          # edge buffers
+            pl.BlockSpec(memory_space=pl.ANY),             # rows (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),             # edge buffers
             pl.BlockSpec(memory_space=pltpu.VMEM),         # window
             pl.BlockSpec(memory_space=pltpu.VMEM),         # [c2; -s2]
             pl.BlockSpec(memory_space=pltpu.VMEM),         # ctw
@@ -393,6 +393,13 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
             ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # Wide tiles overflow Mosaic's default 16 MiB scoped-vmem budget
+        # (measured r5: pair/tt=256 needs 16.61M, default/tt=256 18.72M);
+        # v5e VMEM is larger than the default scope, so lift the budget —
+        # this is what first let the pair/pack variants compile at all.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=interpret,
     )
 

@@ -57,7 +57,49 @@ def _bench(fn, y, iters=5, groups=3):
     return best
 
 
+def lowering_smoke() -> int:
+    """Compile-only check of every kernel variant at both tile sizes.
+
+    VERDICT r4 #7: the pack variant lowered in one process and not in
+    another an hour apart; each environment must record which variants
+    its toolchain accepts, with the FULL diagnostic when one is refused.
+    Exit status = number of variants that failed to lower.
+    """
+    import librosa_tpu as lt  # noqa: F401
+    from librosa_tpu import filters
+    from librosa_tpu.core.spectrum import _win_device
+    from librosa_tpu.ops import pallas_stft as ps
+
+    dev = jax.devices()[0]
+    print(f"lowering smoke on: {dev} (jax {jax.__version__})", flush=True)
+
+    window = _win_device("hann", N_FFT, N_FFT, jnp.float32)
+    basis = filters.mel(sr=SR, n_fft=N_FFT, n_mels=N_MELS).astype(np.float32)
+    y_small = jnp.zeros(1 << 21, jnp.float32)
+
+    failures = 0
+    for variant in ("default", "pair", "pack", "pair_pack"):
+        for tile in (112, 128):
+            pair = variant in ("pair", "pair_pack")
+            pack = variant in ("pack", "pair_pack")
+            label = f"{variant:9s} tile={tile}"
+            try:
+                fn = jax.jit(lambda yb, t=tile, pr=pair, pk=pack:
+                             ps.stft_mel_pallas(
+                                 yb, window, basis, n_fft=N_FFT,
+                                 hop_length=HOP, power=2.0,
+                                 tile_frames=t, pair_tiles=pr, pack_a=pk))
+                fn.lower(y_small).compile()
+                print(f"  {label}: compiles", flush=True)
+            except Exception as e:
+                failures += 1
+                print(f"  {label}: REJECTED\n----\n{e}\n----", flush=True)
+    return failures
+
+
 def main() -> None:
+    if "lowering" in sys.argv[1:]:
+        sys.exit(lowering_smoke())
     quick = "quick" in sys.argv[1:]
 
     import librosa_tpu as lt
