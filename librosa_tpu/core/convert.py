@@ -522,10 +522,11 @@ def midi_to_note(
         raise ParameterError("Cannot encode cents without octave information.")
 
     if not np.isscalar(midi):
-        return [
+        # array-in, array-out (the reference vectorizes via np.vectorize)
+        return np.array([
             midi_to_note(x, octave=octave, cents=cents, key=key, unicode=unicode)
             for x in midi
-        ]
+        ])
 
     from .notation import key_to_notes
 

@@ -350,8 +350,8 @@ def pitch_shift(
     rate = 2.0 ** (-float(n_steps) / bins_per_octave)
     slowed = time_stretch(y, rate=rate, **kwargs)
     shifted = core.resample(
-        slowed, orig_sr=float(sr) / rate, target_sr=sr,
-        res_type=res_type, scale=scale,
+        slowed, res_type=res_type, scale=scale,
+        orig_sr=float(sr) / rate, target_sr=sr,
     )
     # stretch+resample rounding can add/drop a few samples
     return util.fix_length(shifted, size=y.shape[-1])

@@ -77,9 +77,19 @@ def onset_strength(
     # default program (otherwise it costs two extra eager device
     # dispatches — dynamic_slice + squeeze — per call over the tunnel)
     return onset_strength_multi(
-        y=y, sr=sr, S=S, lag=lag, max_size=max_size, ref=ref, detrend=detrend,
-        center=center, feature=feature, aggregate=aggregate, channels=None,
-        _squeeze_channel=True, **kwargs,
+        _squeeze_channel=True,
+        aggregate=aggregate,
+        center=center,
+        channels=None,
+        detrend=detrend,
+        feature=feature,
+        lag=lag,
+        max_size=max_size,
+        ref=ref,
+        S=S,
+        sr=sr,
+        y=y,
+        **kwargs,
     )
 
 

@@ -26,41 +26,41 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# name -> ceiling (measured-at-review + margin); see module docstring
+# name -> ceiling (measured at round-5 review + 0.04 margin)
 API_PLUMBING = {
-    "tempogram_ratio": 0.80,
     "beat_track": 0.82,
-    "pitch_shift": 0.80,
-    "pseudo_cqt": 0.78,
-    "cqt": 0.80,
-    "estimate_tuning": 0.78,
-    "trim": 0.76,
-    "onset_strength": 0.76,
-    "onset_detect": 0.68,
-    "metrogram": 0.72,
-    "window_sumsquare": 0.72,
-    "wavelet_lengths": 0.70,
-    "agglomerative": 0.70,
-    "diagonal_filter": 0.68,
-    "spectral_contrast": 0.66,
-    "highlight": 0.70,
-    "wavef0": 0.70,
-    "specshow": 0.68,
-    "hybrid_tempogram": 0.70,
-    "chroma_cens": 0.68,
-    "onset_strength_multi": 0.68,
-    "reassigned_spectrogram": 0.68,
-    "_cumulative_mean_normalized_difference": 0.72,
-    "pitch_tuning": 0.66,
+    "pseudo_cqt": 0.76,
+    "estimate_tuning": 0.76,
+    "trim": 0.75,
+    "pitch_shift": 0.73,
+    "metrogram": 0.71,
+    "window_sumsquare": 0.71,
+    "tempogram_ratio": 0.70,
+    "highlight": 0.69,
+    "agglomerative": 0.69,
+    "wavef0": 0.68,
+    "wavelet_lengths": 0.67,
+    "diagonal_filter": 0.65,
+    "onset_detect": 0.65,
+    "spectral_contrast": 0.64,
+    "specshow": 0.63,
+    "chroma_cens": 0.63,
+    "legend_for_axes": 0.63,
+    "transform_non_affine": 0.62,
+    "pitch_tuning": 0.61,
+    "onset_strength": 0.64,
+    "onset_strength_multi": 0.66,
+    "reassigned_spectrogram": 0.66,
+    "_cumulative_mean_normalized_difference": 0.66,
+    "hybrid_tempogram": 0.64,
+    "fourier_tempogram": 0.64,
+    "pcen": 0.64,
+    "load": 0.64,
+    "infer_cmap": 0.62,
+    "inverted": 0.70,
+    "cqt": 0.64,
     "mel_to_audio": 0.85,   # two-call chain; body IS the kwarg forwarding
     "mfcc_to_audio": 0.85,  # ditto
-    "fourier_tempogram": 0.70,
-    "pcen": 0.70,
-    "load": 0.66,
-    "legend_for_axes": 0.66,
-    "infer_cmap": 0.66,
-    "transform_non_affine": 0.70,
-    "inverted": 0.75,
 }
 
 HARD_CEILING = 0.85
