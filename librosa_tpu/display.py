@@ -571,6 +571,14 @@ class AdaptiveWaveplot:
         self.label = label
         self.cid = None
         self._ax = None
+        # Legend proxy: an invisible line carries the label so legends
+        # render through the _WaveshowLegendKey handler (axes-background
+        # swatch under a sample of the step line) instead of a bare
+        # fill patch.  Parity: reference display.py:1092-1142.
+        self.label_proxy_ = _WaveshowLabelProxy(self)
+        self.label_proxy_.set_in_layout(False)
+        if label is not None:
+            self.label_proxy_.set_label(label)
 
     @property
     def steps(self):
@@ -656,6 +664,8 @@ class AdaptiveWaveplot:
         the figure canvas instead.  ``waveshow`` calls this for you.
         """
         self._ax = ax
+        if self.label_proxy_.axes is None:
+            ax.add_artist(self.label_proxy_)
         if signal in ("xlim_changed", "ylim_changed"):
             self.cid = ax.callbacks.connect(
                 signal, lambda a: self.update(a)
@@ -686,6 +696,59 @@ class AdaptiveWaveplot:
                 self._ax.figure.canvas.mpl_disconnect(self.cid)
         self.cid = None
         self._ax = None
+
+
+def _make_waveshow_legend_proxy():
+    """Build the legend stand-in class for AdaptiveWaveplot and teach
+    matplotlib's legend machinery how to draw its key: the axes
+    background color as a swatch, overlaid with a zero-data sample of
+    the step line's style.  The waveplot's visible artist changes with
+    zoom (step line vs envelope fill), so neither can reliably carry
+    the legend entry; this invisible line does."""
+    import matplotlib.lines as mlines
+    import matplotlib.patches as mpatches
+    from matplotlib.legend import Legend
+    from matplotlib.legend_handler import (
+        HandlerBase, HandlerLine2D, HandlerPatch,
+    )
+
+    class _WaveshowLabelProxy(mlines.Line2D):
+        def __init__(self, waveplot, *args, **kwargs):
+            kwargs["color"] = "none"
+            super().__init__([], [], *args, **kwargs)
+            self.waveplot = waveplot
+
+    class _WaveshowLegendKey(HandlerBase):
+        def create_artists(self, legend, orig_handle, xdescent, ydescent,
+                           width, height, fontsize, trans):
+            waveplot = orig_handle.waveplot
+            box = (xdescent, ydescent, width, height, fontsize, trans)
+
+            backdrop = mpatches.Rectangle(
+                (0, 0), 1, 1, edgecolor="none",
+                facecolor=(
+                    waveplot.ax.get_facecolor()
+                    if waveplot.ax is not None else "none"
+                ),
+            )
+            swatch = HandlerPatch().create_artists(legend, backdrop, *box)
+
+            stroke = mlines.Line2D([], [])
+            if waveplot.steps is not None:
+                stroke.update_from(waveplot.steps)
+            stroke.set_data([], [])
+            stroke.set(visible=True)
+            sample = HandlerLine2D().create_artists(legend, stroke, *box)
+            return [*swatch, *sample]
+
+    if _WaveshowLabelProxy not in Legend.get_default_handler_map():
+        Legend.update_default_handler_map(
+            {_WaveshowLabelProxy: _WaveshowLegendKey()}
+        )
+    return _WaveshowLabelProxy
+
+
+_WaveshowLabelProxy = _make_waveshow_legend_proxy()
 
 
 def _make_transformf0():
@@ -1454,10 +1517,11 @@ def waveshow(
     if "color" not in kwargs:
         kwargs.setdefault("color", steps.get_color())
 
-    # zoomed-out view: the filled +/- envelope band
+    # zoomed-out view: the filled +/- envelope band (the legend entry
+    # rides the AdaptiveWaveplot's label proxy, not this artist)
     band = filler(
         times[decimated], -env[-1], env[0],
-        step=where, where=mask, label=label, **kwargs,
+        step=where, where=mask, **kwargs,
     )
 
     adaptor = AdaptiveWaveplot(
