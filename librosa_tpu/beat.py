@@ -418,7 +418,7 @@ def beat_track(
                 "beat tracking needs a signal (y) or an onset envelope"
             )
         onset_envelope = onset.onset_strength(
-            y=y, sr=sr, hop_length=hop_length, aggregate=jnp.median
+            aggregate=jnp.median, hop_length=hop_length, sr=sr, y=y
         )
     envelope = np.asarray(onset_envelope)
 
@@ -431,12 +431,15 @@ def beat_track(
 
     # a flat envelope has no beats (and would send the DP degenerate)
     if not envelope.any():
-        if sparse:
-            return (0.0, np.array([], dtype=int))
-        return (
-            np.zeros(shape=envelope.shape[:-1], dtype=float),
-            np.zeros_like(envelope, dtype=bool),
+        silent_tempo = (
+            0.0 if sparse
+            else np.zeros(shape=envelope.shape[:-1], dtype=float)
         )
+        silent_beats = (
+            np.array([], dtype=int) if sparse
+            else np.zeros_like(envelope, dtype=bool)
+        )
+        return (silent_tempo, silent_beats)
 
     if bpm is None:
         bpm = np.asarray(_tempo(
@@ -455,15 +458,20 @@ def beat_track(
         return (bpm, beat_mask)
 
     frames = np.flatnonzero(beat_mask)
-    if units == "frames":
-        return (bpm, frames)
-    if units == "samples":
-        return (bpm, core.frames_to_samples(frames, hop_length=hop_length))
-    if units == "time":
-        return (bpm, core.frames_to_time(frames, hop_length=hop_length, sr=sr))
-    raise ParameterError(
-        f"units must be frames, samples, or time; got {units!r}"
-    )
+    to_units = {
+        "frames": lambda f: f,
+        "samples": lambda f: core.frames_to_samples(
+            f, hop_length=hop_length
+        ),
+        "time": lambda f: core.frames_to_time(
+            f, hop_length=hop_length, sr=sr
+        ),
+    }
+    if units not in to_units:
+        raise ParameterError(
+            f"units must be frames, samples, or time; got {units!r}"
+        )
+    return (bpm, to_units[units](frames))
 
 
 def plp(

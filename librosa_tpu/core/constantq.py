@@ -372,7 +372,7 @@ def _vqt_dispatch(y, *, magnitude, intervals, bins_per_octave, tuning,
         # tuning-estimation resolution (reference constantq.py:978-986)
         bins_per_octave = len(intervals)
     if tuning is None:
-        tuning = estimate_tuning(y=y, sr=sr, bins_per_octave=bins_per_octave)
+        tuning = estimate_tuning(bins_per_octave=bins_per_octave, sr=sr, y=y)
 
     cfg = dict(
         sr=sr, hop_length=params["hop_length"], fmin=params["fmin"],
@@ -787,7 +787,7 @@ def pseudo_cqt(
     if fmin is None:
         fmin = note_to_hz("C1")
     if tuning is None:
-        tuning = estimate_tuning(y=y, sr=sr, bins_per_octave=bins_per_octave)
+        tuning = estimate_tuning(bins_per_octave=bins_per_octave, sr=sr, y=y)
     fmin = fmin * 2.0 ** (tuning / bins_per_octave)
     if fmin >= sr / 2:
         raise ParameterError(
@@ -810,8 +810,8 @@ def pseudo_cqt(
         else filters._relative_bandwidth(freqs=freqs)
     )
     lengths, filter_cutoff = filters.wavelet_lengths(
-        freqs=freqs, sr=sr, window=window, filter_scale=filter_scale,
-        alpha=alpha,
+        alpha=alpha, filter_scale=filter_scale, freqs=freqs, sr=sr,
+        window=window,
     )
     if filter_cutoff > sr / 2:
         raise ParameterError(
@@ -903,7 +903,7 @@ def hybrid_cqt(
     if fmin is None:
         fmin = note_to_hz("C1")
     if tuning is None:
-        tuning = estimate_tuning(y=y, sr=sr, bins_per_octave=bins_per_octave)
+        tuning = estimate_tuning(bins_per_octave=bins_per_octave, sr=sr, y=y)
 
     cfg = dict(
         sr=sr, hop_length=hop_length, fmin=fmin, n_bins=n_bins,

@@ -262,7 +262,7 @@ def estimate_tuning(
 
     Parity: reference core/pitch.py:28.
     """
-    pitch, mag = piptrack(y=y, sr=sr, S=S, n_fft=n_fft, **kwargs)
+    pitch, mag = piptrack(n_fft=n_fft, S=S, sr=sr, y=y, **kwargs)
     pitch = np.asarray(pitch)
     mag = np.asarray(mag)
 

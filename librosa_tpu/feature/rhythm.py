@@ -563,8 +563,8 @@ def metrogram(
     # correlate the tempogram with itself resampled at each subdivision:
     # an active metrical level lights up at both scales
     rescaled = interp_harmonics(
-        tg, freqs=freqs, harmonics=factors, kind=kind, fill_value=fill_value,
-        axis=-2,
+        tg, axis=-2, fill_value=fill_value, freqs=freqs, harmonics=factors,
+        kind=kind,
     )
     coincidence = rescaled * jnp.expand_dims(tg, axis=-3)
 
