@@ -9,7 +9,6 @@ XLA-fused.  Parity citations refer to ``librosa/feature/spectral.py``.
 from __future__ import annotations
 
 import functools
-import itertools
 import warnings
 from typing import Any, Optional, Union
 

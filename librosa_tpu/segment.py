@@ -12,8 +12,7 @@ path enhancement run on device.  Parity citations refer to
 from __future__ import annotations
 
 import functools
-import itertools
-from typing import Any, Callable, List, Optional, Union
+from typing import Any, Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
