@@ -129,7 +129,8 @@ def thaat_to_degrees(thaat: str) -> np.ndarray:
 
     Parity: reference core/notation.py:169.
     """
-    return np.asarray(THAAT_MAP[thaat.lower()])
+    degrees = THAAT_MAP[thaat.lower()]
+    return np.array(degrees)
 
 
 # The melakarta system enumerates its Ri/Ga (and Dha/Ni) choices as the six
@@ -283,7 +284,7 @@ def list_mela() -> Dict[str, int]:
 
     Parity: reference core/notation.py:444.
     """
-    return MELAKARTA_MAP.copy()
+    return dict(MELAKARTA_MAP)
 
 
 def list_thaat() -> List[str]:
@@ -312,7 +313,7 @@ def list_thaat() -> List[str]:
 
     Parity: reference core/notation.py:477.
     """
-    return list(THAAT_MAP.keys())
+    return [*THAAT_MAP]
 
 
 # Naturals laid out on a 12-semitone ruler: the string index of each

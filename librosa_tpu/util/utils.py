@@ -1674,9 +1674,10 @@ def buf_to_float(
 
     Parity: reference util/utils.py:1600.
     """
-    scale = 1.0 / float(1 << ((8 * n_bytes) - 1))
-    fmt = f"<i{n_bytes:d}"
-    return scale * np.frombuffer(x, fmt).astype(dtype)
+    # little-endian signed ints, normalized by the type's magnitude range
+    ints = np.frombuffer(x, dtype=f"<i{n_bytes}")
+    full_scale = float(2 ** (8 * n_bytes - 1))
+    return ints.astype(dtype) / full_scale
 
 
 def interp_broadcast(
