@@ -12,8 +12,11 @@ Usage::
     python scripts/similarity_check.py            # report >= 0.60
     python scripts/similarity_check.py --min 0.5  # custom threshold
 
-Exit status is 1 when any non-allowlisted pair crosses the threshold, so
-the sweep can run inside the test suite (tests/test_similarity.py).
+Exit status is 1 when any non-allowlisted pair crosses the threshold.
+The CI gating policy lives in tests/test_similarity.py, which layers a
+documented per-name ceiling table (API-keyword-forwarding floors) on
+top of this sweep plus a hard 0.85 transcription ceiling; run this
+script directly for the raw census.
 
 The allowlist covers definitional arithmetic whose shape is fixed by the
 published spec (Slaney mel formulas, unit conversions, ENBW tables):
