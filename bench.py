@@ -54,7 +54,8 @@ def _cpu_pipeline(y: np.ndarray, mel_basis: np.ndarray, window: np.ndarray):
     return power @ mel_basis.T  # (T, n_mels)
 
 
-def run_variant_sweep(measure, set_variant, variants=("pair", "pack", "pair_pack"),
+def run_variant_sweep(measure, set_variant,
+                      variants=("pair", "pack", "pair_pack", "pack_out"),
                       baseline_sps=None, health_probe=None):
     """Measure each Pallas kernel variant, fault-isolated, and pick a winner.
 

@@ -82,11 +82,14 @@ def set_kernel_variant(name: str) -> None:
 
     Parameters
     ----------
-    name : {'default', 'pair', 'pack', 'pair_pack'}
+    name : {'default', 'pair', 'pack', 'pair_pack', 'pack_out'}
         'default' — one 128-frame tile per grid step;
         'pair' — two interleaved sub-tiles (VPU/MXU overlap experiment);
         'pack' — lane-packed stage A (7 frames per MXU pass);
-        'pair_pack' — both combined (packed dots, interleaved halves).
+        'pair_pack' — both combined (packed dots, interleaved halves);
+        'pack_out' — pack with the post-power frame relayout replaced by
+        a leading-axis relabel in VMEM plus a column un-permute of the
+        small output grid in the wrapper.
 
     All three compute the same transform (exactly for 'pair'; to f32
     reassociation for 'pack').  Explicit ``pair_tiles``/``pack_a``
@@ -94,7 +97,7 @@ def set_kernel_variant(name: str) -> None:
     initial value comes from ``LIBROSA_TPU_KERNEL_VARIANT``.
     """
     global _VARIANT
-    if name not in ("default", "pair", "pack", "pair_pack"):
+    if name not in ("default", "pair", "pack", "pair_pack", "pack_out"):
         raise ValueError(f"unknown kernel variant: {name!r}")
     _VARIANT = name
 
@@ -308,7 +311,7 @@ def _device_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
 @functools.lru_cache(maxsize=128)
 def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
                  precision, interpret, n_tracks, sig_len, lpad, reflect,
-                 legacy=False, pair=False, pack_a=False):
+                 legacy=False, pair=False, pack_a=False, perm_out=False):
     """Build (and cache) the jitted kernel wrapper for one configuration.
 
     The wrapper owns ALL input staging: the bulk of the signal is handed
@@ -366,6 +369,7 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
         power=power, precision=prec3, tiles_per_track=n_tiles,
         phys_rows=phys_rows, e_start=e_start, n_edge=n_edge, A=A,
         loff=loff, aligned=aligned, sub=sub, group=group,
+        perm_out=perm_out,
     )
     call = pl.pallas_call(
         kern,
@@ -484,7 +488,8 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
             *, tt: int, hop: int, n_fft: int, n1: int, n2: int,
             power: float, precision, tiles_per_track: int,
             phys_rows: int, e_start: int, n_edge: int, A: int, loff: int,
-            aligned: bool, sub: int, group: int = 1):
+            aligned: bool, sub: int, group: int = 1,
+            perm_out: bool = False):
     """One grid step = one tile of ``tt`` frames.
 
     Frames are never assembled: frame t spans r = n_fft/hop consecutive
@@ -667,6 +672,12 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
             pw = jnp.sqrt(pw)
         elif power != 2:
             pw = pw ** (power / 2)
+        if perm_out:
+            # leave frames in packed (b, g) order: this transpose only
+            # relabels the two leading (untiled) axes — whole contiguous
+            # (G, n1) blocks move, no sublane interleave — and the
+            # wrapper restores frame order on the small output grid
+            return jnp.transpose(pw, (1, 0, 2, 3)).reshape(kh, sub, n1)
         # t = g·group + b: bring (G, group) adjacent and merge to sub
         return jnp.transpose(pw, (1, 2, 0, 3)).reshape(kh, sub, n1)
 
@@ -759,6 +770,7 @@ def stft_mel_pallas(
     interpret: bool = False,
     pair_tiles: Any = None,
     pack_a: Any = None,
+    pack_perm_out: Any = None,
 ) -> jax.Array:
     """Fused |STFT|^power → basis projection.  Returns (..., n_out, T).
 
@@ -795,7 +807,9 @@ def stft_mel_pallas(
     # resolve the configured variant unless the caller chose explicitly
     if pair_tiles is None and pack_a is None:
         pair_tiles = _VARIANT in ("pair", "pair_pack")
-        pack_a = _VARIANT in ("pack", "pair_pack")
+        pack_a = _VARIANT in ("pack", "pair_pack", "pack_out")
+        if pack_perm_out is None:
+            pack_perm_out = _VARIANT == "pack_out"
         if pack_a and tile_frames == 128:
             g = _pack_group(_factor(n_fft)[1])
             tile_frames = max(8, (128 // (8 * g)) * 8 * g) if g > 1 else 128
@@ -862,12 +876,25 @@ def stft_mel_pallas(
                     f"pack_a needs (sub-)tile frames divisible by {g} and "
                     f"the tile by 8 (e.g. tile_frames={8 * g}); got {tt}"
                 )
+        perm_out = bool(pack_perm_out) and pack_a and not pair_tiles
         try:
             if pack_a:
-                out = _cached_call(*cfg, pack_a=True, pair=pair_tiles)(
+                out = _cached_call(*cfg, pack_a=True, pair=pair_tiles,
+                                   perm_out=perm_out)(
                     y, win, _device_bd_c2(n_fft, n2, g), ctw_d, stw_d,
                     c1s1_d, remapped_d,
                 )
+                if perm_out and out is not None:
+                    # The kernel skipped its in-VMEM frame relayout and
+                    # wrote tile columns in packed (b, g) order; undo it
+                    # here with one cheap XLA transpose of the (small)
+                    # output grid: t_packed = b·G + g  ->  t = g·group + b.
+                    G = tt // g
+                    out = (
+                        out.reshape(n_out, -1, g, G)
+                        .swapaxes(-1, -2)
+                        .reshape(n_out, -1)
+                    )
             else:
                 out = _cached_call(*cfg, pair=True)(
                     y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d

@@ -78,17 +78,19 @@ def lowering_smoke() -> int:
     y_small = jnp.zeros(1 << 21, jnp.float32)
 
     failures = 0
-    for variant in ("default", "pair", "pack", "pair_pack"):
+    for variant in ("default", "pair", "pack", "pair_pack", "pack_out"):
         for tile in (112, 128):
             pair = variant in ("pair", "pair_pack")
-            pack = variant in ("pack", "pair_pack")
+            pack = variant in ("pack", "pair_pack", "pack_out")
+            perm = variant == "pack_out"
             label = f"{variant:9s} tile={tile}"
             try:
-                fn = jax.jit(lambda yb, t=tile, pr=pair, pk=pack:
+                fn = jax.jit(lambda yb, t=tile, pr=pair, pk=pack, po=perm:
                              ps.stft_mel_pallas(
                                  yb, window, basis, n_fft=N_FFT,
-                                 hop_length=HOP, power=2.0,
-                                 tile_frames=t, pair_tiles=pr, pack_a=pk))
+                                 hop_length=HOP, power=2.0, tile_frames=t,
+                                 pair_tiles=pr, pack_a=pk,
+                                 pack_perm_out=po))
                 fn.lower(y_small).compile()
                 print(f"  {label}: compiles", flush=True)
             except Exception as e:

@@ -280,6 +280,27 @@ def test_pack_a_matches_standard_kernel(rng):
         # sub-tile not divisible by the pack group
         stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
                         interpret=True, pack_a=True, tile_frames=100)
+    # pack_out: relayout deferred to a wrapper-side column un-permute
+    perm = np.asarray(
+        stft_mel_pallas(y, win, mel, n_fft=2048, hop_length=512,
+                        interpret=True, pack_a=True, tile_frames=112,
+                        pack_perm_out=True)
+    )
+    rel_perm = np.abs(std - perm).max() / np.abs(std).max()
+    assert rel_perm < 1e-6, rel_perm
+    # batched inputs un-permute per tile block too
+    yb = rng.randn(2, 22050 * 2).astype(np.float32)
+    std_b = np.asarray(
+        stft_mel_pallas(yb, win, mel, n_fft=2048, hop_length=512,
+                        interpret=True)
+    )
+    perm_b = np.asarray(
+        stft_mel_pallas(yb, win, mel, n_fft=2048, hop_length=512,
+                        interpret=True, pack_a=True, tile_frames=112,
+                        pack_perm_out=True)
+    )
+    rel_b = np.abs(std_b - perm_b).max() / np.abs(std_b).max()
+    assert rel_b < 1e-6, rel_b
 
 
 def test_variant_failure_falls_back_and_latches(rng, monkeypatch):
