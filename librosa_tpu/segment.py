@@ -629,9 +629,10 @@ def subsegment(
         pieces = min(hi - lo, n_segments)
         return lo + agglomerative(data[tuple(window)], pieces, axis=axis)
 
-    return np.concatenate(
-        [_split_one(lo, hi) for lo, hi in zip(fences[:-1], fences[1:])]
-    )
+    pieces = [_split_one(lo, hi) for lo, hi in zip(fences[:-1], fences[1:])]
+    if not pieces:
+        return np.array([], dtype=int)
+    return np.concatenate(pieces)
 
 
 def agglomerative(
