@@ -220,9 +220,12 @@ def main() -> None:
             )
         )
 
-    def _best_sustained(fn, iters2=5, groups=3):
+    def _best_sustained(fn, iters2=5, groups=5):
         # The tunnel occasionally stalls for seconds at a time; steady-state
         # throughput is the best sustained group, not the mean across stalls.
+        # (Groups cost ~0.1 s each; five give the headline a fair draw
+        # against multi-second weather windows - observed same-day swings
+        # of 3.74-4.32 G with no code change, ROOFLINE.md.)
         _ = float(fn(y_big))
         dt = float("inf")
         for _group in range(groups):

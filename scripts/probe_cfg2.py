@@ -1,5 +1,13 @@
 """Decompose the cfg2 (batched feature stack) per-program fixed cost.
 
+CAUTION - superseded by scripts/probe_cfg2b.py: this probe's timing loop
+fetches via an EAGER ``jnp.sum(out)`` per iteration (~20 ms of tunnel
+dispatch), which swamps every small-N number.  probe_cfg2b uses
+scalar-in-jit + ``float()`` fetch and is the instrument of record (its
+finding: the per-call floor is the tunnel round trip — a trivial
+program, mel at any size to 16M, and the whole cfg2 stack all cost the
+same ~26 ms synced).
+
 Round-5 investigation: cfg2 regressed 157 -> 60 Msps between r02 and r04
 while the headline (64M-sample) number improved.  The judge measured a
 ~6.5 ms per-program floor at small N (same program: 3962 Msps @64M,
