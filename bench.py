@@ -387,7 +387,10 @@ def main() -> None:
                     )
                 )
 
-            return big_n / _best_sustained(steady_v, iters2=3, groups=2)
+            # fewer groups than the headline (time budget): the
+            # comparison is conservative — a variant only gets adopted
+            # on a win big enough to survive the weather handicap
+            return big_n / _best_sustained(steady_v, iters2=3, groups=3)
 
         def _health_probe():
             # Block until a trivial program runs clean again; a failed
