@@ -311,7 +311,8 @@ def _device_consts(n_fft: int, n2: int, basis_key: bytes, n_out: int):
 @functools.lru_cache(maxsize=128)
 def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
                  precision, interpret, n_tracks, sig_len, lpad, reflect,
-                 legacy=False, pair=False, pack_a=False, perm_out=False):
+                 legacy=False, pair=False, pack_a=False, perm_out=False,
+                 ablate=""):
     """Build (and cache) the jitted kernel wrapper for one configuration.
 
     The wrapper owns ALL input staging: the bulk of the signal is handed
@@ -369,7 +370,7 @@ def _cached_call(n_fft, hop_length, n1, n2, tt, n_tiles, n_out, power,
         power=power, precision=prec3, tiles_per_track=n_tiles,
         phys_rows=phys_rows, e_start=e_start, n_edge=n_edge, A=A,
         loff=loff, aligned=aligned, sub=sub, group=group,
-        perm_out=perm_out,
+        perm_out=perm_out, ablate=ablate,
     )
     call = pl.pallas_call(
         kern,
@@ -489,7 +490,7 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
             power: float, precision, tiles_per_track: int,
             phys_rows: int, e_start: int, n_edge: int, A: int, loff: int,
             aligned: bool, sub: int, group: int = 1,
-            perm_out: bool = False):
+            perm_out: bool = False, ablate: str = ""):
     """One grid step = one tile of ``tt`` frames.
 
     Frames are never assembled: frame t spans r = n_fft/hop consecutive
@@ -737,7 +738,33 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
         out_ref[:, pl.ds(sub, sub)] = _basis(p1)
     elif sub == tt:
         _assemble(0)
-        out_ref[:] = _basis(_stage_b_power(_twiddle(_stage_a(0))))
+        if ablate:
+            # Ablation instrumentation (scripts/kernel_experiments.py
+            # 'ablate' mode): stop the pipeline after the named stage and
+            # emit a fixed-form reduction of its tensor, so successive
+            # timing deltas attribute wall-clock to individual stages.
+            # Never used on the production path (ablate == "" there).
+            def _emit(x):
+                frames_axis = x.reshape(-1, tt, n1) if x.ndim == 3 else (
+                    x.reshape(1, tt, -1)
+                )
+                probe = jnp.sum(frames_axis, axis=(0, 2))      # (tt,)
+                out_ref[:] = jnp.broadcast_to(
+                    probe[None, :], (out_ref.shape[0], tt)
+                )
+
+            if ablate == "assemble":
+                _emit(xstack[0].reshape(tt, n2, n1).swapaxes(0, 1))
+            elif ablate == "stage_a":
+                _emit(_stage_a(0))
+            elif ablate == "twiddle":
+                _emit(_twiddle(_stage_a(0)))
+            elif ablate == "stage_b":
+                _emit(_stage_b_power(_twiddle(_stage_a(0))))
+            else:
+                raise ValueError(f"unknown ablation stop: {ablate!r}")
+        else:
+            out_ref[:] = _basis(_stage_b_power(_twiddle(_stage_a(0))))
     else:
         # Paired halves, staggered: each half's VPU stage is emitted
         # between the other half's MXU dots so the scheduler can overlap
@@ -771,6 +798,7 @@ def stft_mel_pallas(
     pair_tiles: Any = None,
     pack_a: Any = None,
     pack_perm_out: Any = None,
+    _ablate: str = "",
 ) -> jax.Array:
     """Fused |STFT|^power → basis projection.  Returns (..., n_out, T).
 
@@ -929,7 +957,7 @@ def stft_mel_pallas(
             )
         else:
             try:
-                out = _cached_call(*cfg)(
+                out = _cached_call(*cfg, ablate=_ablate)(
                     y, win, cs2_d, ctw_d, stw_d, c1s1_d, remapped_d
                 )
             except Exception as e:

@@ -99,9 +99,51 @@ def lowering_smoke() -> int:
     return failures
 
 
+def ablation() -> None:
+    """Observed per-stage breakdown by successive pipeline truncation.
+
+    Compiles the default kernel stopped after each stage (the truncated
+    tensor leaves through a fixed-form reduction probe so nothing is
+    DCE'd) and reports timing deltas.  Round-5 finding (ROOFLINE.md):
+    the stages are EXACTLY additive — no VPU/MXU overlap — and frame
+    staging dominates at ~7.5 us/tile.
+    """
+    import librosa_tpu  # noqa: F401
+    from librosa_tpu import filters
+    from librosa_tpu.core.spectrum import _win_device
+    from librosa_tpu.ops import pallas_stft as ps
+
+    print("device:", jax.devices()[0], flush=True)
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.randn(BIG_N).astype(np.float32))
+    window = _win_device("hann", N_FFT, N_FFT, jnp.float32)
+    basis = filters.mel(sr=SR, n_fft=N_FFT, n_mels=N_MELS).astype(np.float32)
+    n_tiles = BIG_N // HOP / 128
+
+    res = {}
+    for stop in ("assemble", "stage_a", "twiddle", "stage_b", ""):
+        fn = jax.jit(lambda yb, a=stop: ps.stft_mel_pallas(
+            yb, window, basis, n_fft=N_FFT, hop_length=HOP, power=2.0,
+            pair_tiles=False, pack_a=False, _ablate=a))
+        res[stop] = _bench(fn, y)
+        print(f"  stop={stop or 'full':9s}: {res[stop]*1e3:7.2f} ms "
+              f"({res[stop]/n_tiles*1e6:6.2f} us/tile)", flush=True)
+
+    order = ["assemble", "stage_a", "twiddle", "stage_b", ""]
+    names = ["stage_a dot", "twiddle", "stage_b+power", "basis"]
+    print(f"staging+DMA+window: {res['assemble']/n_tiles*1e6:6.2f} us/tile",
+          flush=True)
+    for a, b, nm in zip(order[:-1], order[1:], names):
+        print(f"{nm:18s}: {(res[b]-res[a])/n_tiles*1e6:6.2f} us/tile",
+              flush=True)
+
+
 def main() -> None:
     if "lowering" in sys.argv[1:]:
         sys.exit(lowering_smoke())
+    if "ablate" in sys.argv[1:]:
+        ablation()
+        return
     quick = "quick" in sys.argv[1:]
 
     import librosa_tpu as lt
