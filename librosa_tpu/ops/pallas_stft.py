@@ -737,7 +737,8 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
         out_ref[:, pl.ds(0, sub)] = o0
         out_ref[:, pl.ds(sub, sub)] = _basis(p1)
     elif sub == tt:
-        _assemble(0)
+        if ablate != "dma":
+            _assemble(0)
         if ablate:
             # Ablation instrumentation (scripts/kernel_experiments.py
             # 'ablate' mode): stop the pipeline after the named stage and
@@ -753,6 +754,16 @@ def _kernel(rows_hbm, edges_hbm, win_ref, c2_ref, ctw_ref, stw_ref,
                     probe[None, :], (out_ref.shape[0], tt)
                 )
 
+            if ablate == "dma":
+                # DMA wait only: touch the landed rows, skip the staging
+                # copies — the assemble-minus-dma delta isolates the
+                # windowed VMEM copy cost from the transfer wait.
+                rows = ybuf[pl.ds(A - loff, tt), :]
+                probe = jnp.sum(rows.reshape(tt, -1), axis=1)
+                out_ref[:] = jnp.broadcast_to(
+                    probe[None, :], (out_ref.shape[0], tt)
+                )
+                return
             if ablate == "assemble":
                 _emit(xstack[0].reshape(tt, n2, n1).swapaxes(0, 1))
             elif ablate == "stage_a":
