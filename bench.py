@@ -220,12 +220,15 @@ def main() -> None:
             )
         )
 
-    def _best_sustained(fn, iters2=5, groups=5):
+    def _best_sustained(fn, iters2=32, groups=4):
         # The tunnel occasionally stalls for seconds at a time; steady-state
         # throughput is the best sustained group, not the mean across stalls.
-        # (Groups cost ~0.1 s each; five give the headline a fair draw
-        # against multi-second weather windows - observed same-day swings
-        # of 3.74-4.32 G with no code change, ROOFLINE.md.)
+        # iters2 must be LARGE: each group pays one sync round trip (3-26 ms
+        # depending on the session), so a K-in-flight group measures
+        # T + RT/K.  At K=5 with RT=25 ms that embedded ~5 ms/call (~25%)
+        # of pure tunnel weather into the r2-r4 headlines; K=32 bounds the
+        # bias under 1 ms/call (measured: same program 4.15 G at K=5 vs
+        # 5.56 G at K=32, scripts/probe_floor.py).
         _ = float(fn(y_big))
         dt = float("inf")
         for _group in range(groups):
@@ -307,7 +310,7 @@ def main() -> None:
         # measured 2026-08: trivial=26-39 ms, cfg2=27 ms, r02-era floor
         # was ~3 ms).  Programs execute in dispatch order on the single
         # device stream, so fetching the last result syncs the group.
-        K = 10
+        K = 24
         _ = float(cfg2_jit())
         group = float("inf")
         for _g in range(3):
@@ -390,7 +393,7 @@ def main() -> None:
             # fewer groups than the headline (time budget): the
             # comparison is conservative — a variant only gets adopted
             # on a win big enough to survive the weather handicap
-            return big_n / _best_sustained(steady_v, iters2=3, groups=3)
+            return big_n / _best_sustained(steady_v, iters2=24, groups=3)
 
         def _health_probe():
             # Block until a trivial program runs clean again; a failed

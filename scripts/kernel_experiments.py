@@ -44,8 +44,14 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
-def _bench(fn, y, iters=5, groups=3):
-    """Best sustained group (tunnel stalls poison means)."""
+def _bench(fn, y, iters=32, groups=3):
+    """Best sustained group (tunnel stalls poison means).
+
+    iters must be LARGE: each group pays one sync round trip (3-26 ms
+    by session), so a K-in-flight group measures T + RT/K.  The r5
+    iters=5 runs embedded ~5 us/tile of tunnel weather into every
+    absolute stage number and manufactured the 'DMA wait' mystery
+    (ROOFLINE.md, scripts/probe_floor.py)."""
     _sync(fn(y))
     best = float("inf")
     for _ in range(groups):
